@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh (real
+multi-chip TPU hardware is not available in CI); single-chip numerics run on
+the same platform for determinism.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# Some sandboxes preregister a remote TPU PJRT plugin that overrides the
+# JAX_PLATFORMS env var; the config update below wins as long as no backend
+# has been initialized yet (conftest imports run before any test module).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
