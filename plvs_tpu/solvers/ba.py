@@ -1,0 +1,362 @@
+"""Bundle adjustment as a batched Levenberg-Marquardt solver.
+
+TPU-native re-derivation of the reference's g2o-based BA entry points
+(reference: Optimizer::BundleAdjustment src/Optimizer.cc:595-1196,
+Optimizer::LocalBundleAdjustment src/Optimizer.cc:3198 — block-sparse
+Schur + LM over SE3 poses, 3D points and 3D line endpoints with Huber
+kernels). Instead of building an explicit sparse graph, the normal equations
+are applied *matrix-free*: per-observation Jacobian blocks are evaluated in
+one batched pass and H @ x is two gathers + two segment-sums, solved with
+block-Jacobi preconditioned conjugate gradient inside an LM trust loop.
+This keeps everything static-shaped, fuses on the VPU/MXU, and the two
+segment-sums become ``psum``s when the observation table is sharded across
+devices (see plvs_tpu.parallel.sharded_ba).
+
+Fixed-capacity convention: all arrays are padded; ``mask`` columns mark real
+entries; fixed cameras (gauge) are masked via ``fixed_cam``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras as cam_mod
+from ..geometry import lie
+from . import robust
+
+
+class BAProblem(NamedTuple):
+    """A padded, SoA bundle-adjustment problem."""
+
+    # cameras (world-to-camera)
+    R: jnp.ndarray            # [K, 3, 3]
+    t: jnp.ndarray            # [K, 3]
+    fixed_cam: jnp.ndarray    # [K] bool — gauge / frozen keyframes
+    cam_mask: jnp.ndarray     # [K] bool — valid keyframe slots
+
+    # point landmarks
+    points: jnp.ndarray       # [P, 3]
+    point_mask: jnp.ndarray   # [P] bool
+
+    # point observations
+    obs_cam: jnp.ndarray      # [M] int32
+    obs_pt: jnp.ndarray       # [M] int32
+    obs_uvr: jnp.ndarray      # [M, 3] (u, v, uR); uR < 0 => mono
+    obs_inv_sigma2: jnp.ndarray  # [M]
+    obs_mask: jnp.ndarray     # [M] bool
+
+    # line landmarks (two endpoints each) — may be zero-capacity
+    lines_Xs: jnp.ndarray     # [L, 3]
+    lines_Xe: jnp.ndarray     # [L, 3]
+    line_mask: jnp.ndarray    # [L] bool
+
+    # line observations
+    lobs_cam: jnp.ndarray     # [Ml] int32
+    lobs_line: jnp.ndarray    # [Ml] int32
+    lobs_nld: jnp.ndarray     # [Ml, 3] normalized image line (nx, ny, d)
+    lobs_inv_sigma2: jnp.ndarray  # [Ml]
+    lobs_mask: jnp.ndarray    # [Ml] bool
+
+
+def make_problem(R, t, fixed_cam, points, obs_cam, obs_pt, obs_uvr,
+                 obs_inv_sigma2, obs_mask, cam_mask=None, point_mask=None,
+                 lines_Xs=None, lines_Xe=None, line_mask=None,
+                 lobs_cam=None, lobs_line=None, lobs_nld=None,
+                 lobs_inv_sigma2=None, lobs_mask=None) -> BAProblem:
+    K = R.shape[0]
+    P = points.shape[0]
+    if cam_mask is None:
+        cam_mask = jnp.ones((K,), bool)
+    if point_mask is None:
+        point_mask = jnp.ones((P,), bool)
+    if lines_Xs is None:
+        lines_Xs = jnp.zeros((0, 3), R.dtype)
+        lines_Xe = jnp.zeros((0, 3), R.dtype)
+        line_mask = jnp.zeros((0,), bool)
+        lobs_cam = jnp.zeros((0,), jnp.int32)
+        lobs_line = jnp.zeros((0,), jnp.int32)
+        lobs_nld = jnp.zeros((0, 3), R.dtype)
+        lobs_inv_sigma2 = jnp.zeros((0,), R.dtype)
+        lobs_mask = jnp.zeros((0,), bool)
+    return BAProblem(R, t, fixed_cam, cam_mask, points, point_mask,
+                     obs_cam, obs_pt, obs_uvr, obs_inv_sigma2, obs_mask,
+                     lines_Xs, lines_Xe, line_mask,
+                     lobs_cam, lobs_line, lobs_nld, lobs_inv_sigma2, lobs_mask)
+
+
+# ---------------------------------------------------------------------------
+# Residuals / Jacobians (batched over the observation tables)
+# ---------------------------------------------------------------------------
+
+def _point_terms(cam, R, t, points, prob: BAProblem):
+    """Residual [M,3], Jc [M,3,6], Jp [M,3,3], validity [M]."""
+    Rm = R[prob.obs_cam]          # [M,3,3]
+    tm = t[prob.obs_cam]
+    Xw = points[prob.obs_pt]
+    Xc = lie.se3_apply(Rm, tm, Xw)
+    uv = cam_mod.project(cam, Xc)
+    z = Xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uR = uv[..., 0] - cam.bf / z_safe
+    pred = jnp.concatenate([uv, uR[..., None]], axis=-1)
+    res = prob.obs_uvr - pred
+    is_stereo = prob.obs_uvr[..., 2] >= 0
+    res = res.at[..., 2].set(jnp.where(is_stereo, res[..., 2], 0.0))
+
+    Jproj = cam_mod.project_jac(cam, Xc)  # [M,2,3]
+    I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
+    JXc_cam = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)  # [M,3,6]
+    duR_dXc = Jproj[..., 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf / (z_safe * z_safe)], axis=-1
+    )
+    Jrows = jnp.concatenate([Jproj, duR_dXc[..., None, :]], axis=-2)  # [M,3,3] d(pred)/dXc
+    Jc = -(Jrows @ JXc_cam)       # [M,3,6]  (res = obs - pred)
+    Jp = -(Jrows @ Rm)            # [M,3,3]  dXc/dXw = Rcw
+    # zero-out the stereo row for mono observations
+    row_w = jnp.stack([jnp.ones_like(z), jnp.ones_like(z), is_stereo.astype(z.dtype)], axis=-1)
+    ok = prob.obs_mask & (z > 0.05)
+    return res, Jc, Jp, ok, row_w, is_stereo
+
+
+def _line_terms(cam, R, t, lines_Xs, lines_Xe, prob: BAProblem):
+    """Residual [Ml,2], Jc [Ml,2,6], Jl [Ml,2,6] (endpoint deltas), valid."""
+    Rm = R[prob.lobs_cam]
+    tm = t[prob.lobs_cam]
+    n = prob.lobs_nld[..., :2]
+    d = prob.lobs_nld[..., 2]
+
+    def endpoint(Xw):
+        # residual r = n . project(Xc) + d (signed point-to-line distance);
+        # Jacobians are d(r)/d(cam tangent) and d(r)/d(endpoint).
+        Xc = lie.se3_apply(Rm, tm, Xw)
+        uv = cam_mod.project(cam, Xc)
+        r = jnp.sum(n * uv, axis=-1) + d
+        Jproj = cam_mod.project_jac(cam, Xc)
+        I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
+        JXc_cam = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)
+        dr_dXc = jnp.einsum("...k,...kj->...j", n, Jproj)  # [Ml,3]
+        Jc = jnp.einsum("...k,...kj->...j", dr_dXc, JXc_cam)  # [Ml,6]
+        Jx = jnp.einsum("...k,...kj->...j", dr_dXc, Rm)       # [Ml,3]
+        return r, Jc, Jx, Xc[..., 2] > 0.05
+
+    rs, Jcs, Jxs, oks = endpoint(lines_Xs[prob.lobs_line])
+    re, Jce, Jxe, oke = endpoint(lines_Xe[prob.lobs_line])
+    res = jnp.stack([rs, re], axis=-1)           # [Ml,2]
+    Jc = jnp.stack([Jcs, Jce], axis=-2)          # [Ml,2,6]
+    z = jnp.zeros_like(Jxs)
+    Jl = jnp.stack(
+        [jnp.concatenate([Jxs, z], axis=-1), jnp.concatenate([z, Jxe], axis=-1)],
+        axis=-2,
+    )  # [Ml,2,6] w.r.t. (dXs, dXe)
+    ok = prob.lobs_mask & oks & oke
+    return res, Jc, Jl, ok
+
+
+# ---------------------------------------------------------------------------
+# LM solver
+# ---------------------------------------------------------------------------
+
+def bundle_adjust(
+    cam: cam_mod.Camera,
+    prob: BAProblem,
+    num_iters: int = 10,
+    cg_iters: int = 40,
+    lam0: float = 1e-3,
+    line_weight: float = 1.0,
+):
+    """Run LM bundle adjustment; returns (R, t, points, lines_Xs, lines_Xe, info).
+
+    info = dict(cost0, cost, lam, inlier_frac)
+    """
+    K = prob.R.shape[0]
+    P = prob.points.shape[0]
+    L = prob.lines_Xs.shape[0]
+    has_lines = L > 0
+
+    free_cam = (~prob.fixed_cam) & prob.cam_mask
+
+    def robust_w(res, inv_s2, is_stereo=None):
+        chi2 = jnp.sum(res * res, axis=-1) * inv_s2
+        if is_stereo is None:
+            delta2 = robust.CHI2_2D
+        else:
+            delta2 = jnp.where(is_stereo, robust.CHI2_3D, robust.CHI2_2D)
+        return robust.huber_weight(chi2, delta2), chi2
+
+    def cost_fn(R, t, points, lXs, lXe):
+        res, _, _, ok, row_w, is_st = _point_terms(cam, R, t, points, prob)
+        w = prob.obs_inv_sigma2 * ok
+        rw, chi2 = robust_w(res * jnp.sqrt(row_w), prob.obs_inv_sigma2, is_st)
+        c = jnp.sum(jnp.minimum(chi2, jnp.where(is_st, robust.CHI2_3D, robust.CHI2_2D) * 2.0) * ok)
+        if has_lines:
+            lres, _, _, lok = _line_terms(cam, R, t, lXs, lXe, prob)
+            _, lchi2 = robust_w(lres, prob.lobs_inv_sigma2)
+            c = c + line_weight * jnp.sum(jnp.minimum(lchi2, robust.CHI2_2D * 2.0) * lok)
+        return c
+
+    def lm_step(carry, _):
+        R, t, points, lXs, lXe, lam, cost_prev = carry
+
+        # ---- linearize ----
+        res, Jc, Jp, ok, row_w, is_st = _point_terms(cam, R, t, points, prob)
+        rw, _ = robust_w(res * jnp.sqrt(row_w), prob.obs_inv_sigma2, is_st)
+        w = prob.obs_inv_sigma2 * rw * ok  # [M]
+        wr = w[:, None] * row_w            # [M,3] per-row weights
+
+        if has_lines:
+            lres, lJc, lJl, lok = _line_terms(cam, R, t, lXs, lXe, prob)
+            lrw, _ = robust_w(lres, prob.lobs_inv_sigma2)
+            lw = line_weight * prob.lobs_inv_sigma2 * lrw * lok  # [Ml]
+
+        # ---- gradient ----
+        # b = -J^T W r  (we solve H dx = b)
+        bc = -jax.ops.segment_sum(
+            jnp.einsum("mri,mr->mi", Jc, wr * res), prob.obs_cam, num_segments=K
+        )
+        bp = -jax.ops.segment_sum(
+            jnp.einsum("mri,mr->mi", Jp, wr * res), prob.obs_pt, num_segments=P
+        )
+        if has_lines:
+            bc = bc + -jax.ops.segment_sum(
+                jnp.einsum("mri,m,mr->mi", lJc, lw, lres), prob.lobs_cam, num_segments=K
+            )
+            bl = -jax.ops.segment_sum(
+                jnp.einsum("mri,m,mr->mi", lJl, lw, lres), prob.lobs_line, num_segments=L
+            )
+        else:
+            bl = jnp.zeros((L, 6), R.dtype)
+        bc = bc * free_cam[:, None]
+        bp = bp * prob.point_mask[:, None]
+        bl = bl * (prob.line_mask[:, None] if has_lines else 1.0)
+
+        # ---- block-diagonal of H (for damping + preconditioner) ----
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("mri,mr,mrj->mij", Jc, wr, Jc), prob.obs_cam, num_segments=K
+        )
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("mri,mr,mrj->mij", Jp, wr, Jp), prob.obs_pt, num_segments=P
+        )
+        if has_lines:
+            Hcc = Hcc + jax.ops.segment_sum(
+                jnp.einsum("mri,m,mrj->mij", lJc, lw, lJc), prob.lobs_cam, num_segments=K
+            )
+            Hll = jax.ops.segment_sum(
+                jnp.einsum("mri,m,mrj->mij", lJl, lw, lJl), prob.lobs_line, num_segments=L
+            )
+        else:
+            Hll = jnp.zeros((L, 6, 6), R.dtype)
+
+        def damped(Hb, dim):
+            diag = jnp.diagonal(Hb, axis1=-2, axis2=-1)
+            return Hb + (lam * diag + 1e-8)[..., None] * jnp.eye(dim, dtype=Hb.dtype)
+
+        Hcc_d = damped(Hcc, 6)
+        Hpp_d = damped(Hpp, 3)
+        Hll_d = damped(Hll, 6) if has_lines else Hll
+
+        Mc = jnp.linalg.inv(Hcc_d + jnp.eye(6, dtype=R.dtype) * 1e-8)
+        Mp = jnp.linalg.inv(Hpp_d + jnp.eye(3, dtype=R.dtype) * 1e-8)
+        Ml_ = jnp.linalg.inv(Hll_d + jnp.eye(6, dtype=R.dtype) * 1e-8) if has_lines else Hll_d
+
+        lam_diag_c = lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8
+        lam_diag_p = lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8
+        lam_diag_l = lam * jnp.diagonal(Hll, axis1=-2, axis2=-1) + 1e-8
+
+        def matvec(xc, xp, xl):
+            xc = xc * free_cam[:, None]
+            xp = xp * prob.point_mask[:, None]
+            u = jnp.einsum("mri,mi->mr", Jc, xc[prob.obs_cam]) + jnp.einsum(
+                "mri,mi->mr", Jp, xp[prob.obs_pt]
+            )
+            u = u * wr
+            yc = jax.ops.segment_sum(
+                jnp.einsum("mri,mr->mi", Jc, u), prob.obs_cam, num_segments=K
+            )
+            yp = jax.ops.segment_sum(
+                jnp.einsum("mri,mr->mi", Jp, u), prob.obs_pt, num_segments=P
+            )
+            if has_lines:
+                xl_m = xl * prob.line_mask[:, None]
+                ul = jnp.einsum("mri,mi->mr", lJc, xc[prob.lobs_cam]) + jnp.einsum(
+                    "mri,mi->mr", lJl, xl_m[prob.lobs_line]
+                )
+                ul = ul * lw[:, None]
+                yc = yc + jax.ops.segment_sum(
+                    jnp.einsum("mri,mr->mi", lJc, ul), prob.lobs_cam, num_segments=K
+                )
+                yl = jax.ops.segment_sum(
+                    jnp.einsum("mri,mr->mi", lJl, ul), prob.lobs_line, num_segments=L
+                ) + lam_diag_l * xl_m
+            else:
+                yl = xl
+            yc = (yc + lam_diag_c * xc) * free_cam[:, None]
+            yp = (yp + lam_diag_p * xp) * prob.point_mask[:, None]
+            return yc, yp, yl
+
+        def precond(rc, rp, rl):
+            zc = jnp.einsum("kij,kj->ki", Mc, rc) * free_cam[:, None]
+            zp = jnp.einsum("pij,pj->pi", Mp, rp) * prob.point_mask[:, None]
+            zl = (
+                jnp.einsum("lij,lj->li", Ml_, rl) * prob.line_mask[:, None]
+                if has_lines
+                else rl
+            )
+            return zc, zp, zl
+
+        # ---- PCG ----
+        def dot(a, b):
+            return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+
+        x0 = (jnp.zeros_like(bc), jnp.zeros_like(bp), jnp.zeros_like(bl))
+        r0 = (bc, bp, bl)
+        z0 = precond(*r0)
+        p0 = z0
+        rz0 = dot(r0, z0)
+
+        def cg_body(_, state):
+            x, r, p, rz = state
+            Ap = matvec(*p)
+            pAp = dot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
+            r = tuple(ri - alpha * Api for ri, Api in zip(r, Ap))
+            z = precond(*r)
+            rz_new = dot(r, z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = tuple(zi + beta * pi for zi, pi in zip(z, p))
+            return (x, r, p, rz_new)
+
+        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, r0, p0, rz0))
+        dxc, dxp, dxl = x
+
+        # ---- apply & accept/reject ----
+        dR, dt = lie.se3_exp(dxc)
+        Rn = lie.normalize_rotation(dR @ R)
+        tn = jnp.einsum("kij,kj->ki", dR, t) + dt
+        pn = points + dxp
+        lXsn = lXs + dxl[..., :3] if has_lines else lXs
+        lXen = lXe + dxl[..., 3:] if has_lines else lXe
+
+        cost_new = cost_fn(Rn, tn, pn, lXsn, lXen)
+        accept = cost_new < cost_prev
+        R = jnp.where(accept, Rn, R)
+        t = jnp.where(accept, tn, t)
+        points = jnp.where(accept, pn, points)
+        if has_lines:
+            lXs = jnp.where(accept, lXsn, lXs)
+            lXe = jnp.where(accept, lXen, lXe)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4))
+        cost_prev = jnp.where(accept, cost_new, cost_prev)
+        return (R, t, points, lXs, lXe, lam, cost_prev), cost_prev
+
+    cost0 = cost_fn(prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe)
+    init = (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe,
+            jnp.asarray(lam0, prob.R.dtype), cost0)
+    (R, t, points, lXs, lXe, lam, cost), _ = jax.lax.scan(
+        lm_step, init, None, length=num_iters
+    )
+    info = {"cost0": cost0, "cost": cost, "lam": lam}
+    return R, t, points, lXs, lXe, info

@@ -1,0 +1,199 @@
+"""Pose-only optimization (motion-only bundle adjustment).
+
+TPU-native re-derivation of the reference's ``Optimizer::PoseOptimization``
+(reference: src/Optimizer.cc:2375 — g2o graph with unary SE3 edges for map
+points and map lines, 4 rounds x 10 LM iterations, chi2-gated outlier
+re-classification between rounds, robust kernel dropped in the last round).
+
+Here the whole solve is ONE jitted program: residuals/Jacobians for every
+observation are evaluated in a single batched pass (VPU), the 6x6 normal
+equations are reduced with a masked sum, and rounds/iterations are
+``lax.fori_loop``s — no per-edge virtual dispatch, no graph building.
+
+Observation packing (fixed capacity + masks — the framework convention):
+  * points: world positions ``Xw [N,3]``, measurements ``uvr [N,3]`` =
+    (u, v, uR); uR < 0 marks a mono observation (reference: Frame.mvuRight).
+  * lines: 3D endpoints ``Xs/Xe [L,3]``, measured infinite image line
+    ``nld [L,3]`` = (nx, ny, d) with ||(nx,ny)|| = 1; residual is the
+    point-to-line distance of both projected endpoints (reference:
+    EdgeSE3ProjectLineOnlyPose, include/OptimizableLineTypes.h:58-115).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras as cam_mod
+from ..geometry import lie
+from . import robust
+
+
+class PoseObs(NamedTuple):
+    """Fixed-capacity observation block for one frame."""
+
+    Xw: jnp.ndarray        # [N, 3] world points
+    uvr: jnp.ndarray       # [N, 3] (u, v, uR); uR < 0 => mono
+    inv_sigma2: jnp.ndarray  # [N] information scale (per pyramid octave)
+    mask: jnp.ndarray      # [N] valid observation
+
+    # lines (may be empty/all-masked)
+    line_Xs: jnp.ndarray   # [L, 3]
+    line_Xe: jnp.ndarray   # [L, 3]
+    line_nld: jnp.ndarray  # [L, 3] normalized 2D line (nx, ny, d)
+    line_inv_sigma2: jnp.ndarray  # [L]
+    line_mask: jnp.ndarray  # [L]
+
+
+def empty_lines(dtype=jnp.float32):
+    z3 = jnp.zeros((0, 3), dtype)
+    return z3, z3, z3, jnp.zeros((0,), dtype), jnp.zeros((0,), bool)
+
+
+def make_pose_obs(Xw, uvr, inv_sigma2, mask, line_Xs=None, line_Xe=None,
+                  line_nld=None, line_inv_sigma2=None, line_mask=None) -> PoseObs:
+    if line_Xs is None:
+        line_Xs, line_Xe, line_nld, line_inv_sigma2, line_mask = empty_lines()
+    return PoseObs(Xw, uvr, inv_sigma2, mask, line_Xs, line_Xe, line_nld,
+                   line_inv_sigma2, line_mask)
+
+
+def _point_residual_jac(cam: cam_mod.Camera, R, t, obs: PoseObs):
+    """Batched residual [N,3] and Jacobian [N,3,6] for point observations.
+
+    Third row is the stereo uR residual; weight 0 for mono entries.
+    """
+    Xc = lie.se3_apply(R, t, obs.Xw)
+    uv = cam_mod.project(cam, Xc)
+    z = Xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uR = uv[..., 0] - cam.bf / z_safe
+    pred = jnp.concatenate([uv, uR[..., None]], axis=-1)
+    res = obs.uvr - pred
+
+    is_stereo = obs.uvr[..., 2] >= 0
+    res = res.at[..., 2].set(jnp.where(is_stereo, res[..., 2], 0.0))
+
+    Jproj = cam_mod.project_jac(cam, Xc)  # [N,2,3]
+    # d Xc / d (rho, theta) for left-multiplicative update exp(dx) * T
+    I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
+    JX = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)  # [N,3,6]
+    Juv = Jproj @ JX  # [N,2,6]
+    # uR row: du/dXc + (bf/z^2) dz/dXc
+    duR_dXc = Jproj[..., 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf / (z_safe * z_safe)], axis=-1
+    )
+    JuR = jnp.einsum("...k,...kj->...j", duR_dXc, JX)[..., None, :]  # [N,1,6]
+    J = jnp.concatenate([Juv, JuR], axis=-2)  # [N,3,6]
+    # positive-depth gate
+    ok = obs.mask & (z > 0.05)
+    return res, J, ok, is_stereo
+
+
+def _line_residual_jac(cam: cam_mod.Camera, R, t, obs: PoseObs):
+    """Batched residual [L,2] and Jacobian [L,2,6] for line observations.
+
+    r_k = n . project(X_k^c) + d for each endpoint k in {s, e}
+    (reference: point-to-infinite-line residual of the line pose edges,
+    include/OptimizableLineTypes.h).
+    """
+    n = obs.line_nld[..., :2]
+    d = obs.line_nld[..., 2]
+
+    def one(Xw):
+        Xc = lie.se3_apply(R, t, Xw)
+        uv = cam_mod.project(cam, Xc)
+        r = jnp.sum(n * uv, axis=-1) + d
+        Jproj = cam_mod.project_jac(cam, Xc)  # [L,2,3]
+        I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
+        JX = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)
+        Juv = Jproj @ JX  # [L,2,6]
+        Jr = jnp.einsum("...k,...kj->...j", n, Juv)  # [L,6]
+        return r, Jr, Xc[..., 2] > 0.05
+
+    rs, Js, oks = one(obs.line_Xs)
+    re, Je, oke = one(obs.line_Xe)
+    res = jnp.stack([rs, re], axis=-1)  # [L,2]
+    J = jnp.stack([Js, Je], axis=-2)    # [L,2,6]
+    ok = obs.line_mask & oks & oke
+    return res, J, ok
+
+
+def pose_optimize(
+    cam: cam_mod.Camera,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    obs: PoseObs,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+    line_weight: float = 1.0,
+):
+    """Motion-only BA with chi2 outlier rounds.
+
+    Returns (R, t, point_inlier_mask, line_inlier_mask, num_inliers).
+    """
+    n_pts = obs.Xw.shape[0]
+    n_lines = obs.line_Xs.shape[0]
+    has_lines = n_lines > 0
+
+    def chi2_points(R, t):
+        res, _, ok, is_stereo = _point_residual_jac(cam, R, t, obs)
+        w = obs.inv_sigma2
+        chi2 = (res[..., 0] ** 2 + res[..., 1] ** 2 + res[..., 2] ** 2) * w
+        thr = jnp.where(is_stereo, robust.CHI2_3D, robust.CHI2_2D)
+        return chi2, thr, ok
+
+    def chi2_lines(R, t):
+        res, _, ok = _line_residual_jac(cam, R, t, obs)
+        chi2 = jnp.sum(res * res, axis=-1) * obs.line_inv_sigma2
+        return chi2, ok
+
+    def gn_round(carry, round_idx):
+        R, t, in_pts, in_lines = carry
+        use_robust = round_idx < rounds - 1
+
+        def gn_iter(_, Rt):
+            R, t = Rt
+            res, J, ok, is_stereo = _point_residual_jac(cam, R, t, obs)
+            w = obs.inv_sigma2 * (ok & in_pts)
+            chi2 = jnp.sum(res * res, axis=-1) * obs.inv_sigma2
+            delta2 = jnp.where(is_stereo, robust.CHI2_3D, robust.CHI2_2D)
+            rw = jnp.where(use_robust, robust.huber_weight(chi2, delta2), 1.0)
+            w = w * rw
+            H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+            b = jnp.einsum("nri,n,nr->i", J, w, res)
+
+            if has_lines:
+                lres, lJ, lok = _line_residual_jac(cam, R, t, obs)
+                lw = obs.line_inv_sigma2 * (lok & in_lines) * line_weight
+                lchi2 = jnp.sum(lres * lres, axis=-1) * obs.line_inv_sigma2
+                lrw = jnp.where(use_robust, robust.huber_weight(lchi2, robust.CHI2_2D), 1.0)
+                lw = lw * lrw
+                H = H + jnp.einsum("nri,n,nrj->ij", lJ, lw, lJ)
+                b = b + jnp.einsum("nri,n,nr->i", lJ, lw, lres)
+
+            H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+            dx = jnp.linalg.solve(H, b)
+            dR, dt = lie.se3_exp(dx)
+            Rn, tn = lie.se3_compose(dR, dt, R, t)
+            return (lie.normalize_rotation(Rn), tn)
+
+        R, t = jax.lax.fori_loop(0, iters_per_round, gn_iter, (R, t))
+
+        # re-classify in/outliers for the next round (outliers may return)
+        chi2, thr, ok = chi2_points(R, t)
+        in_pts = ok & (chi2 <= thr)
+        if has_lines:
+            lchi2, lok = chi2_lines(R, t)
+            in_lines = lok & (lchi2 <= robust.CHI2_2D)
+        return (R, t, in_pts, in_lines), None
+
+    in_pts0 = obs.mask
+    in_lines0 = obs.line_mask if has_lines else jnp.zeros((n_lines,), bool)
+    (R, t, in_pts, in_lines), _ = jax.lax.scan(
+        gn_round, (R0, t0, in_pts0, in_lines0), jnp.arange(rounds)
+    )
+    num_inliers = jnp.sum(in_pts) + jnp.sum(in_lines)
+    return R, t, in_pts, in_lines, num_inliers
