@@ -1,0 +1,124 @@
+"""Dense FAST-16 corner scoring + NMS + grid-uniform selection.
+
+TPU-native replacement for the reference's per-cell OpenCV FAST + quadtree
+redistribution (reference: src/ORBextractor.cc DistributeOctTree at :611 and
+the CUDA variant src/cuda/Fast_gpu.cu GpuFast::detectAsync). Instead of
+sequential cell loops + a pointer quadtree, the segment test is evaluated for
+EVERY pixel at once (16 rolled image copies on the VPU), NMS is a max-pool
+compare, and spatial uniformity comes from per-cell argmax + global top-k —
+fully batched, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# FAST-16 Bresenham circle offsets (dy, dx), radius 3, clockwise from top.
+CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+ARC_LEN = 9  # FAST-9/16 segment test
+
+
+def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Per-pixel FAST-9/16 corner score (0 where not a corner).
+
+    Score is the sum of |I_i - I_p| - t over the thresholded circle pixels —
+    the same corner measure OpenCV uses for FAST NMS.
+    """
+    diffs = []
+    for dy, dx in CIRCLE:
+        diffs.append(jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) - img)
+    d = jnp.stack(diffs)  # [16, H, W]
+
+    bright = d > threshold
+    dark = d < -threshold
+
+    def has_arc(mask):
+        r = mask
+        for i in range(1, ARC_LEN):
+            r = r & jnp.roll(mask, -i, axis=0)
+        return jnp.any(r, axis=0)
+
+    is_corner = has_arc(bright) | has_arc(dark)
+    score_b = jnp.sum(jnp.where(bright, d - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(dark, -d - threshold, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+    return jnp.where(is_corner, score, 0.0)
+
+
+def nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression (keep strict local maxima)."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= m, score, 0.0)
+
+
+def _cell_max_mask(score: jnp.ndarray, cell: int) -> jnp.ndarray:
+    """Keep only the per-cell maximum (non-overlapping cell grid)."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (cell, cell), (cell, cell), "SAME"
+    )
+    up = jnp.repeat(jnp.repeat(m, cell, axis=0), cell, axis=1)[: score.shape[0], : score.shape[1]]
+    return jnp.where((score >= up) & (score > 0), score, 0.0)
+
+
+def detect(
+    img: jnp.ndarray,
+    num_features: int,
+    threshold_hi: float = 20.0,
+    threshold_lo: float = 7.0,
+    border: int = 16,
+    cell: int = 16,
+):
+    """Detect up to ``num_features`` uniformly distributed corners.
+
+    Two-threshold scheme mirrors the reference's iniThFAST/minThFAST
+    fallback (reference: ORBextractor ctor params, src/Tracking.cc ORB
+    settings): high-threshold corners win their cell; cells with none fall
+    back to low-threshold corners (rank-penalized so they never displace
+    hi-threshold corners globally).
+
+    Returns (xy [N,2] float32 (x, y), score [N], valid [N]).
+    """
+    h, w = img.shape
+    s_lo = fast_score(img, threshold_lo)
+    s_hi = jnp.where(fast_score(img, threshold_hi) > 0, s_lo, 0.0)
+
+    # border mask (circle offsets need 3 px; descriptors need more)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+
+    s_hi = jnp.where(inb, nms3(s_hi), 0.0)
+    s_lo = jnp.where(inb, nms3(s_lo), 0.0)
+
+    # rank: hi-threshold winners strictly above lo-threshold ones
+    BIG = 1e6
+    sel = jnp.where(s_hi > 0, s_hi + BIG, s_lo)
+    sel = _cell_max_mask(sel, cell)
+
+    flat = sel.reshape(-1)
+    k = min(num_features, flat.shape[0])
+    top, idx = jax.lax.top_k(flat, k)
+    yy = (idx // w).astype(jnp.float32)
+    xx = (idx % w).astype(jnp.float32)
+    xy = jnp.stack([xx, yy], axis=-1)
+    valid = top > 0
+    score = jnp.where(top > BIG / 2, top - BIG, top)
+    if k < num_features:  # pad to capacity
+        pad = num_features - k
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), xy.dtype)])
+        score = jnp.concatenate([score, jnp.zeros((pad,), score.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return xy, score, valid

@@ -1,0 +1,189 @@
+"""Batched binary-descriptor matching (Hamming) with geometric gating.
+
+TPU-native replacement for the reference's ORBmatcher suite (reference:
+src/ORBmatcher.cc — SearchByProjection overloads, SearchByBoW,
+SearchForInitialization, SearchForTriangulation, Fuse;
+include/ORBmatcher.h:64-113). The per-candidate loops + feature-grid
+queries become one masked [Q, K] Hamming matrix: XOR + population count on
+the VPU, gates (window / octave / epipolar / rotation histogram) are
+elementwise masks, winners are argmin reductions. At SLAM problem sizes
+(Q, K ~ 1e3) the full matrix is a few MB and far faster than pointer
+chasing; a Pallas-tiled variant covers larger batches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 100  # max Hamming distance for a usable match (reference value)
+TH_LOW = 50    # strict threshold (reference value)
+HISTO_BINS = 30
+
+
+def hamming(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """[Q, 8] x [K, 8] uint32 -> [Q, K] int32 Hamming distances."""
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def hamming_pairs(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise Hamming distance for aligned pairs [N, 8] x [N, 8] -> [N]."""
+    return jnp.sum(
+        jax.lax.population_count(jnp.bitwise_xor(d1, d2)), axis=-1
+    ).astype(jnp.int32)
+
+
+def _masked_best2(dist: jnp.ndarray, valid: jnp.ndarray):
+    """Best and second-best distance + best index along axis 1."""
+    INF = jnp.int32(10_000)
+    d = jnp.where(valid, dist, INF)
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INF)
+    second = jnp.min(d2, axis=1)
+    return best, second, best_idx
+
+
+def rotation_consistency(
+    dtheta: jnp.ndarray, match_ok: jnp.ndarray, n_bins: int = HISTO_BINS, keep: int = 3
+) -> jnp.ndarray:
+    """Keep only matches whose orientation difference falls in the ``keep``
+    most-populated histogram bins (reference: ORBmatcher rotation histogram,
+    HISTO_LENGTH=30, ComputeThreeMaxima)."""
+    two_pi = 2.0 * jnp.pi
+    frac = jnp.mod(dtheta, two_pi) / two_pi
+    bins = jnp.clip((frac * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    hist = jnp.zeros((n_bins,), jnp.int32).at[bins].add(match_ok.astype(jnp.int32))
+    top_vals, top_idx = jax.lax.top_k(hist, keep)
+    # reference drops bins below 10% of the max bin
+    ok_bin = jnp.zeros((n_bins,), bool).at[top_idx].set(top_vals > top_vals[0] // 10)
+    return match_ok & ok_bin[bins]
+
+
+def match_nn_ratio(
+    desc_q: jnp.ndarray,
+    desc_k: jnp.ndarray,
+    mask_q: jnp.ndarray,
+    mask_k: jnp.ndarray,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.75,
+    cand_mask: jnp.ndarray | None = None,
+    mutual: bool = True,
+):
+    """Nearest-neighbour matching with Lowe ratio + optional mutual check.
+
+    Returns (match_idx [Q] int32 (-1 = none), match_dist [Q]).
+    """
+    dist = hamming(desc_q, desc_k)
+    valid = mask_q[:, None] & mask_k[None, :]
+    if cand_mask is not None:
+        valid = valid & cand_mask
+    best, second, idx = _masked_best2(dist, valid)
+    ok = (best <= max_dist) & (best.astype(jnp.float32) <= ratio * second.astype(jnp.float32))
+    if mutual:
+        bestT, _, idxT = _masked_best2(dist.T, valid.T)
+        ok = ok & (idxT[idx] == jnp.arange(desc_q.shape[0]))
+    return jnp.where(ok, idx, -1), best
+
+
+def search_by_projection(
+    proj_uv: jnp.ndarray,
+    proj_valid: jnp.ndarray,
+    map_desc: jnp.ndarray,
+    map_octave: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_mask: jnp.ndarray,
+    radius: jnp.ndarray | float,
+    max_dist: int = TH_HIGH,
+    ratio: float = 0.9,
+    octave_tol: int = 1,
+    kp_angle: jnp.ndarray | None = None,
+    map_angle: jnp.ndarray | None = None,
+    check_rotation: bool = False,
+):
+    """Guided search: match projected map features to frame keypoints within
+    a pixel window + octave compatibility (reference:
+    ORBmatcher::SearchByProjection frame<-map and frame<-last-frame
+    overloads, src/ORBmatcher.cc).
+
+    Args:
+      proj_uv: [Q, 2] projected pixel positions of map features.
+      proj_valid: [Q] bool (in front, in image, scale/view gates).
+      radius: scalar or [Q] per-feature window radius in px (already scaled
+        by octave, like r * mvScaleFactors[octave] in the reference).
+    Returns (match_idx [Q] int32 (-1 = none), match_dist [Q]).
+    """
+    d2 = jnp.sum((proj_uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
+    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), proj_uv.shape[:1])
+    window = d2 <= (r[:, None] ** 2)
+    oct_ok = jnp.abs(kp_octave[None, :] - map_octave[:, None]) <= octave_tol
+    cand = window & oct_ok & proj_valid[:, None] & kp_mask[None, :]
+
+    dist = hamming(map_desc, kp_desc)
+    best, second, idx = _masked_best2(dist, cand)
+    ok = (best <= max_dist) & (
+        best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
+    )
+    # one keypoint can win multiple map features; keep the best per keypoint
+    ok = ok & _unique_target(idx, best, ok, kp_xy.shape[0])
+    if check_rotation and kp_angle is not None and map_angle is not None:
+        dtheta = map_angle - kp_angle[idx]
+        ok = rotation_consistency(dtheta, ok)
+    return jnp.where(ok, idx, -1), best
+
+
+def _unique_target(idx: jnp.ndarray, dist: jnp.ndarray, ok: jnp.ndarray, n_targets: int):
+    """Resolve collisions: among queries matched to the same target keep the
+    smallest distance (reference: ORBmatcher erases duplicate matches)."""
+    INF = jnp.int32(10_000)
+    d = jnp.where(ok, dist, INF)
+    # min distance per target
+    best_per_tgt = jnp.full((n_targets,), INF, jnp.int32).at[idx].min(d)
+    is_best = d <= best_per_tgt[idx]
+    # tie-break by query index: first query with the min distance wins
+    q = jnp.arange(idx.shape[0], dtype=jnp.int32)
+    qq = jnp.where(is_best & ok, q, jnp.int32(1 << 30))
+    first_q = jnp.full((n_targets,), jnp.int32(1 << 30)).at[idx].min(qq)
+    return ok & is_best & (first_q[idx] == q)
+
+
+def search_for_initialization(
+    kp0_xy, kp0_desc, kp0_mask, kp1_xy, kp1_desc, kp1_mask,
+    window: float = 100.0, max_dist: int = TH_LOW, ratio: float = 0.9,
+):
+    """Wide-window matching between the first two monocular frames
+    (reference: ORBmatcher::SearchForInitialization)."""
+    d2 = jnp.sum((kp0_xy[:, None, :] - kp1_xy[None, :, :]) ** 2, axis=-1)
+    cand = d2 <= window * window
+    return match_nn_ratio(
+        kp0_desc, kp1_desc, kp0_mask, kp1_mask, max_dist, ratio, cand_mask=cand
+    )
+
+
+def search_for_triangulation(
+    desc1, mask1, rays1, desc2, mask2, rays2, R12, t12,
+    epi_thresh: float = 2e-3, max_dist: int = TH_LOW, ratio: float = 0.85,
+):
+    """Epipolar-gated descriptor matching between two keyframes for new-point
+    triangulation (reference: ORBmatcher::SearchForTriangulation +
+    epipolar constraint check).
+
+    rays*: [N, 3] unit-depth bearing vectors; R12/t12: relative pose with
+    x1 = R12 x2 + t12.
+    """
+    from ..geometry import lie
+
+    E = lie.hat(t12) @ R12
+    l1 = rays2 @ E.T  # [N2, 3] epipolar lines in image 1 coords
+    # distance of ray1 from line l1 (normalized by line norm)
+    num = jnp.abs(rays1 @ l1.T)  # [N1, N2]
+    den = jnp.sqrt(l1[:, 0] ** 2 + l1[:, 1] ** 2)[None, :] + 1e-12
+    epi_ok = (num / den) < epi_thresh
+    return match_nn_ratio(
+        desc1, desc2, mask1, mask2, max_dist, ratio, cand_mask=epi_ok
+    )

@@ -1,0 +1,196 @@
+"""Batched ORB: IC-angle orientation + rotated-BRIEF binary descriptors.
+
+TPU-native replacement for the reference's ORB pipeline (reference:
+src/ORBextractor.cc computeOrientation/IC_Angle at :110-141 and
+computeDescriptors; CUDA variants src/cuda/Orb_gpu.cu IC_Angle /
+calcOrb_kernel). All keypoints of a pyramid level are processed as one
+batch: patches are gathered once, orientation is two masked moment
+reductions, and the 256 descriptor bits are bilinear samples of the rotated
+pattern packed into 8 uint32 words.
+
+The sampling pattern is a fixed seeded Gaussian BRIEF pattern (the classic
+ORB construction) — self-consistent across the framework (matcher,
+vocabulary) rather than binary-compatible with OpenCV.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fast as fast_mod
+from . import pyramid as pyr_mod
+
+PATCH = 41          # gathered patch size (odd); supports rotated radius-13 pattern
+HALF = PATCH // 2
+ANGLE_RADIUS = 15   # IC-angle circular window radius
+N_BITS = 256
+
+
+def _make_pattern() -> np.ndarray:
+    """[256, 2, 2] (pair, endpoint, (dx, dy)) seeded Gaussian BRIEF pattern."""
+    rs = np.random.RandomState(8)
+    pts = rs.normal(0.0, 31 / 5.0, size=(N_BITS, 2, 2))
+    return np.clip(pts, -13, 13).astype(np.float32)
+
+
+PATTERN = _make_pattern()
+
+
+def _angle_weights():
+    """Circular mask and coordinate grids for IC-angle moments."""
+    ys, xs = np.mgrid[-HALF : HALF + 1, -HALF : HALF + 1]
+    mask = (xs ** 2 + ys ** 2) <= ANGLE_RADIUS ** 2
+    return (
+        jnp.asarray(mask.astype(np.float32)),
+        jnp.asarray(xs.astype(np.float32)),
+        jnp.asarray(ys.astype(np.float32)),
+    )
+
+
+_MASK, _XS, _YS = None, None, None
+
+
+def _get_angle_weights():
+    global _MASK, _XS, _YS
+    if _MASK is None:
+        _MASK, _XS, _YS = _angle_weights()
+    return _MASK, _XS, _YS
+
+
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, patch: int = PATCH) -> jnp.ndarray:
+    """Gather [N, patch, patch] windows centered at integer coords xy (x, y).
+
+    Out-of-range keypoints read from the edge-padded image (they are masked
+    out upstream anyway).
+    """
+    half = patch // 2
+    padded = jnp.pad(img, half, mode="edge")
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+
+    def one(x, y):
+        return jax.lax.dynamic_slice(padded, (y, x), (patch, patch))
+
+    return jax.vmap(one)(x0, y0)
+
+
+def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation per patch: atan2(m01, m10)."""
+    mask, xs, ys = _get_angle_weights()
+    m10 = jnp.sum(patches * xs * mask, axis=(-2, -1))
+    m01 = jnp.sum(patches * ys * mask, axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def descriptors(patches_blurred: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """[N, P, P] blurred patches + [N] angles -> [N, 8] uint32 descriptors."""
+    n = patches_blurred.shape[0]
+    pat = jnp.asarray(PATTERN.reshape(-1, 2))  # [512, 2] (dx, dy)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    # rotate pattern by keypoint angle (steered BRIEF)
+    rx = ca[:, None] * pat[None, :, 0] - sa[:, None] * pat[None, :, 1] + HALF
+    ry = sa[:, None] * pat[None, :, 0] + ca[:, None] * pat[None, :, 1] + HALF
+    rx = jnp.clip(rx, 0.0, PATCH - 1.001)
+    ry = jnp.clip(ry, 0.0, PATCH - 1.001)
+    x0 = jnp.floor(rx).astype(jnp.int32)
+    y0 = jnp.floor(ry).astype(jnp.int32)
+    fx = rx - x0
+    fy = ry - y0
+    flat = patches_blurred.reshape(n, -1)  # [N, P*P]
+
+    def at(yy, xx):
+        return jnp.take_along_axis(flat, yy * PATCH + xx, axis=1)
+
+    v = (
+        at(y0, x0) * (1 - fx) * (1 - fy)
+        + at(y0, x0 + 1) * fx * (1 - fy)
+        + at(y0 + 1, x0) * (1 - fx) * fy
+        + at(y0 + 1, x0 + 1) * fx * fy
+    )  # [N, 512]
+    v = v.reshape(n, N_BITS, 2)
+    bits = (v[:, :, 0] < v[:, :, 1]).astype(jnp.uint32)  # [N, 256]
+    words = bits.reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set for one frame (SoA, padded + masked)."""
+
+    xy: jnp.ndarray       # [N, 2] pixel coords at level-0 scale (x, y)
+    response: jnp.ndarray  # [N]
+    angle: jnp.ndarray    # [N] radians
+    octave: jnp.ndarray   # [N] int32 pyramid level
+    desc: jnp.ndarray     # [N, 8] uint32
+    mask: jnp.ndarray     # [N] bool
+
+
+def features_per_level(num_features: int, n_levels: int, scale: float):
+    """Geometric allocation of feature budget over levels (reference:
+    ORBextractor ctor mnFeaturesPerLevel computation)."""
+    inv = 1.0 / scale
+    first = num_features * (1 - inv) / (1 - inv ** n_levels)
+    per = [int(round(first * inv ** l)) for l in range(n_levels)]
+    per[-1] = max(0, num_features - sum(per[:-1]))
+    return per
+
+
+def extract(
+    img: jnp.ndarray,
+    num_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    threshold_hi: float = 20.0,
+    threshold_lo: float = 7.0,
+    cell: int = 16,
+) -> Keypoints:
+    """Full multi-scale ORB extraction on a [H, W] float32 grayscale image.
+
+    One jittable program: pyramid -> dense FAST -> per-cell selection ->
+    orientation -> descriptors, all levels batched.
+    """
+    levels = pyr_mod.build_pyramid(img, n_levels, scale)
+    per = features_per_level(num_features, n_levels, scale)
+
+    xs, rs, angs, octs, descs, masks = [], [], [], [], [], []
+    for l, (img_l, n_l) in enumerate(zip(levels, per)):
+        if n_l <= 0:
+            continue
+        xy, score, valid = fast_mod.detect(
+            img_l, n_l, threshold_hi, threshold_lo, border=HALF + 1, cell=cell
+        )
+        patches = extract_patches(img_l, xy)
+        ang = ic_angle(patches)
+        blurred = pyr_mod.gaussian_blur(img_l, sigma=2.0, radius=3)
+        bpatches = extract_patches(blurred, xy)
+        d = descriptors(bpatches, ang)
+        s = scale ** l
+        xs.append(xy * s)
+        rs.append(score)
+        angs.append(ang)
+        octs.append(jnp.full((xy.shape[0],), l, jnp.int32))
+        descs.append(d)
+        masks.append(valid)
+
+    return Keypoints(
+        xy=jnp.concatenate(xs),
+        response=jnp.concatenate(rs),
+        angle=jnp.concatenate(angs),
+        octave=jnp.concatenate(octs),
+        desc=jnp.concatenate(descs),
+        mask=jnp.concatenate(masks),
+    )
+
+
+def scale_sigma2(octave: jnp.ndarray, scale: float = 1.2) -> jnp.ndarray:
+    """Per-keypoint sigma^2 = scale^(2*octave) (reference: mvLevelSigma2)."""
+    return scale ** (2.0 * octave.astype(jnp.float32))
+
+
+def inv_scale_sigma2(octave: jnp.ndarray, scale: float = 1.2) -> jnp.ndarray:
+    return scale ** (-2.0 * octave.astype(jnp.float32))

@@ -1,0 +1,70 @@
+"""Image pyramid + separable Gaussian blur (batched, static shapes).
+
+TPU-native replacement for ORBextractor::ComputePyramid (reference:
+src/ORBextractor.cc, include/ORBextractor.h:131) and the threaded
+Gaussian-pyramid precompute (reference: src/Frame.cc:301-302,
+Tracking::skUsePyramidPrecomputation). Level shapes are static python ints so
+every level compiles once; all levels of a frame are produced in one jitted
+call.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_shapes(height: int, width: int, n_levels: int, scale: float):
+    """Static [H_l, W_l] for each pyramid level."""
+    shapes = []
+    for l in range(n_levels):
+        s = scale ** l
+        shapes.append((max(16, int(round(height / s))), max(16, int(round(width / s)))))
+    return shapes
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur on a [H, W] float image (reflect padding).
+
+    Matches the role of cv::GaussianBlur(7,7,2) applied before ORB descriptor
+    sampling in the reference extractor.
+    """
+    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    pad = radius
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    # vertical pass: conv along axis 0
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    return x
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale: float = 1.2):
+    """[H, W] float32 image -> list of n_levels arrays with static shapes."""
+    h, w = img.shape
+    shapes = level_shapes(h, w, n_levels, scale)
+    levels = [img]
+    for l in range(1, n_levels):
+        # resize from the previous level (cascaded, like the reference)
+        prev = levels[-1]
+        levels.append(
+            jax.image.resize(prev, shapes[l], method="linear", antialias=True)
+        )
+    return levels
