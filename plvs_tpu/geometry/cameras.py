@@ -23,19 +23,20 @@ KANNALA_BRANDT8 = 1
 
 
 class Camera(NamedTuple):
-    """A unified camera parameter block (static pytree).
+    """A unified camera parameter block (hashable static config).
 
-    ``kind`` selects the model (PINHOLE / KANNALA_BRANDT8) — kept as a static
-    python int so jit specializes per model, like the reference specializes by
-    subclass.
+    ``kind`` selects the model (PINHOLE / KANNALA_BRANDT8); ``params`` is a
+    plain tuple of python floats so the whole Camera can be a static jit
+    argument — jit specializes per camera, like the reference specializes by
+    subclass, and the intrinsics fold into the compiled kernels as constants.
 
     params layout:
-      PINHOLE:          [fx, fy, cx, cy, k1, k2, p1, p2, k3] (radtan, may be 0)
-      KANNALA_BRANDT8:  [fx, fy, cx, cy, k1, k2, k3, k4]
+      PINHOLE:          (fx, fy, cx, cy, k1, k2, p1, p2, k3) (radtan, may be 0)
+      KANNALA_BRANDT8:  (fx, fy, cx, cy, k1, k2, k3, k4)
     """
 
     kind: int
-    params: jnp.ndarray  # [P]
+    params: tuple
     width: int = 640
     height: int = 480
     bf: float = 0.0  # stereo baseline * fx (reference: Frame.mbf)
@@ -58,27 +59,21 @@ class Camera(NamedTuple):
 
     @property
     def K(self):
-        fx, fy, cx, cy = self.params[0], self.params[1], self.params[2], self.params[3]
-        z = jnp.zeros_like(fx)
-        o = jnp.ones_like(fx)
-        return jnp.stack(
-            [
-                jnp.stack([fx, z, cx]),
-                jnp.stack([z, fy, cy]),
-                jnp.stack([z, z, o]),
-            ]
+        fx, fy, cx, cy = self.params[:4]
+        return jnp.asarray(
+            [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], jnp.float32
         )
 
 
 def pinhole(fx, fy, cx, cy, dist=None, width=640, height=480, bf=0.0) -> Camera:
-    d = jnp.zeros(5, dtype=jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32)
-    d = jnp.pad(d, (0, 5 - d.shape[0]))
-    p = jnp.concatenate([jnp.asarray([fx, fy, cx, cy], jnp.float32), d])
+    d = [0.0] * 5 if dist is None else list(float(x) for x in dist)
+    d = d + [0.0] * (5 - len(d))
+    p = (float(fx), float(fy), float(cx), float(cy), *d)
     return Camera(PINHOLE, p, int(width), int(height), float(bf))
 
 
 def kannala_brandt8(fx, fy, cx, cy, k1, k2, k3, k4, width=640, height=480, bf=0.0) -> Camera:
-    p = jnp.asarray([fx, fy, cx, cy, k1, k2, k3, k4], jnp.float32)
+    p = tuple(float(v) for v in (fx, fy, cx, cy, k1, k2, k3, k4))
     return Camera(KANNALA_BRANDT8, p, int(width), int(height), float(bf))
 
 

@@ -1,0 +1,99 @@
+"""Synthetic RGB-D sequence generator for end-to-end SLAM tests/benchmarks.
+
+The reference validates only on real datasets (TUM/KITTI/EuRoC, see
+SURVEY.md §4); this module adds what it lacks: a deterministic, ground-truth
+sequence so CI can gate ATE without dataset downloads. Scene = textured
+fronto-parallel wall (plus optional second plane) rendered by ray-plane
+intersection; depth is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry import cameras as cam_mod
+
+
+def make_texture(size: int = 1024, rng: np.random.Generator | None = None) -> np.ndarray:
+    """High-contrast blob texture rich in FAST corners."""
+    rng = rng or np.random.default_rng(0)
+    tex = np.full((size, size), 40.0, np.float32)
+    n = (size // 28) ** 2
+    xs = rng.integers(8, size - 24, n)
+    ys = rng.integers(8, size - 24, n)
+    for x, y in zip(xs, ys):
+        w = int(rng.integers(6, 18))
+        h = int(rng.integers(6, 18))
+        tex[y : y + h, x : x + w] = rng.uniform(90, 250)
+    tex += rng.normal(size=tex.shape).astype(np.float32) * 2.0
+    return np.clip(tex, 0, 255)
+
+
+def default_trajectory(n_frames: int = 60) -> list[tuple[np.ndarray, np.ndarray]]:
+    """World-to-camera poses: lateral sweep + mild yaw/depth changes."""
+    from ..geometry import lie
+    import jax.numpy as jnp
+
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        yaw = 0.10 * np.sin(2 * np.pi * s)
+        pitch = 0.04 * np.sin(4 * np.pi * s)
+        C = np.array([0.8 * s, 0.12 * np.sin(2 * np.pi * s), 0.25 * s], np.float32)
+        R = np.asarray(lie.so3_exp(jnp.asarray([pitch, yaw, 0.0], jnp.float32)))
+        t = (-R @ C).astype(np.float32)
+        poses.append((R.astype(np.float32), t))
+    return poses
+
+
+class SyntheticRGBD:
+    """Renders frames of a textured wall at world z = wall_z.
+
+    Camera convention matches the framework: x right, y down, z forward;
+    world frame = first camera frame of the canonical trajectory.
+    """
+
+    def __init__(self, cam: cam_mod.Camera, wall_z: float = 3.0,
+                 tex_size: int = 1024, tex_scale: float = 220.0,
+                 seed: int = 0):
+        self.cam = cam
+        self.wall_z = wall_z
+        self.tex = make_texture(tex_size, np.random.default_rng(seed))
+        self.tex_scale = tex_scale  # pixels per world unit on the wall
+        fx, fy = float(cam.params[0]), float(cam.params[1])
+        cx, cy = float(cam.params[2]), float(cam.params[3])
+        self.Kinv = np.array(
+            [[1 / fx, 0, -cx / fx], [0, 1 / fy, -cy / fy], [0, 0, 1]], np.float32
+        )
+
+    def render(self, R: np.ndarray, t: np.ndarray):
+        """Returns (gray [H,W] f32, depth [H,W] f32 meters)."""
+        from scipy.ndimage import map_coordinates
+
+        h, w = self.cam.height, self.cam.width
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        pix = np.stack([xs, ys, np.ones_like(xs)], axis=0).reshape(3, -1)
+        rays_c = self.Kinv @ pix  # camera-frame rays, z = 1
+        Rwc = R.T
+        C = -Rwc @ t
+        rays_w = Rwc @ rays_c
+        denom = rays_w[2]
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        a = (self.wall_z - C[2]) / denom
+        Xw = C[:, None] + a * rays_w
+        depth = a.reshape(h, w).astype(np.float32)  # camera z (rays have z=1)
+        # texture lookup (wrap)
+        ts = self.tex.shape[0]
+        u = (Xw[0] * self.tex_scale) % ts
+        v = (Xw[1] * self.tex_scale) % ts
+        gray = map_coordinates(self.tex, [v.reshape(-1), u.reshape(-1)], order=1,
+                               mode="wrap").reshape(h, w).astype(np.float32)
+        invalid = (a <= 0.05).reshape(h, w)
+        depth = np.where(invalid, 0.0, depth)
+        return gray, depth
+
+    def sequence(self, poses=None, n_frames: int = 60, fps: float = 30.0):
+        poses = poses if poses is not None else default_trajectory(n_frames)
+        for i, (R, t) in enumerate(poses):
+            gray, depth = self.render(R, t)
+            yield i / fps, gray, depth, R, t

@@ -1,0 +1,139 @@
+"""Local mapping: point culling + windowed local bundle adjustment.
+
+TPU-native re-derivation of the reference's LocalMapping thread
+(reference: src/LocalMapping.cc:96-145 — ProcessNewKeyFrame,
+MapPointCulling, SearchInNeighbors, Optimizer::LocalBundleAdjustment at
+src/Optimizer.cc:3198). The covisibility window is assembled on the host
+from the observation table, padded to bucketed capacities (so jit compiles a
+handful of problem shapes), and solved by the batched LM core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import cameras as cam_mod
+from ..solvers import ba
+from .map_store import MapStore
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class LocalMapper:
+    cam: cam_mod.Camera
+    store: MapStore
+    window_size: int = 8
+    fixed_cap: int = 8
+    scale: float = 1.2
+
+    def process_keyframe(self, kf_id: int):
+        self.cull_points(kf_id)
+        self.local_ba(kf_id)
+
+    # ------------------------------------------------------------------
+    def cull_points(self, kf_id: int):
+        """Remove unreliable recent points (reference:
+        LocalMapping::MapPointCulling — found/visible ratio < 0.25, or too
+        few observations a few KFs after creation)."""
+        st = self.store
+        pts = np.nonzero(st.pt_mask)[0]
+        if len(pts) == 0:
+            return
+        ratio = st.pt_found[pts] / np.maximum(st.pt_visible[pts], 1)
+        age = kf_id - st.pt_first_kf[pts]  # in KF ids (approximate KF count)
+        bad = (ratio < 0.25) & (st.pt_visible[pts] >= 8)
+        bad |= (age >= 3) & (st.pt_n_obs[pts] <= 1) & (st.pt_visible[pts] >= 6)
+        st.remove_points(pts[bad])
+
+    # ------------------------------------------------------------------
+    def local_ba(self, kf_id: int):
+        st = self.store
+        covis, _ = st.covisibility(kf_id, min_weight=10)
+        window = np.concatenate([[kf_id], covis[: self.window_size]]).astype(np.int64)
+        if len(window) < 2:
+            return
+        pts = st.points_in_kfs(window)
+        pts = pts[st.pt_mask[pts]]
+        if len(pts) < 20:
+            return
+
+        okf, opt, okp = st.live_obs()
+        in_pts = np.isin(opt, pts)
+        obs_kfs_of_pts = np.unique(okf[in_pts])
+        fixed = np.setdiff1d(obs_kfs_of_pts, window)[: self.fixed_cap]
+        cams = np.concatenate([window, fixed])
+        K = len(cams)
+        kf_local = np.full(st.max_kf, -1, np.int64)
+        kf_local[cams] = np.arange(K)
+        pt_local = np.full(st.max_pts, -1, np.int64)
+        pt_local[pts] = np.arange(len(pts))
+
+        sel = in_pts & np.isin(okf, cams)
+        o_kf, o_pt, o_kp = okf[sel], opt[sel], okp[sel]
+        M = len(o_kf)
+        if M < 40:
+            return
+
+        # fixed mask: out-of-window observers + the oldest window KF when no
+        # external anchor exists (gauge freedom)
+        fixed_mask = np.zeros((K,), bool)
+        fixed_mask[len(window):] = True
+        if len(fixed) == 0:
+            fixed_mask[np.argmin(st.kf_frame_id[window])] = True
+
+        Kb = _bucket(K, 16)
+        Pb = _bucket(len(pts), 256)
+        Mb = _bucket(M, 1024)
+
+        R = np.tile(np.eye(3, dtype=np.float32), (Kb, 1, 1))
+        t = np.zeros((Kb, 3), np.float32)
+        R[:K] = st.kf_R[cams]
+        t[:K] = st.kf_t[cams]
+        fixed_pad = np.ones((Kb,), bool)
+        fixed_pad[:K] = fixed_mask
+        cam_mask = np.zeros((Kb,), bool)
+        cam_mask[:K] = True
+
+        points = np.zeros((Pb, 3), np.float32)
+        points[: len(pts)] = st.pt_xyz[pts]
+        pt_mask = np.zeros((Pb,), bool)
+        pt_mask[: len(pts)] = True
+
+        obs_cam = np.zeros((Mb,), np.int32)
+        obs_pt = np.zeros((Mb,), np.int32)
+        obs_uvr = np.full((Mb, 3), -1.0, np.float32)
+        obs_is2 = np.ones((Mb,), np.float32)
+        obs_mask = np.zeros((Mb,), bool)
+        obs_cam[:M] = kf_local[o_kf]
+        obs_pt[:M] = pt_local[o_pt]
+        obs_uvr[:M] = st.kf_kp_uvr[o_kf, o_kp]
+        octv = st.kf_kp_octave[o_kf, o_kp].astype(np.float32)
+        obs_is2[:M] = self.scale ** (-2.0 * octv)
+        obs_mask[:M] = True
+
+        prob = ba.make_problem(
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(fixed_pad),
+            jnp.asarray(points),
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uvr),
+            jnp.asarray(obs_is2), jnp.asarray(obs_mask),
+            cam_mask=jnp.asarray(cam_mask), point_mask=jnp.asarray(pt_mask),
+        )
+        Rn, tn, pn, _, _, info = ba.bundle_adjust(
+            self.cam, prob, num_iters=6, cg_iters=30
+        )
+        if not np.isfinite(float(info["cost"])):
+            return
+        Rn, tn, pn = np.asarray(Rn), np.asarray(tn), np.asarray(pn)
+        free = ~fixed_mask
+        st.kf_R[cams[free]] = Rn[:K][free]
+        st.kf_t[cams[free]] = tn[:K][free]
+        st.pt_xyz[pts] = pn[: len(pts)]

@@ -1,0 +1,173 @@
+"""Host-side map store: fixed-capacity SoA arrays for keyframes, landmarks
+and observations.
+
+TPU-native redesign of the reference's pointer-graph map data model
+(reference: src/Map.cc, src/KeyFrame.cc, src/MapPoint.cc, src/MapLine.cc —
+mutex-protected sets of heap objects with per-object observation maps and a
+weighted covisibility graph, include/KeyFrame.h:124-138). Here the canonical
+state is flat numpy arrays managed by the host orchestration layer
+(allocation, culling, compaction are cheap vectorized bookkeeping), and the
+jitted device kernels consume padded slices of them. The covisibility graph
+is *derived* from the observation table by segment counting instead of being
+maintained edge-by-edge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MapStore:
+    max_kf: int = 512
+    max_pts: int = 65536
+    max_obs: int = 524288
+    n_kp: int = 1024  # keypoint capacity per keyframe
+
+    def __post_init__(self):
+        K, P, O, N = self.max_kf, self.max_pts, self.max_obs, self.n_kp
+        # keyframes (world-to-camera poses, like the reference's Tcw)
+        self.kf_R = np.zeros((K, 3, 3), np.float32)
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_mask = np.zeros((K,), bool)
+        self.kf_fixed = np.zeros((K,), bool)
+        self.kf_timestamp = np.zeros((K,), np.float64)
+        self.kf_frame_id = np.zeros((K,), np.int64)
+        # per-KF keypoints (snapshot of the Frame at KF creation)
+        self.kf_kp_xy = np.zeros((K, N, 2), np.float32)
+        self.kf_kp_uvr = np.full((K, N, 3), -1.0, np.float32)
+        self.kf_kp_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_kp_octave = np.zeros((K, N), np.int32)
+        self.kf_kp_angle = np.zeros((K, N), np.float32)
+        self.kf_kp_mask = np.zeros((K, N), bool)
+        self.kf_kp_pt = np.full((K, N), -1, np.int64)  # map-point id per keypoint
+        # map points
+        self.pt_xyz = np.zeros((P, 3), np.float32)
+        self.pt_desc = np.zeros((P, 8), np.uint32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros((P,), np.float32)
+        self.pt_max_dist = np.zeros((P,), np.float32)
+        self.pt_mask = np.zeros((P,), bool)
+        self.pt_ref_kf = np.full((P,), -1, np.int64)
+        self.pt_first_kf = np.full((P,), -1, np.int64)
+        self.pt_n_obs = np.zeros((P,), np.int32)
+        self.pt_visible = np.zeros((P,), np.int32)  # tracking visibility counter
+        self.pt_found = np.zeros((P,), np.int32)    # tracking found counter
+        # observation table (kf, pt, kp-index-in-kf)
+        self.obs_kf = np.zeros((O,), np.int64)
+        self.obs_pt = np.zeros((O,), np.int64)
+        self.obs_kp = np.zeros((O,), np.int64)
+        self.obs_mask = np.zeros((O,), bool)
+        self._n_kf = 0
+        self._n_pt = 0
+        self._obs_top = 0  # append watermark (holes compacted lazily)
+
+    # -- allocation ---------------------------------------------------------
+
+    def alloc_kf(self) -> int:
+        free = np.nonzero(~self.kf_mask[: self._n_kf])[0]
+        if len(free):
+            return int(free[0])
+        if self._n_kf >= self.max_kf:
+            raise RuntimeError("MapStore: keyframe capacity exhausted")
+        k = self._n_kf
+        self._n_kf += 1
+        return k
+
+    def alloc_pts(self, n: int) -> np.ndarray:
+        free = np.nonzero(~self.pt_mask[: self._n_pt])[0][:n]
+        need = n - len(free)
+        if need > 0:
+            if self._n_pt + need > self.max_pts:
+                raise RuntimeError("MapStore: point capacity exhausted")
+            fresh = np.arange(self._n_pt, self._n_pt + need)
+            self._n_pt += need
+            return np.concatenate([free, fresh])
+        return free
+
+    def add_observations(self, kf: int, pt_ids: np.ndarray, kp_ids: np.ndarray):
+        n = len(pt_ids)
+        if n == 0:
+            return
+        if self._obs_top + n > self.max_obs:
+            self.compact_observations()
+            if self._obs_top + n > self.max_obs:
+                raise RuntimeError("MapStore: observation capacity exhausted")
+        sl = slice(self._obs_top, self._obs_top + n)
+        self.obs_kf[sl] = kf
+        self.obs_pt[sl] = pt_ids
+        self.obs_kp[sl] = kp_ids
+        self.obs_mask[sl] = True
+        self._obs_top += n
+        self.kf_kp_pt[kf, kp_ids] = pt_ids
+        np.add.at(self.pt_n_obs, pt_ids, 1)
+
+    def compact_observations(self):
+        live = self.obs_mask[: self._obs_top]
+        n = int(live.sum())
+        for a in (self.obs_kf, self.obs_pt, self.obs_kp):
+            a[:n] = a[: self._obs_top][live]
+        self.obs_mask[:n] = True
+        self.obs_mask[n:] = False
+        self._obs_top = n
+
+    # -- removal ------------------------------------------------------------
+
+    def remove_points(self, pt_ids: np.ndarray):
+        if len(pt_ids) == 0:
+            return
+        self.pt_mask[pt_ids] = False
+        sel = np.isin(self.obs_pt[: self._obs_top], pt_ids) & self.obs_mask[: self._obs_top]
+        # clear back-references in keyframes
+        kfs = self.obs_kf[: self._obs_top][sel]
+        kps = self.obs_kp[: self._obs_top][sel]
+        self.kf_kp_pt[kfs, kps] = -1
+        self.obs_mask[: self._obs_top][sel] = False
+        self.pt_n_obs[pt_ids] = 0
+
+    def remove_keyframe(self, kf: int):
+        self.kf_mask[kf] = False
+        sel = (self.obs_kf[: self._obs_top] == kf) & self.obs_mask[: self._obs_top]
+        pts = self.obs_pt[: self._obs_top][sel]
+        self.obs_mask[: self._obs_top][sel] = False
+        np.add.at(self.pt_n_obs, pts, -1)
+        self.kf_kp_pt[kf] = -1
+
+    # -- derived structures -------------------------------------------------
+
+    def live_obs(self):
+        m = self.obs_mask[: self._obs_top]
+        return (
+            self.obs_kf[: self._obs_top][m],
+            self.obs_pt[: self._obs_top][m],
+            self.obs_kp[: self._obs_top][m],
+        )
+
+    def covisibility(self, kf: int, min_weight: int = 15):
+        """KF ids sharing >= min_weight map points with ``kf``, sorted by
+        weight desc (reference: KeyFrame::GetBestCovisibilityKeyFrames)."""
+        okf, opt, _ = self.live_obs()
+        my_pts = opt[okf == kf]
+        if len(my_pts) == 0:
+            return np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+        sel = np.isin(opt, my_pts) & (okf != kf)
+        counts = np.bincount(okf[sel], minlength=self.max_kf)
+        ids = np.nonzero(counts >= min_weight)[0]
+        order = np.argsort(-counts[ids], kind="stable")
+        ids = ids[order]
+        return ids, counts[ids]
+
+    def points_in_kfs(self, kf_ids: np.ndarray) -> np.ndarray:
+        okf, opt, _ = self.live_obs()
+        sel = np.isin(okf, kf_ids)
+        return np.unique(opt[sel])
+
+    @property
+    def num_keyframes(self):
+        return int(self.kf_mask.sum())
+
+    @property
+    def num_points(self):
+        return int(self.pt_mask.sum())

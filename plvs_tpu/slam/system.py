@@ -1,0 +1,92 @@
+"""System façade: wires the tracking front end, local mapping and map store.
+
+TPU-native equivalent of the reference's System class
+(reference: src/System.cc:82-443 — constructs Atlas/Tracking/LocalMapping/
+LoopClosing and spawns their threads; per-sensor Track* entry points at
+include/System.h:135-259; trajectory export :179-200). v1 runs local
+mapping synchronously after each keyframe (the async actor pipeline arrives
+with the parallel runtime); the public API mirrors the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import cameras as cam_mod
+from ..geometry import lie
+from . import frame as frame_mod
+from .local_mapping import LocalMapper
+from .map_store import MapStore
+from .tracking import OK, Tracker
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    num_features: int = 1024
+    n_levels: int = 8
+    scale: float = 1.2
+    max_kf: int = 512
+    max_pts: int = 65536
+    local_ba: bool = True
+    min_kf_inliers: int = 30
+    kf_ratio: float = 0.75
+    max_kf_interval: int = 10
+
+
+class System:
+    """RGB-D SLAM system (monocular/stereo variants arrive in later
+    milestones; the RGB-D path exercises the full stack)."""
+
+    def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None):
+        self.cam = cam
+        self.config = config or SystemConfig()
+        c = self.config
+        self.store = MapStore(max_kf=c.max_kf, max_pts=c.max_pts, n_kp=c.num_features)
+        self.tracker = Tracker(
+            cam, self.store, num_features=c.num_features,
+            min_kf_inliers=c.min_kf_inliers, kf_ratio=c.kf_ratio,
+            max_kf_interval=c.max_kf_interval,
+        )
+        self.local_mapper = LocalMapper(cam, self.store, scale=c.scale)
+        self.trajectory = []  # list of (timestamp, R, t) world-to-camera
+
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+        """Track one RGB-D frame; returns (state, Rcw, tcw)."""
+        fr = frame_mod.build_frame_rgbd(
+            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+            self.cam, self.config.num_features, self.config.n_levels,
+            self.config.scale,
+        )
+        res = self.tracker.process_frame(fr, timestamp)
+        if res.is_keyframe and self.config.local_ba and res.kf_id >= 0:
+            self.local_mapper.process_keyframe(res.kf_id)
+            # keep the tracker's pose consistent with the adjusted KF
+            self.tracker.R = self.store.kf_R[res.kf_id].copy()
+            self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
+        return res.state, res.R, res.t
+
+    # -- trajectory export (reference: System::SaveTrajectoryTUM) ----------
+    def trajectory_tum(self) -> np.ndarray:
+        """[T, 8] rows (t, tx, ty, tz, qx, qy, qz, qw) of camera-in-world."""
+        rows = []
+        for ts, R, t in self.trajectory:
+            Rwc = R.T
+            twc = -Rwc @ t
+            q = np.asarray(lie.rotmat_to_quat(jnp.asarray(Rwc)))  # (w, x, y, z)
+            rows.append([ts, *twc, q[1], q[2], q[3], q[0]])
+        return np.asarray(rows)
+
+    def save_trajectory_tum(self, path: str):
+        np.savetxt(path, self.trajectory_tum(), fmt="%.6f")
+
+    def map_statistics(self):
+        return {
+            "keyframes": self.store.num_keyframes,
+            "points": self.store.num_points,
+            "frames": len(self.trajectory),
+        }
