@@ -26,6 +26,13 @@ import jax.numpy as jnp
 _EPS = 1e-6
 
 
+def _safe_norm(v):
+    """Norm with a finite gradient at v = 0 (plain jnp.linalg.norm has a NaN
+    sqrt'(0) gradient, which poisons jacfwd through exp/log at identity)."""
+    n2 = jnp.sum(v * v, axis=-1)
+    return jnp.sqrt(jnp.maximum(n2, 1e-24))
+
+
 def hat(w: jnp.ndarray) -> jnp.ndarray:
     """so(3) hat operator: [..., 3] -> [..., 3, 3] skew matrix."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
@@ -75,7 +82,7 @@ def _sin3(x):
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Exponential map so(3) -> SO(3). w: [..., 3] -> [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     a = _sinc(theta)[..., None, None]
@@ -93,7 +100,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     q = rotmat_to_quat(R)  # [..., 4] (w, x, y, z), w >= 0
     qw = q[..., 0]
     qv = q[..., 1:]
-    nv = jnp.linalg.norm(qv, axis=-1)
+    nv = _safe_norm(qv)
     # theta = 2 atan2(|qv|, qw); axis = qv/|qv|
     theta = 2.0 * jnp.arctan2(nv, qw)
     small = nv < _EPS
@@ -103,7 +110,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian J_l of SO(3): integral of exp; used by se3_exp."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     b = _cosc(theta)[..., None, None]
@@ -114,7 +121,7 @@ def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     """Inverse left Jacobian of SO(3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     half = 0.5
@@ -276,7 +283,7 @@ def _sim3_W(theta_vec: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
       (s = sigma, h = |theta|), A = I0, C = I1/h, D = (I0 - I2)/h^2,
     with Taylor fallbacks near s = 0 and h = 0 for float32 stability.
     """
-    h = jnp.linalg.norm(theta_vec, axis=-1)
+    h = _safe_norm(theta_vec)
     W = hat(theta_vec)
     W2 = W @ W
     es = jnp.exp(sigma)

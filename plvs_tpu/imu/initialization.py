@@ -1,0 +1,113 @@
+"""Visual-inertial initialization: gravity direction, scale, biases,
+velocities from visually-tracked keyframe poses + IMU preintegrations.
+
+TPU-native re-derivation of the reference's IMU initialization
+(reference: LocalMapping::InitializeIMU src/LocalMapping.cc:2164-2300 and
+Optimizer::InertialOptimization overloads src/Optimizer.cc:6725,6912,7076 —
+inertial-only g2o solves with poses fixed, estimating gravity direction
+(2-dof), scale, per-KF velocities and a shared bias, with staged priors).
+Implemented as one Gauss-Newton solve whose Jacobians come from ``jacfwd``
+over the whole stacked residual — the parameter vector is tiny
+(9 + 3K), so the dense solve is trivial on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from . import preintegration as pre
+
+
+class InertialInit(NamedTuple):
+    gravity: jnp.ndarray    # [3] world gravity vector (norm 9.81)
+    scale: jnp.ndarray      # [] metric scale correction for the visual map
+    bias_gyro: jnp.ndarray  # [3]
+    bias_acc: jnp.ndarray   # [3]
+    velocities: jnp.ndarray  # [K, 3] world-frame body velocities
+    residual_norm: jnp.ndarray
+
+
+def _gravity_from_dirs(rxy: jnp.ndarray) -> jnp.ndarray:
+    """2-dof gravity parameterization: rotate the nominal -z gravity by a
+    rotation with zero yaw component (reference: VertexGDir)."""
+    Rg = lie.so3_exp(jnp.concatenate([rxy, jnp.zeros(1, rxy.dtype)]))
+    return Rg @ jnp.asarray([0.0, 0.0, -9.81], rxy.dtype)
+
+
+def inertial_only_optimize(
+    R_wb: jnp.ndarray,       # [K,3,3] visually estimated body rotations
+    p_wb: jnp.ndarray,       # [K,3]  visually estimated body positions
+    preints: pre.Preintegrated,  # stacked [K-1] preintegrations (tree-stacked)
+    fix_scale: bool = False,
+    iters: int = 20,
+    prior_gyro: float = 1e2,
+    prior_acc: float = 1e0,
+):
+    """Estimate (gravity, scale, biases, velocities) with poses fixed.
+
+    ``preints`` must be a Preintegrated whose leaves carry a leading [K-1]
+    axis (use jax.tree.map(stack) over per-pair preintegrations).
+    """
+    K = R_wb.shape[0]
+    dtype = R_wb.dtype
+
+    def unpack(theta):
+        rxy = theta[0:2]
+        log_s = theta[2]
+        bg = theta[3:6]
+        ba = theta[6:9]
+        vel = theta[9:].reshape(K, 3)
+        return rxy, log_s, bg, ba, vel
+
+    def residuals(theta):
+        rxy, log_s, bg, ba, vel = unpack(theta)
+        s = jnp.where(fix_scale, 1.0, jnp.exp(log_s))
+        g = _gravity_from_dirs(rxy)
+
+        def edge(i):
+            p_i = jax.tree.map(lambda x: x[i], preints)
+            r = pre.inertial_residual(
+                p_i,
+                R_wb[i], s * p_wb[i], vel[i],
+                R_wb[i + 1], s * p_wb[i + 1], vel[i + 1],
+                bg, ba, gravity=g,
+            )
+            # whiten approximately with the preintegration covariance diag
+            w = 1.0 / jnp.sqrt(
+                jnp.diagonal(p_i.cov)[jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 8])] + 1e-8
+            )
+            return r * w
+
+        rs = jax.vmap(edge)(jnp.arange(K - 1)).reshape(-1)
+        priors = jnp.concatenate([bg * prior_gyro, ba * prior_acc])
+        return jnp.concatenate([rs, priors])
+
+    theta0 = jnp.zeros((9 + 3 * K,), dtype)
+
+    def gn_step(theta, _):
+        r = residuals(theta)
+        J = jax.jacfwd(residuals)(theta)
+        H = J.T @ J + 1e-6 * jnp.eye(theta.shape[0], dtype=dtype)
+        dx = jnp.linalg.solve(H, J.T @ r)
+        return theta - dx, None
+
+    theta, _ = jax.lax.scan(gn_step, theta0, None, length=iters)
+    rxy, log_s, bg, ba, vel = unpack(theta)
+    s = jnp.where(fix_scale, 1.0, jnp.exp(log_s))
+    return InertialInit(
+        gravity=_gravity_from_dirs(rxy),
+        scale=s,
+        bias_gyro=bg,
+        bias_acc=ba,
+        velocities=vel,
+        residual_norm=jnp.linalg.norm(residuals(theta)),
+    )
+
+
+def stack_preints(preints: list[pre.Preintegrated]) -> pre.Preintegrated:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *preints)

@@ -1,0 +1,171 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plvs_tpu.geometry import lie
+from plvs_tpu.imu import preintegration as pre
+
+
+def simulate_trajectory(T=200, dt=0.005, seed=0):
+    """Ground-truth body trajectory + perfect IMU measurements.
+
+    Body rotates with varying angular velocity and accelerates in world;
+    accelerometer measures specific force f_b = R_wb^T (a_w - g).
+    """
+    rng = np.random.default_rng(seed)
+    g = np.array([0.0, 0.0, -9.81], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    p = np.zeros(3, np.float32)
+    v = np.array([0.3, -0.1, 0.05], np.float32)
+    gyros, accs, dts = [], [], []
+    states = [(R.copy(), p.copy(), v.copy())]
+    for i in range(T):
+        t = i * dt
+        w = np.array([0.4 * np.sin(t * 3), 0.3 * np.cos(t * 2), 0.2], np.float32)
+        a_w = np.array(
+            [0.5 * np.sin(t * 4), 0.4 * np.cos(t * 3), 0.3 * np.sin(t * 2)], np.float32
+        )
+        f_b = R.T @ (a_w - g)
+        gyros.append(w)
+        accs.append(f_b)
+        dts.append(dt)
+        # integrate ground truth (same order as preintegration: p,v with old R)
+        p = p + v * dt + 0.5 * a_w * dt * dt
+        v = v + a_w * dt
+        R = R @ np.asarray(lie.so3_exp(jnp.asarray(w * dt)))
+        states.append((R.copy(), p.copy(), v.copy()))
+    return (
+        jnp.asarray(np.stack(gyros)), jnp.asarray(np.stack(accs)),
+        jnp.asarray(np.asarray(dts, np.float32)), states,
+    )
+
+
+class TestPreintegration:
+    def test_zero_motion(self):
+        T = 50
+        g = np.array([0, 0, -9.81], np.float32)
+        gyro = jnp.zeros((T, 3))
+        acc = jnp.tile(jnp.asarray(-g), (T, 1))  # stationary: f = -g in body
+        dts = jnp.full((T,), 0.01)
+        p = pre.preintegrate(gyro, acc, dts, jnp.zeros(3), jnp.zeros(3))
+        np.testing.assert_allclose(p.dR, np.eye(3), atol=1e-6)
+        r = pre.inertial_residual(
+            p, jnp.eye(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.eye(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.zeros(3), jnp.zeros(3),
+        )
+        np.testing.assert_allclose(r, 0.0, atol=1e-4)
+
+    def test_residual_zero_on_true_states(self):
+        gyro, acc, dts, states = simulate_trajectory()
+        p = pre.preintegrate(gyro, acc, dts, jnp.zeros(3), jnp.zeros(3))
+        R1, p1, v1 = states[0]
+        R2, p2, v2 = states[-1]
+        r = pre.inertial_residual(
+            p, jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
+            jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
+            jnp.zeros(3), jnp.zeros(3),
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=2e-3)
+
+    def test_bias_jacobians_first_order(self):
+        gyro, acc, dts, _ = simulate_trajectory(T=100)
+        b0g = jnp.zeros(3)
+        b0a = jnp.zeros(3)
+        p0 = pre.preintegrate(gyro, acc, dts, b0g, b0a)
+        db_g = jnp.asarray([0.002, -0.001, 0.0015])
+        db_a = jnp.asarray([0.01, -0.02, 0.015])
+        # exact re-integration at the new bias
+        p1 = pre.preintegrate(gyro, acc, dts, b0g + db_g, b0a + db_a)
+        # first-order corrected getters from the old preintegration
+        dR_corr = pre.delta_rotation(p0, b0g + db_g)
+        dV_corr = pre.delta_velocity(p0, b0g + db_g, b0a + db_a)
+        dP_corr = pre.delta_position(p0, b0g + db_g, b0a + db_a)
+        err_R = np.linalg.norm(np.asarray(lie.so3_log(p1.dR.T @ dR_corr)))
+        assert err_R < 5e-5, err_R
+        np.testing.assert_allclose(dV_corr, p1.dV, atol=5e-4)
+        np.testing.assert_allclose(dP_corr, p1.dP, atol=5e-4)
+
+    def test_covariance_psd_and_grows(self):
+        gyro, acc, dts, _ = simulate_trajectory(T=100)
+        p_half = pre.preintegrate(gyro[:50], acc[:50], dts[:50], jnp.zeros(3), jnp.zeros(3))
+        p_full = pre.preintegrate(gyro, acc, dts, jnp.zeros(3), jnp.zeros(3))
+        for p in (p_half, p_full):
+            eig = np.linalg.eigvalsh(np.asarray(p.cov))
+            assert eig.min() > -1e-10
+        assert np.trace(np.asarray(p_full.cov)) > np.trace(np.asarray(p_half.cov))
+
+    def test_masked_samples_ignored(self):
+        gyro, acc, dts, _ = simulate_trajectory(T=100)
+        mask = jnp.arange(100) < 60
+        p_m = pre.preintegrate(gyro, acc, dts, jnp.zeros(3), jnp.zeros(3), mask=mask)
+        p_60 = pre.preintegrate(gyro[:60], acc[:60], dts[:60], jnp.zeros(3), jnp.zeros(3))
+        np.testing.assert_allclose(p_m.dR, p_60.dR, atol=1e-6)
+        np.testing.assert_allclose(p_m.dP, p_60.dP, atol=1e-6)
+        np.testing.assert_allclose(float(p_m.dT), float(p_60.dT), atol=1e-6)
+
+    def test_gravity_only_freefall(self):
+        """Free-fall body (zero specific force): dP = 0 in the preintegrated
+        frame; world position follows 0.5 g t^2 via the residual model."""
+        T = 100
+        dt = 0.01
+        gyro = jnp.zeros((T, 3))
+        acc = jnp.zeros((T, 3))
+        dts = jnp.full((T,), dt)
+        p = pre.preintegrate(gyro, acc, dts, jnp.zeros(3), jnp.zeros(3))
+        tt = T * dt
+        g = np.array([0, 0, -9.81])
+        p2 = 0.5 * g * tt ** 2
+        v2 = g * tt
+        r = pre.inertial_residual(
+            p, jnp.eye(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.eye(3), jnp.asarray(p2, jnp.float32), jnp.asarray(v2, jnp.float32),
+            jnp.zeros(3), jnp.zeros(3),
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-4)
+
+
+class TestInertialInit:
+    def test_recovers_gravity_scale_bias(self):
+        """Simulate KFs on a trajectory with tilted gravity, scaled visual
+        map and nonzero biases; the init must recover all of them."""
+        from plvs_tpu.imu import initialization as ini
+
+        dt = 0.005
+        n_kf = 8
+        steps_per_kf = 40
+        rng = np.random.default_rng(1)
+        true_bg = np.array([0.004, -0.003, 0.002], np.float32)
+        true_ba = np.array([0.05, -0.03, 0.08], np.float32)
+        # gravity tilted by a small rotation
+        g_rot = np.asarray(lie.so3_exp(jnp.asarray([0.06, -0.04, 0.0], jnp.float32)))
+        g_w = g_rot @ np.array([0, 0, -9.81], np.float32)
+
+        R = np.eye(3, dtype=np.float32); p = np.zeros(3, np.float32)
+        v = np.array([0.2, 0.1, -0.05], np.float32)
+        kf_R, kf_p = [R.copy()], [p.copy()]
+        preints = []
+        gyro_buf, acc_buf = [], []
+        for i in range(n_kf - 1):
+            gy, ac = [], []
+            for k in range(steps_per_kf):
+                t = (i * steps_per_kf + k) * dt
+                w = np.array([0.5 * np.sin(3 * t), 0.4 * np.cos(2 * t), 0.3], np.float32)
+                a_w = np.array([0.6 * np.sin(4 * t), 0.5 * np.cos(3 * t), 0.4 * np.sin(2 * t)], np.float32)
+                f_b = R.T @ (a_w - g_w)
+                gy.append(w + true_bg); ac.append(f_b + true_ba)
+                p = p + v * dt + 0.5 * a_w * dt * dt
+                v = v + a_w * dt
+                R = R @ np.asarray(lie.so3_exp(jnp.asarray(w * dt)))
+            kf_R.append(R.copy()); kf_p.append(p.copy())
+            preints.append(pre.preintegrate(
+                jnp.asarray(np.stack(gy)), jnp.asarray(np.stack(ac)),
+                jnp.full((steps_per_kf,), dt), jnp.zeros(3), jnp.zeros(3)))
+
+        true_scale = 2.5  # visual map is metric/2.5
+        R_wb = jnp.asarray(np.stack(kf_R))
+        p_wb = jnp.asarray(np.stack(kf_p) / true_scale)
+        out = ini.inertial_only_optimize(R_wb, p_wb, ini.stack_preints(preints))
+        np.testing.assert_allclose(float(out.scale), true_scale, rtol=0.03)
+        np.testing.assert_allclose(np.asarray(out.gravity), g_w, atol=0.15)
+        np.testing.assert_allclose(np.asarray(out.bias_gyro), true_bg, atol=2e-3)
