@@ -20,6 +20,7 @@ from ..geometry import cameras as cam_mod
 from ..geometry import lie
 from . import frame as frame_mod
 from .local_mapping import LocalMapper
+from .loop_closing import LoopCloser
 from .map_store import MapStore
 from .tracking import OK, Tracker
 
@@ -32,6 +33,7 @@ class SystemConfig:
     max_kf: int = 512
     max_pts: int = 65536
     local_ba: bool = True
+    loop_closing: bool = True
     min_kf_inliers: int = 30
     kf_ratio: float = 0.75
     max_kf_interval: int = 10
@@ -52,6 +54,8 @@ class System:
             max_kf_interval=c.max_kf_interval,
         )
         self.local_mapper = LocalMapper(cam, self.store, scale=c.scale)
+        self.loop_closer = LoopCloser(self.store) if c.loop_closing else None
+        self.loops_closed = []
         self.trajectory = []  # list of (timestamp, R, t) world-to-camera
 
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
@@ -62,9 +66,15 @@ class System:
             self.config.scale,
         )
         res = self.tracker.process_frame(fr, timestamp)
-        if res.is_keyframe and self.config.local_ba and res.kf_id >= 0:
-            self.local_mapper.process_keyframe(res.kf_id)
-            # keep the tracker's pose consistent with the adjusted KF
+        if res.is_keyframe and res.kf_id >= 0:
+            if self.config.local_ba:
+                self.local_mapper.process_keyframe(res.kf_id)
+            if self.loop_closer is not None:
+                info = self.loop_closer.process_keyframe(res.kf_id)
+                if info is not None:
+                    self.loops_closed.append((res.kf_id, info))
+            # keep the tracker's pose consistent with the (possibly loop-
+            # corrected) adjusted KF
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))

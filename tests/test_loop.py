@@ -1,0 +1,165 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plvs_tpu.geometry import lie
+from plvs_tpu.solvers import pose_graph, sim3_solver
+from plvs_tpu.vocab import bow
+
+
+class TestSim3Ransac:
+    def test_recovers_transform_with_outliers(self, rng):
+        n = 200
+        P = rng.normal(size=(n, 3)).astype(np.float32) * 2
+        s_gt = 1.6
+        R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.5, 0.2], jnp.float32)))
+        t_gt = np.array([1.0, -0.5, 2.0], np.float32)
+        Q = s_gt * P @ R_gt.T + t_gt + rng.normal(size=(n, 3)).astype(np.float32) * 0.005
+        # 30% outliers
+        out_idx = rng.choice(n, n * 3 // 10, replace=False)
+        Q[out_idx] += rng.uniform(1, 3, (len(out_idx), 3)).astype(np.float32)
+        res = sim3_solver.sim3_ransac(
+            jnp.asarray(P), jnp.asarray(Q), jnp.ones((n,), bool),
+            jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(float(res.s), s_gt, rtol=0.01)
+        np.testing.assert_allclose(np.asarray(res.R), R_gt, atol=0.01)
+        np.testing.assert_allclose(np.asarray(res.t), t_gt, atol=0.05)
+        assert int(res.n_inliers) > n * 0.6
+        assert np.asarray(res.inliers)[out_idx].mean() < 0.1
+
+    def test_se3_mode_scale_one(self, rng):
+        n = 100
+        P = rng.normal(size=(n, 3)).astype(np.float32)
+        R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.2, -0.1], jnp.float32)))
+        t_gt = np.array([0.3, 0.1, -0.2], np.float32)
+        Q = P @ R_gt.T + t_gt
+        res = sim3_solver.sim3_ransac(
+            jnp.asarray(P), jnp.asarray(Q), jnp.ones((n,), bool),
+            jax.random.PRNGKey(1), with_scale=False,
+        )
+        np.testing.assert_allclose(float(res.s), 1.0)
+        np.testing.assert_allclose(np.asarray(res.R), R_gt, atol=1e-4)
+
+
+class TestPoseGraph:
+    def _chain_problem(self, rng, K=30, drift=0.02, se3=True):
+        """Odometry chain with drift + one loop-closure edge back to start."""
+        # ground truth: circle
+        gt_R, gt_t = [], []
+        for k in range(K):
+            ang = 2 * np.pi * k / K
+            Rk = np.asarray(lie.so3_exp(jnp.asarray([0.0, ang, 0.0], jnp.float32)))
+            C = np.array([np.sin(ang) * 3, 0.0, 3 - np.cos(ang) * 3], np.float32)
+            gt_R.append(Rk)
+            gt_t.append((-Rk @ C).astype(np.float32))
+        gt_R, gt_t = np.stack(gt_R), np.stack(gt_t)
+        gt_s = np.ones((K,), np.float32)
+
+        # noisy odometry estimates: integrate noisy relative poses
+        est_R = [gt_R[0]]
+        est_t = [gt_t[0]]
+        for k in range(1, K):
+            Rrel, trel, srel = pose_graph.make_edges_from_poses(
+                jnp.asarray(gt_R), jnp.asarray(gt_t), jnp.asarray(gt_s),
+                jnp.asarray([[k, k - 1]]),
+            )
+            dn = lie.so3_exp(jnp.asarray(rng.normal(size=3) * drift, jnp.float32))
+            Rrel = np.asarray(Rrel[0] @ dn)
+            trel = np.asarray(trel[0]) + rng.normal(size=3).astype(np.float32) * drift
+            est_R.append((Rrel @ est_R[-1]))
+            est_t.append(Rrel @ est_t[-1] + trel)
+        est_R, est_t = np.stack(est_R), np.stack(est_t)
+
+        # edges: odometry chain measured from the (noisy) estimates,
+        # loop edge measured from ground truth (the loop detection)
+        pairs = np.stack([np.arange(1, K), np.arange(0, K - 1)], -1)
+        eR, et, es = pose_graph.make_edges_from_poses(
+            jnp.asarray(est_R), jnp.asarray(est_t), jnp.asarray(gt_s), jnp.asarray(pairs)
+        )
+        lR, lt, ls = pose_graph.make_edges_from_poses(
+            jnp.asarray(gt_R), jnp.asarray(gt_t), jnp.asarray(gt_s),
+            jnp.asarray([[K - 1, 0]]),
+        )
+        edge_i = jnp.asarray(np.concatenate([pairs[:, 0], [K - 1]]), jnp.int32)
+        edge_j = jnp.asarray(np.concatenate([pairs[:, 1], [0]]), jnp.int32)
+        edge_R = jnp.concatenate([eR, lR])
+        edge_t = jnp.concatenate([et, lt])
+        edge_s = jnp.concatenate([es, ls])
+        E = edge_i.shape[0]
+        fixed = np.zeros((K,), bool)
+        fixed[0] = True
+        prob = pose_graph.PoseGraphProblem(
+            jnp.asarray(est_R), jnp.asarray(est_t), jnp.asarray(gt_s),
+            jnp.asarray(fixed), edge_i, edge_j, edge_R, edge_t, edge_s,
+            jnp.ones((E,)), jnp.ones((E,), bool),
+        )
+        return prob, gt_R, gt_t
+
+    def test_loop_correction_reduces_error(self, rng):
+        prob, gt_R, gt_t = self._chain_problem(rng)
+        R, t, s, info = pose_graph.optimize(prob, num_iters=15, fix_scale=True)
+        assert float(info["cost"]) < float(info["cost0"]) * 0.05
+
+        def traj_err(Rs, ts):
+            C_est = -np.einsum("kij,kj->ki", np.asarray(Rs).transpose(0, 2, 1), np.asarray(ts))
+            C_gt = -np.einsum("kij,kj->ki", gt_R.transpose(0, 2, 1), gt_t)
+            return np.linalg.norm(C_est - C_gt, axis=-1).mean()
+
+        err_before = traj_err(prob.R, prob.t)
+        err_after = traj_err(R, t)
+        assert err_after < err_before * 0.5, (err_before, err_after)
+        np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-6)  # fix_scale
+
+    def test_fixed_vertex_unmoved(self, rng):
+        prob, _, _ = self._chain_problem(rng)
+        R, t, s, _ = pose_graph.optimize(prob, num_iters=5, fix_scale=True)
+        np.testing.assert_allclose(np.asarray(R[0]), np.asarray(prob.R[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t[0]), np.asarray(prob.t[0]), atol=1e-6)
+
+
+class TestBow:
+    @pytest.fixture(scope="class")
+    def voc(self):
+        rng = np.random.default_rng(0)
+        desc = rng.integers(0, 2 ** 32, (5000, 8), dtype=np.uint32)
+        return bow.train(desc, k=8, depth=3, seed=0)
+
+    def test_quantize_shapes(self, voc, rng):
+        desc = jnp.asarray(rng.integers(0, 2 ** 32, (100, 8), dtype=np.uint32))
+        words = bow.quantize(voc, desc)
+        assert words.shape == (100,)
+        assert int(words.max()) < voc.n_words
+        assert int(words.min()) >= 0
+
+    def test_same_descriptor_same_word(self, voc, rng):
+        desc = jnp.asarray(rng.integers(0, 2 ** 32, (50, 8), dtype=np.uint32))
+        w1 = bow.quantize(voc, desc)
+        w2 = bow.quantize(voc, jnp.concatenate([desc, desc])[:50])
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_similar_images_score_higher(self, voc, rng):
+        """BoW score of two overlapping descriptor sets >> disjoint sets."""
+        base = rng.integers(0, 2 ** 32, (300, 8), dtype=np.uint32)
+        # same place: 70% shared descriptors with bit noise
+        noise = (1 << rng.integers(0, 32, (300, 8))).astype(np.uint32)
+        same = base.copy()
+        same[:90] = rng.integers(0, 2 ** 32, (90, 8), dtype=np.uint32)
+        same ^= noise * (rng.random((300, 8)) < 0.3)
+        other = rng.integers(0, 2 ** 32, (300, 8), dtype=np.uint32)
+        m = jnp.ones((300,), bool)
+        v0 = bow.bow_vector(voc, bow.quantize(voc, jnp.asarray(base)), m)
+        v1 = bow.bow_vector(voc, bow.quantize(voc, jnp.asarray(same)), m)
+        v2 = bow.bow_vector(voc, bow.quantize(voc, jnp.asarray(other)), m)
+        s_same = float(bow.l1_score(v0, v1))
+        s_other = float(bow.l1_score(v0, v2))
+        assert s_same > s_other + 0.1, (s_same, s_other)
+
+    def test_database_scoring(self, voc, rng):
+        descs = [rng.integers(0, 2 ** 32, (200, 8), dtype=np.uint32) for _ in range(5)]
+        m = jnp.ones((200,), bool)
+        vecs = jnp.stack([bow.bow_vector(voc, bow.quantize(voc, jnp.asarray(d)), m) for d in descs])
+        scores = bow.score_database(vecs[2], vecs)
+        assert int(jnp.argmax(scores)) == 2
+        np.testing.assert_allclose(float(scores[2]), 1.0, atol=1e-5)

@@ -72,3 +72,89 @@ class TestEvaluation:
         np.testing.assert_allclose(stats["median_rmse"], 0.011)
         stats2 = evaluation.benchmark_statistics([0.01] * 4, [0.5] * 4)
         assert stats2["failed"]
+
+
+class TestLoopClosing:
+    def test_no_false_loops_on_connected_map(self):
+        """Long out-and-back sweep where tracking re-connects to the old map:
+        BoW candidates fire on the self-similar texture but geometric
+        verification must reject them (no false loop closures), and ATE
+        stays bounded."""
+        from plvs_tpu.io import evaluation as ev
+
+        cam = CAM
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=3,
+                                        tex_size=2048, tex_scale=220.0)
+        n = 60
+        poses = []
+        for i in range(n):
+            s = i / (n - 1)
+            x = 3.0 * np.sin(np.pi * s) ** 2
+            C = np.array([x, 0.0, 0.0], np.float32)
+            R = np.eye(3, dtype=np.float32)
+            poses.append((R, (-R @ C).astype(np.float32)))
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=96,
+                           max_pts=32768, max_kf_interval=5)
+        system = System(cam, cfg)
+        gt = []
+        for ts, gray, depth, R_gt, t_gt in scene.sequence(poses=poses):
+            system.track_rgbd(gray, depth, ts)
+            gt.append(-R_gt.T @ t_gt)
+        traj = system.trajectory_tum()
+        rmse = ev.ate_rmse(traj[:, 1:4], np.stack(gt), align=True)
+        assert rmse < 0.08, rmse
+
+    def test_drifted_revisit_is_closed(self):
+        """Constructed genuine loop: a revisit keyframe duplicating the first
+        keyframe's view but with a drifted pose estimate and its own
+        duplicate landmarks (no covisibility). The closer must detect the
+        revisit, verify it geometrically, and pull the drifted pose back."""
+        cam = CAM
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=4,
+                                        tex_size=2048, tex_scale=220.0)
+        n = 40
+        poses = []
+        for i in range(n):
+            s = i / (n - 1)
+            C = np.array([2.5 * s, 0.0, 0.0], np.float32)
+            R = np.eye(3, dtype=np.float32)
+            poses.append((R, (-R @ C).astype(np.float32)))
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=96,
+                           max_pts=32768, max_kf_interval=5, loop_closing=True)
+        system = System(cam, cfg)
+        for ts, gray, depth, R_gt, t_gt in scene.sequence(poses=poses):
+            system.track_rgbd(gray, depth, ts)
+        st = system.store
+        assert len(system.loops_closed) == 0
+
+        # manufacture the drifted revisit of keyframe 0
+        drift = np.array([0.25, 0.1, -0.15], np.float32)
+        kf0 = 0
+        kf_new = st.alloc_kf()
+        st.kf_mask[kf_new] = True
+        st.kf_frame_id[kf_new] = system.tracker.frame_id + 100
+        st.kf_R[kf_new] = st.kf_R[kf0]
+        st.kf_t[kf_new] = st.kf_t[kf0] + drift  # drifted estimate
+        for a in ("kf_kp_xy", "kf_kp_uvr", "kf_kp_desc", "kf_kp_octave",
+                  "kf_kp_angle", "kf_kp_mask"):
+            getattr(st, a)[kf_new] = getattr(st, a)[kf0]
+        # duplicate landmarks back-projected with the drifted pose
+        sel = np.nonzero(st.kf_kp_mask[kf0] & (st.kf_kp_pt[kf0] >= 0))[0]
+        old_pts = st.kf_kp_pt[kf0][sel]
+        new_ids = st.alloc_pts(len(sel))
+        Rwc = st.kf_R[kf_new].T
+        twc = -Rwc @ st.kf_t[kf_new]
+        Xc = (st.pt_xyz[old_pts] @ st.kf_R[kf0].T + st.kf_t[kf0])
+        st.pt_xyz[new_ids] = Xc @ Rwc.T + twc
+        st.pt_desc[new_ids] = st.pt_desc[old_pts]
+        st.pt_mask[new_ids] = True
+        st.pt_ref_kf[new_ids] = kf_new
+        st.pt_first_kf[new_ids] = kf_new
+        st.add_observations(kf_new, new_ids, sel)
+
+        err_before = np.linalg.norm(st.kf_t[kf_new] - st.kf_t[kf0])
+        info = system.loop_closer.process_keyframe(kf_new)
+        assert info is not None, "loop not closed"
+        assert info["candidate"] == kf0 or info["candidate"] <= 2, info
+        err_after = np.linalg.norm(st.kf_t[kf_new] - st.kf_t[kf0])
+        assert err_after < err_before * 0.25, (err_before, err_after)
