@@ -1,0 +1,96 @@
+"""Dense mapping orchestrator: per-keyframe integration + loop-closure
+rebuild.
+
+TPU-native re-derivation of the reference's PointCloudMapping thread
+(reference: src/PointCloudMapping.cc:466-598 — dequeues PointCloudKeyFrames
+pushed by tracking (src/Tracking.cc:4401-4423), computes stereo depth if
+needed, filters depth, integrates into the active backend, and rebuilds the
+whole dense map with corrected keyframe poses after a loop closure / GBA
+(RebuildMap, wired by signal in src/System.cc:434-437)). v1 runs inline per
+keyframe; the async actor pipeline is part of the parallel runtime
+milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import cameras as cam_mod
+from . import processing
+from .stereo_depth import disparity, disparity_to_depth
+from .tsdf import TSDFVolume
+
+
+@dataclasses.dataclass
+class DenseKeyFrame:
+    """Stored sensor data for one keyframe (reference: PointCloudKeyFrame)."""
+
+    kf_id: int
+    depth: np.ndarray
+    color: np.ndarray  # [H, W, 3] float
+
+
+@dataclasses.dataclass
+class DenseMapper:
+    cam: cam_mod.Camera
+    voxel_size: float = 0.02
+    max_blocks: int = 8192
+    filter_depth: bool = True
+    use_segmentation: bool = False
+
+    def __post_init__(self):
+        self.volume = TSDFVolume(self.cam, voxel_size=self.voxel_size,
+                                 max_blocks=self.max_blocks)
+        self.keyframes: list[DenseKeyFrame] = []
+        self.labels: dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def insert_keyframe_rgbd(self, kf_id: int, color: np.ndarray,
+                             depth: np.ndarray, Rcw: np.ndarray,
+                             tcw: np.ndarray):
+        if self.filter_depth:
+            depth = np.asarray(processing.filter_depth(jnp.asarray(depth)))
+        if self.use_segmentation:
+            labels, _ = processing.segment_depth(self.cam, jnp.asarray(depth))
+            self.labels[kf_id] = np.asarray(labels)
+        self.keyframes.append(DenseKeyFrame(kf_id, depth, color))
+        self.volume.integrate(depth, color, Rcw, tcw)
+
+    def insert_keyframe_stereo(self, kf_id: int, left: np.ndarray,
+                               right: np.ndarray, Rcw: np.ndarray,
+                               tcw: np.ndarray, max_disp: int = 64):
+        """Stereo pair -> disparity -> depth -> integrate (reference:
+        PointCloudKeyFrame::ProcessStereo*, include/PointCloudKeyFrame.h)."""
+        disp = disparity(jnp.asarray(left), jnp.asarray(right), max_disp=max_disp)
+        depth = np.asarray(disparity_to_depth(disp, self.cam.bf))
+        color = np.repeat(left[..., None], 3, axis=-1)
+        self.insert_keyframe_rgbd(kf_id, color, depth, Rcw, tcw)
+
+    # ------------------------------------------------------------------
+    def rebuild(self, get_pose):
+        """Re-integrate every stored keyframe with corrected poses
+        (reference: PointCloudMapping::RebuildMap after loop closure).
+
+        get_pose: kf_id -> (Rcw, tcw) with the *corrected* pose.
+        """
+        self.volume.reset()
+        for dkf in self.keyframes:
+            Rcw, tcw = get_pose(dkf.kf_id)
+            if Rcw is None:
+                continue
+            self.volume.integrate(dkf.depth, dkf.color, Rcw, tcw)
+
+    # ------------------------------------------------------------------
+    def cloud(self):
+        return self.volume.occupied_cloud()
+
+    def mesh(self):
+        from .meshing import marching_tetrahedra
+
+        return marching_tetrahedra(self.volume)
+
+    def save_ply(self, path: str):
+        self.volume.save_ply(path)

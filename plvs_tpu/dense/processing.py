@@ -1,0 +1,157 @@
+"""Depth-image processing: filtering, normals, geometric segmentation.
+
+TPU-native re-derivation of the dense-mapping preprocessing in the
+reference's PointCloudMapping thread (reference:
+src/PointCloudMapping.cc:930-1180 — FilterDepthimage, area-weighted grid
+normals :998-1035, and the incremental geometric segmentation: normal
+convexity score minFi + max vertex gap maxDelta per neighborhood, erosion,
+connected components with area threshold :1039-1180; labels carried in
+pcl::PointSurfelSegment). All stages are dense batched image ops; connected
+components use iterative min-label propagation instead of a sequential
+union-find.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras as cam_mod
+
+
+def filter_depth(depth: jnp.ndarray, ksize: int = 3, sigma_r: float = 0.05) -> jnp.ndarray:
+    """Edge-preserving depth smoothing (bilateral-ish, like the reference's
+    FilterDepthimage with its sigma-depth model)."""
+    r = ksize // 2
+    num = jnp.zeros_like(depth)
+    den = jnp.zeros_like(depth)
+    valid = depth > 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            d = jnp.roll(depth, (dy, dx), axis=(0, 1))
+            v = jnp.roll(valid, (dy, dx), axis=(0, 1))
+            wr = jnp.exp(-((d - depth) ** 2) / (2 * sigma_r ** 2))
+            w = jnp.where(v & valid, wr, 0.0)
+            num = num + w * d
+            den = den + w
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-9), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def backproject_image(cam: cam_mod.Camera, depth: jnp.ndarray) -> jnp.ndarray:
+    """Depth image -> camera-frame point image [H, W, 3]."""
+    h, w = depth.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    uv = jnp.stack([xs, ys], axis=-1).astype(jnp.float32).reshape(-1, 2)
+    rays = cam_mod.unproject(cam, uv).reshape(h, w, 3)
+    return rays * depth[..., None]
+
+
+def normals_from_points(pts: jnp.ndarray, step: int = 1) -> jnp.ndarray:
+    """Cross-product normals from grid neighbors (reference: area-weighted
+    normals src/PointCloudMapping.cc:998-1035). Points [H, W, 3] -> [H, W, 3]
+    unit normals oriented toward the camera (-z viewing)."""
+    dx = jnp.roll(pts, -step, axis=1) - jnp.roll(pts, step, axis=1)
+    dy = jnp.roll(pts, -step, axis=0) - jnp.roll(pts, step, axis=0)
+    n = jnp.cross(dy, dx)
+    nn = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    # orient toward camera (viewpoint at origin): n . p < 0
+    flip = jnp.sum(nn * pts, axis=-1, keepdims=True) > 0
+    return jnp.where(flip, -nn, nn)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _propagate_labels(labels: jnp.ndarray, connect: jnp.ndarray, n_iters: int):
+    """Iterative min-label flood fill: labels [H, W] int32, connect [4, H, W]
+    bool connectivity to (up, down, left, right) neighbors."""
+
+    def body(_, lab):
+        up = jnp.roll(lab, 1, axis=0)
+        dn = jnp.roll(lab, -1, axis=0)
+        lf = jnp.roll(lab, 1, axis=1)
+        rt = jnp.roll(lab, -1, axis=1)
+        m = lab
+        m = jnp.minimum(m, jnp.where(connect[0], up, m))
+        m = jnp.minimum(m, jnp.where(connect[1], dn, m))
+        m = jnp.minimum(m, jnp.where(connect[2], lf, m))
+        m = jnp.minimum(m, jnp.where(connect[3], rt, m))
+        return m
+
+    return jax.lax.fori_loop(0, n_iters, body, labels)
+
+
+def segment_depth(
+    cam: cam_mod.Camera,
+    depth: jnp.ndarray,
+    min_convexity: float = -0.02,
+    max_gap: float = 0.03,
+    n_iters: int | None = None,
+    min_area: int = 50,
+):
+    """Geometric segmentation of a depth image into smooth/convex regions.
+
+    Edges are cut where the surface is concave (convexity score
+    min_fi < threshold) or has a depth gap (max_delta), then 4-connected
+    components are labeled (reference: segmentation block
+    src/PointCloudMapping.cc:1039-1180). Returns int32 labels [H, W]
+    (0 = invalid/too small, labels start at 1).
+    """
+    h, w = depth.shape
+    if n_iters is None:
+        n_iters = h + w  # min-label flood fill needs ~diameter iterations
+    pts = backproject_image(cam, depth)
+    nrm = normals_from_points(pts)
+    valid = depth > 0
+
+    def edge_ok(shift_y, shift_x):
+        p2 = jnp.roll(pts, (shift_y, shift_x), axis=(0, 1))
+        n2 = jnp.roll(nrm, (shift_y, shift_x), axis=(0, 1))
+        v2 = jnp.roll(valid, (shift_y, shift_x), axis=(0, 1))
+        dp = p2 - pts
+        gap = jnp.linalg.norm(dp, axis=-1)
+        # convexity: fi = n1 . (p2 - p1) (normalized); concave if strongly neg.
+        dirn = dp / (gap[..., None] + 1e-12)
+        fi = jnp.sum(nrm * dirn, axis=-1)
+        smooth = jnp.sum(nrm * n2, axis=-1) > 0.92
+        return valid & v2 & (gap < max_gap) & ((fi > min_convexity) | smooth)
+
+    connect = jnp.stack([
+        edge_ok(1, 0),   # up neighbor
+        edge_ok(-1, 0),  # down
+        edge_ok(0, 1),   # left
+        edge_ok(0, -1),  # right
+    ])
+    # jnp.roll wraps around — sever the image borders explicitly
+    connect = connect.at[0, 0, :].set(False)
+    connect = connect.at[1, h - 1, :].set(False)
+    connect = connect.at[2, :, 0].set(False)
+    connect = connect.at[3, :, w - 1].set(False)
+
+    init = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1
+    init = jnp.where(valid, init, jnp.int32(1 << 30))
+    labels = _propagate_labels(init, connect, n_iters)
+    labels = jnp.where(valid, labels, 0)
+
+    # area threshold
+    flat = labels.reshape(-1)
+    counts = jnp.zeros((h * w + 1,), jnp.int32).at[
+        jnp.clip(flat, 0, h * w)
+    ].add(1)
+    big = counts[jnp.clip(flat, 0, h * w)] >= min_area
+    labels = jnp.where(big.reshape(h, w) & (labels > 0), labels, 0)
+    return labels, nrm
+
+
+def relabel_compact(labels: np.ndarray):  # type: ignore[name-defined]
+    """Host-side: map sparse label ids to 1..L (reference: LabelMap global
+    association uses compact per-KF label ids)."""
+    import numpy as np
+
+    uniq = np.unique(labels)
+    uniq = uniq[uniq > 0]
+    out = np.zeros_like(labels)
+    for i, u in enumerate(uniq, start=1):
+        out[labels == u] = i
+    return out, len(uniq)

@@ -34,6 +34,9 @@ class SystemConfig:
     max_pts: int = 65536
     local_ba: bool = True
     loop_closing: bool = True
+    dense_mapping: bool = False
+    dense_voxel_size: float = 0.02
+    dense_segmentation: bool = False
     min_kf_inliers: int = 30
     kf_ratio: float = 0.75
     max_kf_interval: int = 10
@@ -55,6 +58,14 @@ class System:
         )
         self.local_mapper = LocalMapper(cam, self.store, scale=c.scale)
         self.loop_closer = LoopCloser(self.store) if c.loop_closing else None
+        self.dense_mapper = None
+        if c.dense_mapping:
+            from ..dense.mapping import DenseMapper
+
+            self.dense_mapper = DenseMapper(
+                cam, voxel_size=c.dense_voxel_size,
+                use_segmentation=c.dense_segmentation,
+            )
         self.loops_closed = []
         self.trajectory = []  # list of (timestamp, R, t) world-to-camera
 
@@ -69,10 +80,27 @@ class System:
         if res.is_keyframe and res.kf_id >= 0:
             if self.config.local_ba:
                 self.local_mapper.process_keyframe(res.kf_id)
+            if self.dense_mapper is not None:
+                # reference pushes RGB+depth to the dense thread at KF
+                # creation (src/Tracking.cc:4401-4423)
+                color = np.repeat(np.asarray(gray, np.float32)[..., None], 3, -1)
+                self.dense_mapper.insert_keyframe_rgbd(
+                    res.kf_id, color, np.asarray(depth, np.float32),
+                    self.store.kf_R[res.kf_id], self.store.kf_t[res.kf_id],
+                )
             if self.loop_closer is not None:
                 info = self.loop_closer.process_keyframe(res.kf_id)
                 if info is not None:
                     self.loops_closed.append((res.kf_id, info))
+                    if self.dense_mapper is not None:
+                        # loop closure moved keyframes: rebuild the dense map
+                        # with corrected poses (reference: RebuildMap signal,
+                        # src/System.cc:434-437)
+                        st = self.store
+                        self.dense_mapper.rebuild(
+                            lambda k: (st.kf_R[k], st.kf_t[k])
+                            if st.kf_mask[k] else (None, None)
+                        )
             # keep the tracker's pose consistent with the (possibly loop-
             # corrected) adjusted KF
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
