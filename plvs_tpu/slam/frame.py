@@ -28,6 +28,18 @@ class Frame(NamedTuple):
     xyz_cam: jnp.ndarray       # [N, 3] back-projected camera-frame points
 
 
+class FrameLines(NamedTuple):
+    """Per-frame line observations with RGB-D endpoint depths (reference:
+    Frame::ComputeStereoLinesFromRGBD, src/Frame.cc:2434)."""
+
+    kl: "object"               # features.lines.KeyLines
+    nld: jnp.ndarray           # [L, 3] normalized image line (nx, ny, d)
+    depth_s: jnp.ndarray       # [L] start-point depth (<=0 invalid)
+    depth_e: jnp.ndarray       # [L] end-point depth
+    Xs_cam: jnp.ndarray        # [L, 3] back-projected start points
+    Xe_cam: jnp.ndarray        # [L, 3] back-projected end points
+
+
 @functools.partial(
     jax.jit, static_argnames=("cam", "num_features", "n_levels", "scale")
 )
@@ -55,6 +67,31 @@ def build_frame_rgbd(
     xyz = cam_mod.backproject(cam, kp.xy, jnp.where(has_depth, d, 0.0))
     inv_s2 = orb.inv_scale_sigma2(kp.octave, scale)
     return Frame(kp, uvr, jnp.where(has_depth, d, 0.0), inv_s2, xyz)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "max_lines"))
+def build_frame_lines(
+    gray: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    cam: cam_mod.Camera,
+    max_lines: int = 128,
+) -> FrameLines:
+    """Line extraction + endpoint depth association for one RGB-D frame."""
+    from ..features import lines as lines_mod
+
+    kl = lines_mod.extract_lines(gray, max_lines=max_lines)
+    nld = lines_mod.line_nld(kl.sp, kl.ep)
+
+    def sample_depth(xy):
+        xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
+        yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
+        return depth_img[yi, xi]
+
+    ds = sample_depth(kl.sp)
+    de = sample_depth(kl.ep)
+    Xs = cam_mod.backproject(cam, kl.sp, jnp.where(ds > 0, ds, 0.0))
+    Xe = cam_mod.backproject(cam, kl.ep, jnp.where(de > 0, de, 0.0))
+    return FrameLines(kl, nld, ds, de, Xs, Xe)
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))

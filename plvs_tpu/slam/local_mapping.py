@@ -35,9 +35,27 @@ class LocalMapper:
     fixed_cap: int = 8
     scale: float = 1.2
 
+    use_lines: bool = False
+
     def process_keyframe(self, kf_id: int):
         self.cull_points(kf_id)
+        if self.use_lines:
+            self.cull_lines(kf_id)
         self.local_ba(kf_id)
+
+    # ------------------------------------------------------------------
+    def cull_lines(self, kf_id: int):
+        """Line-landmark culling mirroring MapLineCulling (reference:
+        src/LocalMapping.cc MapLineCulling)."""
+        st = self.store
+        lns = np.nonzero(st.ln_mask)[0]
+        if len(lns) == 0:
+            return
+        ratio = st.ln_found[lns] / np.maximum(st.ln_visible[lns], 1)
+        age = kf_id - st.ln_first_kf[lns]
+        bad = (ratio < 0.25) & (st.ln_visible[lns] >= 8)
+        bad |= (age >= 3) & (st.ln_n_obs[lns] <= 1) & (st.ln_visible[lns] >= 6)
+        st.remove_lines(lns[bad])
 
     # ------------------------------------------------------------------
     def cull_points(self, kf_id: int):
@@ -120,14 +138,63 @@ class LocalMapper:
         obs_is2[:M] = self.scale ** (-2.0 * octv)
         obs_mask[:M] = True
 
+        line_kw = {}
+        lns = np.zeros((0,), np.int64)
+        if self.use_lines and st.num_lines > 0:
+            from ..features import lines as lines_mod
+
+            lns = st.lines_in_kfs(window)
+            lns = lns[st.ln_mask[lns]]
+            lkf, lln, lkl = st.live_line_obs()
+            lsel = np.isin(lln, lns) & np.isin(lkf, cams)
+            lo_kf, lo_ln, lo_kl = lkf[lsel], lln[lsel], lkl[lsel]
+            Ml = len(lo_kf)
+            if len(lns) >= 4 and Ml >= 8:
+                ln_local = np.full(st.max_lines, -1, np.int64)
+                ln_local[lns] = np.arange(len(lns))
+                Lb = _bucket(len(lns), 64)
+                Mlb = _bucket(Ml, 256)
+                lXs = np.zeros((Lb, 3), np.float32)
+                lXe = np.zeros((Lb, 3), np.float32)
+                lXs[: len(lns)] = st.ln_Xs[lns]
+                lXe[: len(lns)] = st.ln_Xe[lns]
+                lmask = np.zeros((Lb,), bool)
+                lmask[: len(lns)] = True
+                lobs_cam = np.zeros((Mlb,), np.int32)
+                lobs_line = np.zeros((Mlb,), np.int32)
+                lobs_nld = np.zeros((Mlb, 3), np.float32)
+                lobs_is2 = np.ones((Mlb,), np.float32)
+                lobs_m = np.zeros((Mlb,), bool)
+                lobs_cam[:Ml] = kf_local[lo_kf]
+                lobs_line[:Ml] = ln_local[lo_ln]
+                import jax.numpy as _jnp
+
+                sp = st.kf_kl_sp[lo_kf, lo_kl]
+                ep = st.kf_kl_ep[lo_kf, lo_kl]
+                lobs_nld[:Ml] = np.asarray(
+                    lines_mod.line_nld(_jnp.asarray(sp), _jnp.asarray(ep)))
+                lobs_m[:Ml] = True
+                line_kw = dict(
+                    lines_Xs=jnp.asarray(lXs), lines_Xe=jnp.asarray(lXe),
+                    line_mask=jnp.asarray(lmask),
+                    lobs_cam=jnp.asarray(lobs_cam),
+                    lobs_line=jnp.asarray(lobs_line),
+                    lobs_nld=jnp.asarray(lobs_nld),
+                    lobs_inv_sigma2=jnp.asarray(lobs_is2),
+                    lobs_mask=jnp.asarray(lobs_m),
+                )
+            else:
+                lns = np.zeros((0,), np.int64)
+
         prob = ba.make_problem(
             jnp.asarray(R), jnp.asarray(t), jnp.asarray(fixed_pad),
             jnp.asarray(points),
             jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uvr),
             jnp.asarray(obs_is2), jnp.asarray(obs_mask),
             cam_mask=jnp.asarray(cam_mask), point_mask=jnp.asarray(pt_mask),
+            **line_kw,
         )
-        Rn, tn, pn, _, _, info = ba.bundle_adjust(
+        Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust(
             self.cam, prob, num_iters=6, cg_iters=30
         )
         if not np.isfinite(float(info["cost"])):
@@ -137,3 +204,6 @@ class LocalMapper:
         st.kf_R[cams[free]] = Rn[:K][free]
         st.kf_t[cams[free]] = tn[:K][free]
         st.pt_xyz[pts] = pn[: len(pts)]
+        if len(lns):
+            st.ln_Xs[lns] = np.asarray(lXsn)[: len(lns)]
+            st.ln_Xe[lns] = np.asarray(lXen)[: len(lns)]

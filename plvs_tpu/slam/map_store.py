@@ -24,7 +24,10 @@ class MapStore:
     max_kf: int = 512
     max_pts: int = 65536
     max_obs: int = 524288
-    n_kp: int = 1024  # keypoint capacity per keyframe
+    n_kp: int = 1024   # keypoint capacity per keyframe
+    max_lines: int = 8192
+    max_lobs: int = 65536
+    n_kl: int = 128    # keyline capacity per keyframe
 
     def __post_init__(self):
         K, P, O, N = self.max_kf, self.max_pts, self.max_obs, self.n_kp
@@ -60,9 +63,33 @@ class MapStore:
         self.obs_pt = np.zeros((O,), np.int64)
         self.obs_kp = np.zeros((O,), np.int64)
         self.obs_mask = np.zeros((O,), bool)
+        # line landmarks (3D segments, reference: MapLine src/MapLine.cc)
+        Lm, Ol, Nl = self.max_lines, self.max_lobs, self.n_kl
+        self.ln_Xs = np.zeros((Lm, 3), np.float32)
+        self.ln_Xe = np.zeros((Lm, 3), np.float32)
+        self.ln_desc = np.zeros((Lm, 8), np.uint32)
+        self.ln_mask = np.zeros((Lm,), bool)
+        self.ln_ref_kf = np.full((Lm,), -1, np.int64)
+        self.ln_first_kf = np.full((Lm,), -1, np.int64)
+        self.ln_n_obs = np.zeros((Lm,), np.int32)
+        self.ln_visible = np.zeros((Lm,), np.int32)
+        self.ln_found = np.zeros((Lm,), np.int32)
+        # per-KF keylines (snapshot at KF creation)
+        self.kf_kl_sp = np.zeros((K, Nl, 2), np.float32)
+        self.kf_kl_ep = np.zeros((K, Nl, 2), np.float32)
+        self.kf_kl_desc = np.zeros((K, Nl, 8), np.uint32)
+        self.kf_kl_mask = np.zeros((K, Nl), bool)
+        self.kf_kl_line = np.full((K, Nl), -1, np.int64)
+        # line observation table
+        self.lobs_kf = np.zeros((Ol,), np.int64)
+        self.lobs_line = np.zeros((Ol,), np.int64)
+        self.lobs_kl = np.zeros((Ol,), np.int64)
+        self.lobs_mask = np.zeros((Ol,), bool)
         self._n_kf = 0
         self._n_pt = 0
+        self._n_ln = 0
         self._obs_top = 0  # append watermark (holes compacted lazily)
+        self._lobs_top = 0
 
     # -- allocation ---------------------------------------------------------
 
@@ -112,6 +139,73 @@ class MapStore:
         self.obs_mask[:n] = True
         self.obs_mask[n:] = False
         self._obs_top = n
+
+    def alloc_lines(self, n: int) -> np.ndarray:
+        free = np.nonzero(~self.ln_mask[: self._n_ln])[0][:n]
+        need = n - len(free)
+        if need > 0:
+            if self._n_ln + need > self.max_lines:
+                raise RuntimeError("MapStore: line capacity exhausted")
+            fresh = np.arange(self._n_ln, self._n_ln + need)
+            self._n_ln += need
+            return np.concatenate([free, fresh])
+        return free
+
+    def add_line_observations(self, kf: int, line_ids: np.ndarray,
+                              kl_ids: np.ndarray):
+        n = len(line_ids)
+        if n == 0:
+            return
+        if self._lobs_top + n > self.max_lobs:
+            self.compact_line_observations()
+            if self._lobs_top + n > self.max_lobs:
+                raise RuntimeError("MapStore: line obs capacity exhausted")
+        sl = slice(self._lobs_top, self._lobs_top + n)
+        self.lobs_kf[sl] = kf
+        self.lobs_line[sl] = line_ids
+        self.lobs_kl[sl] = kl_ids
+        self.lobs_mask[sl] = True
+        self._lobs_top += n
+        self.kf_kl_line[kf, kl_ids] = line_ids
+        np.add.at(self.ln_n_obs, line_ids, 1)
+
+    def compact_line_observations(self):
+        live = self.lobs_mask[: self._lobs_top]
+        n = int(live.sum())
+        for a in (self.lobs_kf, self.lobs_line, self.lobs_kl):
+            a[:n] = a[: self._lobs_top][live]
+        self.lobs_mask[:n] = True
+        self.lobs_mask[n:] = False
+        self._lobs_top = n
+
+    def remove_lines(self, line_ids: np.ndarray):
+        if len(line_ids) == 0:
+            return
+        self.ln_mask[line_ids] = False
+        sel = np.isin(self.lobs_line[: self._lobs_top], line_ids) & \
+            self.lobs_mask[: self._lobs_top]
+        kfs = self.lobs_kf[: self._lobs_top][sel]
+        kls = self.lobs_kl[: self._lobs_top][sel]
+        self.kf_kl_line[kfs, kls] = -1
+        self.lobs_mask[: self._lobs_top][sel] = False
+        self.ln_n_obs[line_ids] = 0
+
+    def live_line_obs(self):
+        m = self.lobs_mask[: self._lobs_top]
+        return (
+            self.lobs_kf[: self._lobs_top][m],
+            self.lobs_line[: self._lobs_top][m],
+            self.lobs_kl[: self._lobs_top][m],
+        )
+
+    def lines_in_kfs(self, kf_ids: np.ndarray) -> np.ndarray:
+        okf, oln, _ = self.live_line_obs()
+        sel = np.isin(okf, kf_ids)
+        return np.unique(oln[sel])
+
+    @property
+    def num_lines(self):
+        return int(self.ln_mask.sum())
 
     # -- removal ------------------------------------------------------------
 

@@ -37,6 +37,8 @@ class SystemConfig:
     dense_mapping: bool = False
     dense_voxel_size: float = 0.02
     dense_segmentation: bool = False
+    use_lines: bool = False
+    max_lines: int = 128
     min_kf_inliers: int = 30
     kf_ratio: float = 0.75
     max_kf_interval: int = 10
@@ -54,9 +56,10 @@ class System:
         self.tracker = Tracker(
             cam, self.store, num_features=c.num_features,
             min_kf_inliers=c.min_kf_inliers, kf_ratio=c.kf_ratio,
-            max_kf_interval=c.max_kf_interval,
+            max_kf_interval=c.max_kf_interval, use_lines=c.use_lines,
         )
-        self.local_mapper = LocalMapper(cam, self.store, scale=c.scale)
+        self.local_mapper = LocalMapper(cam, self.store, scale=c.scale,
+                                        use_lines=c.use_lines)
         self.loop_closer = LoopCloser(self.store) if c.loop_closing else None
         self.dense_mapper = None
         if c.dense_mapping:
@@ -76,7 +79,13 @@ class System:
             self.cam, self.config.num_features, self.config.n_levels,
             self.config.scale,
         )
-        res = self.tracker.process_frame(fr, timestamp)
+        fl = None
+        if self.config.use_lines:
+            fl = frame_mod.build_frame_lines(
+                jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+                self.cam, self.config.max_lines,
+            )
+        res = self.tracker.process_frame(fr, timestamp, fl)
         if res.is_keyframe and res.kf_id >= 0:
             if self.config.local_ba:
                 self.local_mapper.process_keyframe(res.kf_id)
@@ -126,5 +135,6 @@ class System:
         return {
             "keyframes": self.store.num_keyframes,
             "points": self.store.num_points,
+            "lines": self.store.num_lines,
             "frames": len(self.trajectory),
         }

@@ -72,6 +72,50 @@ def _match_and_optimize(
     return R, t, idx, n_inl, inl & obs_mask, kp_pt
 
 
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _match_lines(
+    cam,
+    R, t,
+    ln_Xs, ln_Xe,        # [M, 3] candidate 3D line endpoints (padded)
+    ln_desc, ln_valid,   # [M, 8], [M]
+    kl_sp, kl_ep, kl_desc, kl_mask,  # frame keylines
+    theta_tol: float = 0.12,
+    d_tol: float = 40.0,
+):
+    """Guided line matching: project line landmarks, gate by the (theta, d)
+    window of the measured keylines, pick best Hamming match (reference:
+    LineMatcher::SearchByProjection with Line2DRepresentation windows,
+    src/LineMatcher.cc)."""
+    from ..features import lines as lines_mod
+    from ..features.matching import hamming, _masked_best2
+
+    Xs_c = lie.se3_apply(R, t, ln_Xs)
+    Xe_c = lie.se3_apply(R, t, ln_Xe)
+    uv_s = cam_mod.project(cam, Xs_c)
+    uv_e = cam_mod.project(cam, Xe_c)
+    front = (Xs_c[..., 2] > 0.05) & (Xe_c[..., 2] > 0.05)
+    in_img = cam_mod.in_image(cam, uv_s, -40.0) | cam_mod.in_image(cam, uv_e, -40.0)
+    th_p, d_p = lines_mod.line_theta_d(uv_s, uv_e)
+    th_m, d_m = lines_mod.line_theta_d(kl_sp, kl_ep)
+    dth = jnp.abs(th_p[:, None] - th_m[None, :])
+    dth = jnp.minimum(dth, jnp.pi - dth)
+    dd = jnp.abs(d_p[:, None] - d_m[None, :])
+    cand = (
+        (dth < theta_tol) & (dd < d_tol)
+        & (ln_valid & front & in_img)[:, None] & kl_mask[None, :]
+    )
+    dist = hamming(ln_desc, kl_desc)
+    best, second, idx = _masked_best2(dist, cand)
+    ok = best <= 110
+    # per-keyline association (scatter; -1 mapped out of range)
+    n_kl = kl_sp.shape[0]
+    kl_ln = jnp.full((n_kl,), -1, jnp.int32)
+    src = jnp.arange(idx.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(ok, idx, n_kl)
+    kl_ln = kl_ln.at[tgt].set(src, mode="drop")
+    return kl_ln
+
+
 @dataclasses.dataclass
 class TrackResult:
     state: int
@@ -81,6 +125,7 @@ class TrackResult:
     kp_pt_id: np.ndarray  # [N] global map-point id per keypoint (-1 none)
     is_keyframe: bool = False
     kf_id: int = -1
+    kl_ln_id: np.ndarray | None = None  # [Nl] line-landmark id per keyline
 
 
 class Tracker:
@@ -89,7 +134,8 @@ class Tracker:
     def __init__(self, cam: cam_mod.Camera, store: MapStore,
                  num_features: int = 1024, local_pts_cap: int = 4096,
                  min_kf_inliers: int = 30, kf_ratio: float = 0.75,
-                 max_kf_interval: int = 10, max_depth_factor: float = 40.0):
+                 max_kf_interval: int = 10, max_depth_factor: float = 40.0,
+                 use_lines: bool = False, local_lines_cap: int = 512):
         self.cam = cam
         self.store = store
         self.num_features = num_features
@@ -97,6 +143,8 @@ class Tracker:
         self.min_kf_inliers = min_kf_inliers
         self.kf_ratio = kf_ratio
         self.max_kf_interval = max_kf_interval
+        self.use_lines = use_lines
+        self.local_lines_cap = local_lines_cap
         # reference: ThDepth * baseline gate for close/far points
         self.max_depth = max_depth_factor * (cam.bf / float(cam.params[0]))
         self.state = NO_IMAGES_YET
@@ -112,17 +160,19 @@ class Tracker:
         self.frame_id = 0
 
     # ------------------------------------------------------------------
-    def process_frame(self, fr: frame_mod.Frame, timestamp: float) -> TrackResult:
+    def process_frame(self, fr: frame_mod.Frame, timestamp: float,
+                      fl=None) -> TrackResult:
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            res = self._initialize(fr, timestamp)
+            res = self._initialize(fr, timestamp, fl)
         else:
-            res = self._track(fr, timestamp)
+            res = self._track(fr, timestamp, fl)
         self.last_frame = fr
         self.frame_id += 1
         return res
 
     # ------------------------------------------------------------------
-    def _initialize(self, fr: frame_mod.Frame, timestamp: float) -> TrackResult:
+    def _initialize(self, fr: frame_mod.Frame, timestamp: float,
+                    fl=None) -> TrackResult:
         """RGB-D initialization: first frame with enough depth points becomes
         the map origin (reference: Tracking::StereoInitialization,
         src/Tracking.cc:2231, needs >= 500 features)."""
@@ -131,7 +181,8 @@ class Tracker:
             return TrackResult(self.state, self.R, self.t, 0, np.full((fr.kp.xy.shape[0],), -1))
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
-        kf_id, pt_ids = self._create_keyframe(fr, timestamp, np.full((fr.kp.xy.shape[0],), -1))
+        kf_id, pt_ids = self._create_keyframe(
+            fr, timestamp, np.full((fr.kp.xy.shape[0],), -1), fl, None)
         self.state = OK
         self.ref_kf = kf_id
         self.ref_kf_npts = -1  # baselined on the first tracked frame
@@ -141,7 +192,8 @@ class Tracker:
         return TrackResult(self.state, self.R, self.t, len(pt_ids), kp_pt, True, kf_id)
 
     # ------------------------------------------------------------------
-    def _track(self, fr: frame_mod.Frame, timestamp: float) -> TrackResult:
+    def _track(self, fr: frame_mod.Frame, timestamp: float,
+               fl=None) -> TrackResult:
         st = self.store
         # motion-model pose prediction (reference: mVelocity * mLastFrame.mTcw)
         R_pred = self.vel_R @ self.R
@@ -162,6 +214,12 @@ class Tracker:
         if n2 < 10:
             self.state = LOST
             return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2)
+
+        # --- step 3: line association (reference: SearchLocalLines,
+        # src/Tracking.cc:4505) -------------------------------------------
+        kl_ln_id = None
+        if self.use_lines and fl is not None:
+            kl_ln_id = self._line_step(fl, R2, t2)
 
         # motion model update
         R_last, t_last = self.R, self.t
@@ -192,14 +250,17 @@ class Tracker:
         ) and n2 >= self.min_kf_inliers
         kf_id = -1
         if need_kf:
-            kf_id, pt_ids = self._create_keyframe(fr, timestamp, kp_pt2)
+            kf_id, pt_ids = self._create_keyframe(
+                fr, timestamp, kp_pt2, fl,
+                kl_ln_id if self.use_lines else None)
             self.ref_kf = kf_id
             self.ref_kf_npts = -1  # re-baselined on the next tracked frame
             self.frames_since_kf = 0
             self.last_kp_pt_id = np.asarray(self.store.kf_kp_pt[kf_id]).copy()
 
         self.state = OK
-        return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2, need_kf, kf_id)
+        return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2,
+                           need_kf, kf_id, kl_ln_id)
 
     # ------------------------------------------------------------------
     def _match_step(self, fr, R_pred, t_pred, cand_ids: np.ndarray, radius: float):
@@ -246,8 +307,45 @@ class Tracker:
         return pts[st.pt_mask[pts]]
 
     # ------------------------------------------------------------------
+    def _line_step(self, fl, R, t) -> np.ndarray:
+        """Associate the frame's keylines with local line landmarks."""
+        st = self.store
+        if self.ref_kf < 0:
+            return np.full((fl.kl.sp.shape[0],), -1, np.int64)
+        covis, _ = st.covisibility(self.ref_kf, min_weight=5)
+        window = np.concatenate([[self.ref_kf], covis[:10]])
+        cand = st.lines_in_kfs(window)
+        cand = cand[st.ln_mask[cand]]
+        cap = self.local_lines_cap
+        m = min(len(cand), cap)
+        if m == 0:
+            return np.full((fl.kl.sp.shape[0],), -1, np.int64)
+        cand = cand[:m]
+        Xs = np.zeros((cap, 3), np.float32)
+        Xe = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        valid = np.zeros((cap,), bool)
+        Xs[:m] = st.ln_Xs[cand]
+        Xe[:m] = st.ln_Xe[cand]
+        desc[:m] = st.ln_desc[cand]
+        valid[:m] = True
+        kl_ln_local = np.asarray(_match_lines(
+            self.cam, jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(Xs), jnp.asarray(Xe), jnp.asarray(desc),
+            jnp.asarray(valid),
+            fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
+        ))
+        out = np.full((fl.kl.sp.shape[0],), -1, np.int64)
+        ok = (kl_ln_local >= 0) & (kl_ln_local < m)
+        out[ok] = cand[kl_ln_local[ok]]
+        seen = np.unique(out[out >= 0])
+        st.ln_found[seen] += 1
+        st.ln_visible[cand] += 1
+        return out
+
+    # ------------------------------------------------------------------
     def _create_keyframe(self, fr: frame_mod.Frame, timestamp: float,
-                         kp_pt_id: np.ndarray):
+                         kp_pt_id: np.ndarray, fl=None, kl_ln_id=None):
         """Snapshot the frame as a keyframe; create new map points from depth
         for unmatched keypoints (reference: Tracking::CreateNewKeyFrame
         close-point creation, src/Tracking.cc:4182)."""
@@ -296,4 +394,47 @@ class Tracker:
             dirs = xyz_w - twc
             st.pt_normal[pt_ids] = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-9)
             st.add_observations(kf, pt_ids, new_sel)
+
+        # -- lines: snapshot keylines; create line landmarks from endpoint
+        # depths (reference: line creation from stereo/RGBD endpoint depths,
+        # src/LocalMapping.cc line path + Frame::ComputeStereoLinesFromRGBD)
+        if fl is not None and self.use_lines:
+            Nl = st.n_kl
+            n_fl = min(Nl, int(fl.kl.sp.shape[0]))
+            st.kf_kl_sp[kf, :n_fl] = np.asarray(fl.kl.sp)[:n_fl]
+            st.kf_kl_ep[kf, :n_fl] = np.asarray(fl.kl.ep)[:n_fl]
+            st.kf_kl_desc[kf, :n_fl] = np.asarray(fl.kl.desc)[:n_fl]
+            st.kf_kl_mask[kf, :n_fl] = np.asarray(fl.kl.mask)[:n_fl]
+            st.kf_kl_line[kf] = -1
+            if kl_ln_id is None:
+                kl_ln_id = np.full((int(fl.kl.sp.shape[0]),), -1, np.int64)
+            exist_l = np.nonzero(kl_ln_id[:n_fl] >= 0)[0]
+            if len(exist_l):
+                st.add_line_observations(kf, kl_ln_id[exist_l], exist_l)
+            ds = np.asarray(fl.depth_s)[:n_fl]
+            de = np.asarray(fl.depth_e)[:n_fl]
+            klm = np.asarray(fl.kl.mask)[:n_fl]
+            new_l = np.nonzero(
+                (kl_ln_id[:n_fl] < 0) & klm
+                & (ds > 0) & (ds < self.max_depth)
+                & (de > 0) & (de < self.max_depth)
+                # endpoint depth consistency (reference: skLineStereoMaxDist)
+                & (np.abs(ds - de) < 0.5 * np.maximum(ds, de))
+            )[0]
+            if len(new_l):
+                Rwc = self.R.T
+                twc = -Rwc @ self.t
+                Xs_w = np.asarray(fl.Xs_cam)[new_l] @ Rwc.T + twc
+                Xe_w = np.asarray(fl.Xe_cam)[new_l] @ Rwc.T + twc
+                ln_ids = st.alloc_lines(len(new_l))
+                st.ln_Xs[ln_ids] = Xs_w
+                st.ln_Xe[ln_ids] = Xe_w
+                st.ln_desc[ln_ids] = np.asarray(fl.kl.desc)[new_l]
+                st.ln_mask[ln_ids] = True
+                st.ln_ref_kf[ln_ids] = kf
+                st.ln_first_kf[ln_ids] = kf
+                st.ln_n_obs[ln_ids] = 0
+                st.ln_visible[ln_ids] = 1
+                st.ln_found[ln_ids] = 1
+                st.add_line_observations(kf, ln_ids, new_l)
         return kf, pt_ids
