@@ -42,24 +42,25 @@ PATTERN = _make_pattern()
 
 
 def _angle_weights():
-    """Circular mask and coordinate grids for IC-angle moments."""
+    """Circular mask and coordinate grids for IC-angle moments.
+
+    Built eagerly as NUMPY constants at import time — lazily caching jnp
+    arrays would capture tracers when first touched inside a jit trace.
+    """
     ys, xs = np.mgrid[-HALF : HALF + 1, -HALF : HALF + 1]
     mask = (xs ** 2 + ys ** 2) <= ANGLE_RADIUS ** 2
     return (
-        jnp.asarray(mask.astype(np.float32)),
-        jnp.asarray(xs.astype(np.float32)),
-        jnp.asarray(ys.astype(np.float32)),
+        mask.astype(np.float32),
+        xs.astype(np.float32),
+        ys.astype(np.float32),
     )
 
 
-_MASK, _XS, _YS = None, None, None
+_MASK, _XS, _YS = _angle_weights()
 
 
 def _get_angle_weights():
-    global _MASK, _XS, _YS
-    if _MASK is None:
-        _MASK, _XS, _YS = _angle_weights()
-    return _MASK, _XS, _YS
+    return jnp.asarray(_MASK), jnp.asarray(_XS), jnp.asarray(_YS)
 
 
 def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, patch: int = PATCH) -> jnp.ndarray:

@@ -36,12 +36,80 @@ class LocalMapper:
     scale: float = 1.2
 
     use_lines: bool = False
+    kf_culling: bool = True
 
     def process_keyframe(self, kf_id: int):
         self.cull_points(kf_id)
         if self.use_lines:
             self.cull_lines(kf_id)
+        self.fuse_neighbors(kf_id)
         self.local_ba(kf_id)
+        if self.kf_culling:
+            self.cull_keyframes(kf_id)
+
+    # ------------------------------------------------------------------
+    def fuse_neighbors(self, kf_id: int):
+        """Merge duplicate landmarks between the new KF and its covisible
+        neighbours (reference: LocalMapping::SearchInNeighbors + Fuse,
+        src/LocalMapping.cc:144 / ORBmatcher::Fuse)."""
+        st = self.store
+        covis, _ = st.covisibility(kf_id, min_weight=10)
+        if len(covis) == 0:
+            return
+        my_pts = st.kf_kp_pt[kf_id]
+        my_sel = np.nonzero(my_pts >= 0)[0]
+        if len(my_sel) == 0:
+            return
+        pts = my_pts[my_sel]
+        from ..features.matching import hamming as _ham  # noqa: F401
+        import jax.numpy as _j
+        from .frame import project_points
+        from ..features import matching as matching_mod
+
+        for nb in covis[:5]:
+            uv, z, vis = project_points(
+                self.cam, _j.asarray(st.kf_R[nb]), _j.asarray(st.kf_t[nb]),
+                _j.asarray(st.pt_xyz[pts]))
+            idx, dist = matching_mod.search_by_projection(
+                uv, vis, _j.asarray(st.pt_desc[pts]),
+                _j.asarray(np.zeros(len(pts), np.int32)),
+                _j.asarray(st.kf_kp_xy[nb]), _j.asarray(st.kf_kp_desc[nb]),
+                _j.asarray(st.kf_kp_octave[nb]), _j.asarray(st.kf_kp_mask[nb]),
+                radius=3.0, max_dist=50, octave_tol=8,
+            )
+            idx = np.asarray(idx)
+            hit = np.nonzero(idx >= 0)[0]
+            for h in hit:
+                p = int(pts[h])
+                other = int(st.kf_kp_pt[nb, idx[h]])
+                if other < 0:
+                    # new observation of p in the neighbour
+                    if st.pt_mask[p]:
+                        st.add_observations(nb, np.asarray([p]),
+                                            np.asarray([idx[h]]))
+                elif other != p and st.pt_mask[p] and st.pt_mask[other]:
+                    if st.pt_n_obs[p] >= st.pt_n_obs[other]:
+                        st.replace_point(other, p)
+                    else:
+                        st.replace_point(p, other)
+
+    # ------------------------------------------------------------------
+    def cull_keyframes(self, kf_id: int):
+        """Remove redundant keyframes: >=90%% of their landmarks observed by
+        >=3 other keyframes (reference: LocalMapping::KeyFrameCulling)."""
+        st = self.store
+        covis, _ = st.covisibility(kf_id, min_weight=10)
+        okf, opt, _ = st.live_obs()
+        for kc in covis:
+            kc = int(kc)
+            if kc == 0 or kc == kf_id:
+                continue
+            pts = opt[okf == kc]
+            if len(pts) < 20:
+                continue
+            redundant = (st.pt_n_obs[pts] >= 4).mean()
+            if redundant > 0.9:
+                st.remove_keyframe(kc)
 
     # ------------------------------------------------------------------
     def cull_lines(self, kf_id: int):

@@ -23,58 +23,35 @@ from ..features import matching
 from ..geometry import lie
 from ..solvers import pose_graph, sim3_solver
 from ..vocab import bow
+from .keyframe_database import KeyFrameDatabase
 from .map_store import MapStore
 
 
 @dataclasses.dataclass
 class LoopCloser:
     store: MapStore
-    voc: bow.Vocabulary | None = None
+    kfdb: KeyFrameDatabase | None = None
     min_score_ratio: float = 0.75
     min_inliers: int = 25
     min_kf_gap: int = 10          # don't close against recent KFs
     fix_scale: bool = True        # RGB-D / stereo
-    vocab_train_descs: int = 4096
 
     def __post_init__(self):
-        self.kf_bow = None  # [K, W] lazily allocated after vocab training
+        if self.kfdb is None:
+            self.kfdb = KeyFrameDatabase(self.store)
         self.last_loop_kf = -1
         self._ransac_key = jax.random.PRNGKey(0)
 
-    # ------------------------------------------------------------------
-    def _ensure_vocab(self, kf_id: int):
-        if self.voc is not None:
-            return True
-        st = self.store
-        # train from the descriptors seen so far (first few keyframes)
-        live = np.nonzero(st.kf_mask)[0]
-        descs = st.kf_kp_desc[live][st.kf_kp_mask[live]]
-        if len(descs) < 1024:
-            return False
-        sel = np.random.default_rng(0).choice(
-            len(descs), min(self.vocab_train_descs, len(descs)), replace=False
-        )
-        self.voc = bow.train(descs[sel], k=8, depth=3, seed=0)
-        return True
-
-    def _bow_of(self, kf_id: int) -> np.ndarray:
-        st = self.store
-        words = bow.quantize(self.voc, jnp.asarray(st.kf_kp_desc[kf_id]))
-        v = bow.bow_vector(self.voc, words, jnp.asarray(st.kf_kp_mask[kf_id]))
-        return np.asarray(v)
+    @property
+    def kf_bow(self):
+        return self.kfdb.kf_bow
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int) -> dict | None:
         """Detect + verify + correct. Returns loop info dict if closed."""
         st = self.store
-        if not self._ensure_vocab(kf_id):
+        if not self.kfdb.add(kf_id):
             return None
-        if self.kf_bow is None:
-            self.kf_bow = np.zeros((st.max_kf, self.voc.n_words), np.float32)
-            # backfill existing keyframes
-            for k in np.nonzero(st.kf_mask)[0]:
-                self.kf_bow[k] = self._bow_of(k)
-        self.kf_bow[kf_id] = self._bow_of(kf_id)
 
         cand = self._detect(kf_id)
         if cand is None:

@@ -221,6 +221,31 @@ class MapStore:
         self.obs_mask[: self._obs_top][sel] = False
         self.pt_n_obs[pt_ids] = 0
 
+    def replace_point(self, loser: int, winner: int):
+        """Merge landmark ``loser`` into ``winner`` (reference:
+        MapPoint::Replace — observations are transferred unless the winner
+        is already observed in that keyframe)."""
+        if loser == winner:
+            return
+        top = self._obs_top
+        lrows = np.nonzero((self.obs_pt[:top] == loser) & self.obs_mask[:top])[0]
+        wkfs = set(self.obs_kf[:top][(self.obs_pt[:top] == winner)
+                                     & self.obs_mask[:top]].tolist())
+        for r in lrows:
+            kf, kp = self.obs_kf[r], self.obs_kp[r]
+            if int(kf) in wkfs:
+                self.obs_mask[r] = False
+                self.kf_kp_pt[kf, kp] = -1
+            else:
+                self.obs_pt[r] = winner
+                self.kf_kp_pt[kf, kp] = winner
+                self.pt_n_obs[winner] += 1
+                wkfs.add(int(kf))
+        self.pt_mask[loser] = False
+        self.pt_n_obs[loser] = 0
+        self.pt_visible[winner] += self.pt_visible[loser]
+        self.pt_found[winner] += self.pt_found[loser]
+
     def remove_keyframe(self, kf: int):
         self.kf_mask[kf] = False
         sel = (self.obs_kf[: self._obs_top] == kf) & self.obs_mask[: self._obs_top]

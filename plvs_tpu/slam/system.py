@@ -19,6 +19,7 @@ import numpy as np
 from ..geometry import cameras as cam_mod
 from ..geometry import lie
 from . import frame as frame_mod
+from .keyframe_database import KeyFrameDatabase
 from .local_mapping import LocalMapper
 from .loop_closing import LoopCloser
 from .map_store import MapStore
@@ -53,14 +54,18 @@ class System:
         self.config = config or SystemConfig()
         c = self.config
         self.store = MapStore(max_kf=c.max_kf, max_pts=c.max_pts, n_kp=c.num_features)
+        self.kfdb = KeyFrameDatabase(self.store)
         self.tracker = Tracker(
             cam, self.store, num_features=c.num_features,
             min_kf_inliers=c.min_kf_inliers, kf_ratio=c.kf_ratio,
             max_kf_interval=c.max_kf_interval, use_lines=c.use_lines,
+            kfdb=self.kfdb,
         )
         self.local_mapper = LocalMapper(cam, self.store, scale=c.scale,
                                         use_lines=c.use_lines)
-        self.loop_closer = LoopCloser(self.store) if c.loop_closing else None
+        self.loop_closer = (
+            LoopCloser(self.store, kfdb=self.kfdb) if c.loop_closing else None
+        )
         self.dense_mapper = None
         if c.dense_mapping:
             from ..dense.mapping import DenseMapper
@@ -97,6 +102,8 @@ class System:
                     res.kf_id, color, np.asarray(depth, np.float32),
                     self.store.kf_R[res.kf_id], self.store.kf_t[res.kf_id],
                 )
+            if self.loop_closer is None:
+                self.kfdb.add(res.kf_id)
             if self.loop_closer is not None:
                 info = self.loop_closer.process_keyframe(res.kf_id)
                 if info is not None:

@@ -135,7 +135,8 @@ class Tracker:
                  num_features: int = 1024, local_pts_cap: int = 4096,
                  min_kf_inliers: int = 30, kf_ratio: float = 0.75,
                  max_kf_interval: int = 10, max_depth_factor: float = 40.0,
-                 use_lines: bool = False, local_lines_cap: int = 512):
+                 use_lines: bool = False, local_lines_cap: int = 512,
+                 kfdb=None):
         self.cam = cam
         self.store = store
         self.num_features = num_features
@@ -145,6 +146,8 @@ class Tracker:
         self.max_kf_interval = max_kf_interval
         self.use_lines = use_lines
         self.local_lines_cap = local_lines_cap
+        self.kfdb = kfdb  # KeyFrameDatabase, for relocalization
+        self._reloc_key = jax.random.PRNGKey(7)
         # reference: ThDepth * baseline gate for close/far points
         self.max_depth = max_depth_factor * (cam.bf / float(cam.params[0]))
         self.state = NO_IMAGES_YET
@@ -164,11 +167,70 @@ class Tracker:
                       fl=None) -> TrackResult:
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             res = self._initialize(fr, timestamp, fl)
+        elif self.state == LOST:
+            res = self._relocalize(fr, timestamp)
         else:
             res = self._track(fr, timestamp, fl)
         self.last_frame = fr
         self.frame_id += 1
         return res
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, fr: frame_mod.Frame, timestamp: float) -> TrackResult:
+        """Recover a lost frame against the keyframe database (reference:
+        Tracking::Relocalization src/Tracking.cc:4982 — BoW candidates then
+        MLPnP RANSAC; with RGB-D depth available the PnP stage becomes a
+        3D-3D alignment RANSAC, re-verified by pose optimization)."""
+        st = self.store
+        empty = np.full((fr.kp.xy.shape[0],), -1, np.int64)
+        if self.kfdb is None:
+            return TrackResult(self.state, self.R, self.t, 0, empty)
+        cands = self.kfdb.relocalization_candidates(
+            np.asarray(fr.kp.desc), np.asarray(fr.kp.mask))
+        from ..features.matching import match_nn_ratio
+        from ..solvers import sim3_solver
+
+        for kf_id, score in cands:
+            idx, _ = match_nn_ratio(
+                fr.kp.desc, jnp.asarray(st.kf_kp_desc[kf_id]),
+                fr.kp.mask, jnp.asarray(st.kf_kp_mask[kf_id]
+                                        & (st.kf_kp_pt[kf_id] >= 0)),
+                max_dist=64, ratio=0.85,
+            )
+            idx = np.asarray(idx)
+            depth = np.asarray(fr.depth)
+            sel = np.nonzero((idx >= 0) & (depth > 0))[0]
+            if len(sel) < 15:
+                continue
+            P = np.asarray(fr.xyz_cam)[sel]                      # camera frame
+            Q = st.pt_xyz[st.kf_kp_pt[kf_id][idx[sel]]]          # world
+            self._reloc_key, sub = jax.random.split(self._reloc_key)
+            res = sim3_solver.sim3_ransac(
+                jnp.asarray(P), jnp.asarray(Q), jnp.ones((len(sel),), bool),
+                sub, with_scale=False, inlier_thresh=0.10,
+            )
+            if int(res.n_inliers) < 15:
+                continue
+            Rwc = np.asarray(res.R)
+            twc = np.asarray(res.t)
+            R0, t0 = Rwc.T.astype(np.float32), (-Rwc.T @ twc).astype(np.float32)
+            # refine with the full local map of the candidate
+            covis, _ = st.covisibility(kf_id, min_weight=5)
+            window = np.concatenate([[kf_id], covis[:10]])
+            pts = st.points_in_kfs(window)
+            pts = pts[st.pt_mask[pts]]
+            R2, t2, n2, kp_pt2 = self._match_step(fr, R0, t0, pts, radius=8.0)
+            if n2 < 30:
+                continue
+            self.R, self.t = R2, t2
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
+            self.state = OK
+            self.ref_kf = kf_id
+            self.ref_kf_npts = -1
+            self.last_kp_pt_id = kp_pt2
+            return TrackResult(OK, R2, t2, int(n2), kp_pt2)
+        return TrackResult(self.state, self.R, self.t, 0, empty)
 
     # ------------------------------------------------------------------
     def _initialize(self, fr: frame_mod.Frame, timestamp: float,

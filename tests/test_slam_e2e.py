@@ -158,3 +158,40 @@ class TestLoopClosing:
         assert info["candidate"] == kf0 or info["candidate"] <= 2, info
         err_after = np.linalg.norm(st.kf_t[kf_new] - st.kf_t[kf0])
         assert err_after < err_before * 0.25, (err_before, err_after)
+
+
+class TestRelocalization:
+    def test_kidnapped_camera_recovers(self):
+        """Blank out frames mid-sequence (tracking loss), then return to a
+        mapped view: the system must relocalize and continue with a pose
+        consistent with ground truth."""
+        import jax.numpy as jnp
+
+        scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, seed=7)
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                           max_pts=16384, loop_closing=False,
+                           max_kf_interval=4)
+        system = System(CAM, cfg)
+        poses = synthetic.default_trajectory(30)
+        from plvs_tpu.slam.tracking import LOST, OK
+
+        states = []
+        gt = []
+        for i, (ts, gray, depth, R_gt, t_gt) in enumerate(
+                scene.sequence(poses=poses)):
+            if 15 <= i < 20:  # kidnap: blank input
+                gray = np.zeros_like(gray)
+                depth = np.zeros_like(depth)
+            state, R, t = system.track_rgbd(gray, depth, ts)
+            states.append(state)
+            gt.append((R_gt, t_gt))
+        assert LOST in states[14:22], states
+        # must recover to OK after the blackout
+        assert all(s == OK for s in states[23:]), states
+        # recovered pose should be close to ground truth
+        _, R_est, t_est = system.trajectory[-1][0], *[
+            x for x in (system.trajectory[-1][1], system.trajectory[-1][2])]
+        R_gt, t_gt = gt[-1]
+        C_est = -R_est.T @ t_est
+        C_gt = -R_gt.T @ t_gt
+        assert np.linalg.norm(C_est - C_gt) < 0.1, np.linalg.norm(C_est - C_gt)
