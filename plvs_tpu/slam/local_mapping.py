@@ -37,15 +37,103 @@ class LocalMapper:
 
     use_lines: bool = False
     kf_culling: bool = True
+    triangulate_new_points: bool = False  # mono map growth (and far points)
 
     def process_keyframe(self, kf_id: int):
         self.cull_points(kf_id)
         if self.use_lines:
             self.cull_lines(kf_id)
+        if self.triangulate_new_points:
+            self.create_new_points(kf_id)
         self.fuse_neighbors(kf_id)
         self.local_ba(kf_id)
         if self.kf_culling:
             self.cull_keyframes(kf_id)
+
+    # ------------------------------------------------------------------
+    def create_new_points(self, kf_id: int, max_neighbors: int = 5):
+        """Triangulate new landmarks between the new KF and covisible
+        neighbours from epipolar-gated descriptor matches (reference:
+        LocalMapping::CreateNewMapFeatures src/LocalMapping.cc:513-657 —
+        SearchForTriangulation + two-view triangulation with parallax,
+        cheirality and reprojection checks)."""
+        import jax.numpy as _j
+
+        from ..features.matching import search_for_triangulation
+        from ..geometry import cameras as _cm
+        from ..geometry import lie as _lie
+        from ..geometry import triangulation as _tri
+
+        st = self.store
+        covis, _ = st.covisibility(kf_id, min_weight=10)
+        if len(covis) == 0:
+            return
+        m1 = st.kf_kp_mask[kf_id] & (st.kf_kp_pt[kf_id] < 0)
+        if m1.sum() < 10:
+            return
+        rays1_full = _cm.unproject(self.cam, _j.asarray(st.kf_kp_xy[kf_id]))
+        R1 = st.kf_R[kf_id]
+        t1 = st.kf_t[kf_id]
+        for nb in covis[:max_neighbors]:
+            nb = int(nb)
+            # baseline check (reference: skip if baseline too small
+            # vs scene depth)
+            C1 = -R1.T @ t1
+            C2 = -st.kf_R[nb].T @ st.kf_t[nb]
+            if np.linalg.norm(C1 - C2) < 1e-3:
+                continue
+            m2 = st.kf_kp_mask[nb] & (st.kf_kp_pt[nb] < 0)
+            rays2_full = _cm.unproject(self.cam, _j.asarray(st.kf_kp_xy[nb]))
+            # relative pose x1 = R12 x2 + t12
+            R12 = R1 @ st.kf_R[nb].T
+            t12 = t1 - R12 @ st.kf_t[nb]
+            idx, _d = search_for_triangulation(
+                _j.asarray(st.kf_kp_desc[kf_id]), _j.asarray(m1), rays1_full,
+                _j.asarray(st.kf_kp_desc[nb]), _j.asarray(m2), rays2_full,
+                _j.asarray(R12), _j.asarray(t12),
+                epi_thresh=2.0 / float(self.cam.fx),
+            )
+            idx = np.asarray(idx)
+            sel = np.nonzero(idx >= 0)[0]
+            if len(sel) == 0:
+                continue
+            n = len(sel)
+            Xw, valid = _tri.triangulate_points_world(
+                _j.asarray(np.tile(R1, (n, 1, 1))), _j.asarray(np.tile(t1, (n, 1))),
+                _j.asarray(np.tile(st.kf_R[nb], (n, 1, 1))),
+                _j.asarray(np.tile(st.kf_t[nb], (n, 1))),
+                rays1_full[sel], rays2_full[idx[sel]],
+            )
+            cosp = _tri.parallax_cos(
+                rays1_full[sel], rays2_full[idx[sel]],
+                _j.asarray(np.tile(R12, (n, 1, 1))))
+            # reprojection checks in both views
+            Xc1 = _lie.se3_apply(_j.asarray(R1), _j.asarray(t1), Xw)
+            Xc2 = _lie.se3_apply(_j.asarray(st.kf_R[nb]),
+                                 _j.asarray(st.kf_t[nb]), Xw)
+            uv1 = _cm.project(self.cam, Xc1)
+            uv2 = _cm.project(self.cam, Xc2)
+            e1 = np.sum((np.asarray(uv1) - st.kf_kp_xy[kf_id][sel]) ** 2, -1)
+            e2 = np.sum((np.asarray(uv2) - st.kf_kp_xy[nb][idx[sel]]) ** 2, -1)
+            ok = (
+                np.asarray(valid) & (np.asarray(cosp) < 0.9998)
+                & (np.asarray(Xc1[:, 2]) > 0.05) & (np.asarray(Xc2[:, 2]) > 0.05)
+                & (e1 < 5.991) & (e2 < 5.991)
+            )
+            good = np.nonzero(ok)[0]
+            if len(good) == 0:
+                continue
+            pt_ids = st.alloc_pts(len(good))
+            st.pt_xyz[pt_ids] = np.asarray(Xw)[good]
+            st.pt_desc[pt_ids] = st.kf_kp_desc[kf_id][sel[good]]
+            st.pt_mask[pt_ids] = True
+            st.pt_ref_kf[pt_ids] = kf_id
+            st.pt_first_kf[pt_ids] = kf_id
+            st.pt_visible[pt_ids] = 1
+            st.pt_found[pt_ids] = 1
+            st.add_observations(kf_id, pt_ids, sel[good])
+            st.add_observations(nb, pt_ids, idx[sel[good]])
+            m1 = st.kf_kp_mask[kf_id] & (st.kf_kp_pt[kf_id] < 0)
 
     # ------------------------------------------------------------------
     def fuse_neighbors(self, kf_id: int):

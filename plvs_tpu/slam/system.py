@@ -40,6 +40,7 @@ class SystemConfig:
     dense_segmentation: bool = False
     use_lines: bool = False
     max_lines: int = 128
+    sensor: str = "rgbd"  # "rgbd" | "stereo" | "mono"
     min_kf_inliers: int = 30
     kf_ratio: float = 0.75
     max_kf_interval: int = 10
@@ -59,10 +60,12 @@ class System:
             cam, self.store, num_features=c.num_features,
             min_kf_inliers=c.min_kf_inliers, kf_ratio=c.kf_ratio,
             max_kf_interval=c.max_kf_interval, use_lines=c.use_lines,
-            kfdb=self.kfdb,
+            kfdb=self.kfdb, sensor=c.sensor,
         )
-        self.local_mapper = LocalMapper(cam, self.store, scale=c.scale,
-                                        use_lines=c.use_lines)
+        self.local_mapper = LocalMapper(
+            cam, self.store, scale=c.scale, use_lines=c.use_lines,
+            triangulate_new_points=(c.sensor == "mono"),
+        )
         self.loop_closer = (
             LoopCloser(self.store, kfdb=self.kfdb) if c.loop_closing else None
         )
@@ -119,6 +122,67 @@ class System:
                         )
             # keep the tracker's pose consistent with the (possibly loop-
             # corrected) adjusted KF
+            self.tracker.R = self.store.kf_R[res.kf_id].copy()
+            self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
+        return res.state, res.R, res.t
+
+    def track_monocular(self, gray: np.ndarray, timestamp: float):
+        """Track one monocular frame (reference: System::TrackMonocular,
+        src/System.cc:653). The returned map/trajectory is up to scale."""
+        fr = frame_mod.build_frame_mono(
+            jnp.asarray(gray, jnp.float32), self.cam,
+            self.config.num_features, self.config.n_levels, self.config.scale,
+        )
+        res = self.tracker.process_frame(fr, timestamp)
+        if res.is_keyframe and res.kf_id >= 0:
+            if self.config.local_ba:
+                self.local_mapper.process_keyframe(res.kf_id)
+            if self.loop_closer is None:
+                self.kfdb.add(res.kf_id)
+            else:
+                info = self.loop_closer.process_keyframe(res.kf_id)
+                if info is not None:
+                    self.loops_closed.append((res.kf_id, info))
+            self.tracker.R = self.store.kf_R[res.kf_id].copy()
+            self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
+        return res.state, res.R, res.t
+
+    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                     timestamp: float):
+        """Track one rectified stereo pair (reference: System::TrackStereo,
+        src/System.cc:460)."""
+        fr = frame_mod.build_frame_stereo(
+            jnp.asarray(gray_l, jnp.float32), jnp.asarray(gray_r, jnp.float32),
+            self.cam, self.config.num_features, self.config.n_levels,
+            self.config.scale,
+        )
+        fl = None
+        if self.config.use_lines:
+            # line endpoint depths from the dense disparity of sparse stereo
+            # are unreliable; lines still participate via triangulated obs
+            fl = frame_mod.build_frame_lines(
+                jnp.asarray(gray_l, jnp.float32),
+                jnp.zeros_like(jnp.asarray(gray_l, jnp.float32)),
+                self.cam, self.config.max_lines,
+            )
+        res = self.tracker.process_frame(fr, timestamp, fl)
+        if res.is_keyframe and res.kf_id >= 0:
+            if self.config.local_ba:
+                self.local_mapper.process_keyframe(res.kf_id)
+            if self.dense_mapper is not None:
+                self.dense_mapper.insert_keyframe_stereo(
+                    res.kf_id, np.asarray(gray_l, np.float32),
+                    np.asarray(gray_r, np.float32),
+                    self.store.kf_R[res.kf_id], self.store.kf_t[res.kf_id],
+                )
+            if self.loop_closer is None:
+                self.kfdb.add(res.kf_id)
+            if self.loop_closer is not None:
+                info = self.loop_closer.process_keyframe(res.kf_id)
+                if info is not None:
+                    self.loops_closed.append((res.kf_id, info))
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))

@@ -136,7 +136,7 @@ class Tracker:
                  min_kf_inliers: int = 30, kf_ratio: float = 0.75,
                  max_kf_interval: int = 10, max_depth_factor: float = 40.0,
                  use_lines: bool = False, local_lines_cap: int = 512,
-                 kfdb=None):
+                 kfdb=None, sensor: str = "rgbd"):
         self.cam = cam
         self.store = store
         self.num_features = num_features
@@ -147,6 +147,8 @@ class Tracker:
         self.use_lines = use_lines
         self.local_lines_cap = local_lines_cap
         self.kfdb = kfdb  # KeyFrameDatabase, for relocalization
+        self.sensor = sensor
+        self._init_frame = None  # monocular initializer reference frame
         self._reloc_key = jax.random.PRNGKey(7)
         # reference: ThDepth * baseline gate for close/far points
         self.max_depth = max_depth_factor * (cam.bf / float(cam.params[0]))
@@ -235,8 +237,91 @@ class Tracker:
     # ------------------------------------------------------------------
     def _initialize(self, fr: frame_mod.Frame, timestamp: float,
                     fl=None) -> TrackResult:
-        """RGB-D initialization: first frame with enough depth points becomes
-        the map origin (reference: Tracking::StereoInitialization,
+        if self.sensor == "mono":
+            return self._initialize_mono(fr, timestamp)
+        return self._initialize_depth(fr, timestamp, fl)
+
+    # ------------------------------------------------------------------
+    def _initialize_mono(self, fr: frame_mod.Frame, timestamp: float) -> TrackResult:
+        """Monocular initialization: two-view reconstruction between a
+        reference frame and the current frame (reference:
+        Tracking::MonocularInitialization src/Tracking.cc:2235 +
+        TwoViewReconstruction; map scaled to median depth 1 like
+        CreateInitialMapMonocular)."""
+        from ..features.matching import search_for_initialization
+        from ..geometry import cameras as _cm
+        from ..solvers import two_view
+
+        st = self.store
+        empty = np.full((fr.kp.xy.shape[0],), -1, np.int64)
+        n_feat = int(np.asarray(fr.kp.mask.sum()))
+        if self._init_frame is None:
+            if n_feat >= 100:
+                self._init_frame = (fr, timestamp)
+            return TrackResult(NOT_INITIALIZED, self.R, self.t, 0, empty)
+        fr0, ts0 = self._init_frame
+        if n_feat < 100:
+            self._init_frame = None
+            return TrackResult(NOT_INITIALIZED, self.R, self.t, 0, empty)
+        idx, _ = search_for_initialization(
+            fr0.kp.xy, fr0.kp.desc, fr0.kp.mask,
+            fr.kp.xy, fr.kp.desc, fr.kp.mask,
+        )
+        idx = np.asarray(idx)
+        sel = np.nonzero(idx >= 0)[0]
+        if len(sel) < 100:
+            self._init_frame = (fr, timestamp)  # reference too old; restart
+            return TrackResult(NOT_INITIALIZED, self.R, self.t, 0, empty)
+        rays0 = _cm.unproject(self.cam, fr0.kp.xy[sel])
+        rays1 = _cm.unproject(self.cam, fr.kp.xy[idx[sel]])
+        p0 = np.asarray(rays0[:, :2])
+        p1 = np.asarray(rays1[:, :2])
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        res = two_view.reconstruct(
+            jnp.asarray(p0), jnp.asarray(p1), jnp.ones((len(sel),), bool), sub,
+            sigma=1.0 / float(self.cam.fx), min_good=80,
+        )
+        if not bool(res.success):
+            return TrackResult(NOT_INITIALIZED, self.R, self.t, 0, empty)
+        inl = np.asarray(res.inliers)
+        X = np.asarray(res.points3d)
+        # scale: median depth -> 1 (reference: CreateInitialMapMonocular)
+        med = float(np.median(X[inl, 2]))
+        X = X / max(med, 1e-6)
+        t21 = np.asarray(res.t21) / max(med, 1e-6)
+        R21 = np.asarray(res.R21)
+
+        # KF0 at identity, KF1 at (R21, t21)
+        self.R, self.t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        kf0, _ = self._create_keyframe(fr0, ts0, np.full((fr0.kp.xy.shape[0],), -1))
+        pt_ids = st.alloc_pts(int(inl.sum()))
+        st.pt_xyz[pt_ids] = X[inl]
+        st.pt_desc[pt_ids] = np.asarray(fr0.kp.desc)[sel[inl]]
+        st.pt_mask[pt_ids] = True
+        st.pt_ref_kf[pt_ids] = kf0
+        st.pt_first_kf[pt_ids] = kf0
+        st.pt_visible[pt_ids] = 1
+        st.pt_found[pt_ids] = 1
+        st.add_observations(kf0, pt_ids, sel[inl])
+        self.R, self.t = R21.astype(np.float32), t21.astype(np.float32)
+        kf1, _ = self._create_keyframe(fr, timestamp, empty.copy())
+        st.add_observations(kf1, pt_ids, idx[sel[inl]])
+        st.kf_kp_pt[kf1, idx[sel[inl]]] = pt_ids
+
+        self.state = OK
+        self.ref_kf = kf1
+        self.ref_kf_npts = -1
+        self.frames_since_kf = 0
+        self.last_kp_pt_id = np.asarray(st.kf_kp_pt[kf1]).copy()
+        self._init_frame = None
+        return TrackResult(OK, self.R, self.t, int(inl.sum()),
+                           self.last_kp_pt_id, True, kf1)
+
+    # ------------------------------------------------------------------
+    def _initialize_depth(self, fr: frame_mod.Frame, timestamp: float,
+                          fl=None) -> TrackResult:
+        """RGB-D/stereo initialization: first frame with enough depth points
+        becomes the map origin (reference: Tracking::StereoInitialization,
         src/Tracking.cc:2231, needs >= 500 features)."""
         n_depth = int(np.asarray((fr.depth > 0).sum()))
         if n_depth < 300:

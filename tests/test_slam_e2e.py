@@ -195,3 +195,72 @@ class TestRelocalization:
         C_est = -R_est.T @ t_est
         C_gt = -R_gt.T @ t_gt
         assert np.linalg.norm(C_est - C_gt) < 0.1, np.linalg.norm(C_est - C_gt)
+
+
+class TestStereo:
+    def test_stereo_slam(self):
+        """Stereo pipeline: render left/right from the synthetic wall with a
+        real baseline; ATE must stay small."""
+        baseline = 0.08  # meters; bf = fx * b = 24 -> b = 24/300
+        cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320,
+                              height=240, bf=300.0 * baseline)
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=8)
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                           max_pts=16384, loop_closing=False)
+        system = System(cam, cfg)
+        gt = []
+        for ts, (R_gt, t_gt) in zip(
+                np.arange(20) / 30.0, synthetic.default_trajectory(20)):
+            gl, _ = scene.render(R_gt, t_gt)
+            # right camera: shifted along +x in the camera frame
+            t_r = t_gt - R_gt @ np.array([0, 0, 0], np.float32) \
+                - np.array([baseline, 0, 0], np.float32) @ np.eye(3)
+            # world-to-right-cam: x_r = R_gt x + t_gt - [b,0,0]
+            gr, _ = scene.render(R_gt, t_gt - np.array([baseline, 0, 0],
+                                                       np.float32))
+            state, R, t = system.track_stereo(gl, gr, ts)
+            gt.append(-R_gt.T @ t_gt)
+        traj = system.trajectory_tum()
+        rmse = evaluation.ate_rmse(traj[:, 1:4], np.stack(gt), align=True)
+        assert rmse < 0.05, rmse
+        stats = system.map_statistics()
+        assert stats["points"] > 200, stats
+
+
+class TestMonocular:
+    def test_mono_slam_up_to_scale(self):
+        """Monocular pipeline: init by two-view reconstruction, map growth by
+        triangulation; trajectory correct up to scale (Sim3-aligned ATE)."""
+        cam = CAM
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=9)
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                           max_pts=16384, loop_closing=False, sensor="mono",
+                           max_kf_interval=5, min_kf_inliers=25)
+        system = System(cam, cfg)
+        # translation-dominant trajectory for good init parallax
+        n = 40
+        poses = []
+        for i in range(n):
+            s = i / (n - 1)
+            C = np.array([1.6 * s, 0.1 * np.sin(2 * np.pi * s), 0.3 * s],
+                         np.float32)
+            R = np.eye(3, dtype=np.float32)
+            poses.append((R, (-R @ C).astype(np.float32)))
+        gt = []
+        states = []
+        for ts, gray, depth, R_gt, t_gt in scene.sequence(poses=poses):
+            state, R, t = system.track_monocular(gray, ts)
+            states.append(state)
+            gt.append(-R_gt.T @ t_gt)
+        from plvs_tpu.slam.tracking import OK
+
+        n_ok = sum(1 for s in states if s == OK)
+        assert n_ok > 25, states
+        # evaluate the OK segment with Sim3 (scale) alignment
+        traj = system.trajectory_tum()
+        sel = [i for i, s in enumerate(states) if s == OK]
+        est = traj[sel, 1:4]
+        gtx = np.stack([gt[i] for i in sel])
+        rmse = evaluation.ate_rmse(est, gtx, align=True, with_scale=True)
+        assert rmse < 0.05, rmse
+        assert system.map_statistics()["points"] > 200
