@@ -32,11 +32,28 @@ class InertialInit(NamedTuple):
     residual_norm: jnp.ndarray
 
 
-def _gravity_from_dirs(rxy: jnp.ndarray) -> jnp.ndarray:
+def _gravity_from_dirs(rxy: jnp.ndarray, R0: jnp.ndarray | None = None) -> jnp.ndarray:
     """2-dof gravity parameterization: rotate the nominal -z gravity by a
-    rotation with zero yaw component (reference: VertexGDir)."""
+    rotation with zero yaw component, optionally pre-rotated by a coarse
+    initial estimate R0 (reference: VertexGDir around the Rwg computed from
+    the accumulated velocity direction dirG in InitializeIMU)."""
     Rg = lie.so3_exp(jnp.concatenate([rxy, jnp.zeros(1, rxy.dtype)]))
-    return Rg @ jnp.asarray([0.0, 0.0, -9.81], rxy.dtype)
+    g = Rg @ jnp.asarray([0.0, 0.0, -9.81], rxy.dtype)
+    if R0 is not None:
+        g = R0 @ g
+    return g
+
+
+def _rotation_between(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Rotation taking unit vector a to unit vector b."""
+    v = jnp.cross(a, b)
+    c = jnp.dot(a, b)
+    s2 = jnp.sum(v * v)
+    V = lie.hat(v)
+    # Rodrigues; guard the antiparallel case with a fixed orthogonal axis
+    R = jnp.eye(3, dtype=a.dtype) + V + V @ V * ((1 - c) / jnp.maximum(s2, 1e-12))
+    R_anti = lie.so3_exp(jnp.asarray([jnp.pi, 0.0, 0.0], a.dtype))
+    return jnp.where(s2 < 1e-12, jnp.where(c > 0, jnp.eye(3, dtype=a.dtype), R_anti), R)
 
 
 def inertial_only_optimize(
@@ -64,10 +81,18 @@ def inertial_only_optimize(
         vel = theta[9:].reshape(K, 3)
         return rxy, log_s, bg, ba, vel
 
+    # coarse initial gravity direction from the preintegrated velocity
+    # deltas: v_j - v_i - g dT = R_i dV  =>  for slow motion
+    # g ~= -sum(R_i dV_i) / sum(dT) (reference: dirG in InitializeIMU)
+    dirG = -jnp.sum(
+        jnp.einsum("kij,kj->ki", R_wb[:-1], preints.dV), axis=0)
+    dirG = dirG / (jnp.linalg.norm(dirG) + 1e-9)
+    R0_g = _rotation_between(jnp.asarray([0.0, 0.0, -1.0], dtype), dirG)
+
     def residuals(theta):
         rxy, log_s, bg, ba, vel = unpack(theta)
         s = jnp.where(fix_scale, 1.0, jnp.exp(log_s))
-        g = _gravity_from_dirs(rxy)
+        g = _gravity_from_dirs(rxy, R0_g)
 
         def edge(i):
             p_i = jax.tree.map(lambda x: x[i], preints)
@@ -100,7 +125,7 @@ def inertial_only_optimize(
     rxy, log_s, bg, ba, vel = unpack(theta)
     s = jnp.where(fix_scale, 1.0, jnp.exp(log_s))
     return InertialInit(
-        gravity=_gravity_from_dirs(rxy),
+        gravity=_gravity_from_dirs(rxy, R0_g),
         scale=s,
         bias_gyro=bg,
         bias_acc=ba,

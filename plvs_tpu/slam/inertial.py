@@ -1,0 +1,233 @@
+"""Inertial runtime: IMU queueing, state prediction, init scheduling, VI-BA
+window assembly.
+
+TPU-native re-derivation of the reference's inertial plumbing
+(reference: Tracking::GrabImuData/PreintegrateIMU/PredictStateIMU
+src/Tracking.cc:1913-2034; LocalMapping::InitializeIMU
+src/LocalMapping.cc:2164-2300 staged at t≈0/5/15 s; LocalInertialBA
+dispatch :187-192). The host queues raw samples; preintegration runs as
+one scan per frame gap; initialization reuses the inertial-only GN solve;
+after init the local-mapping window optimizes with the VI-BA solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import lie
+from ..imu import initialization as imu_init
+from ..imu import preintegration as pre
+from ..solvers import vi_ba
+
+
+@dataclasses.dataclass
+class InertialRuntime:
+    calib: pre.ImuCalib = dataclasses.field(default_factory=pre.ImuCalib)
+    R_cb: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(3, dtype=np.float32))
+    t_cb: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    init_min_kfs: int = 6
+    init_min_time: float = 1.5    # min seconds of preintegrated data
+    init_refine_until: float = 6.0  # keep re-estimating until this much data
+
+    def __post_init__(self):
+        self.samples: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.kf_preint: dict[int, pre.Preintegrated] = {}  # kf -> preint since prev KF
+        self.kf_chain: list[int] = []
+        self.kf_velocity: dict[int, np.ndarray] = {}
+        self.bias_gyro = np.zeros(3, np.float32)
+        self.bias_acc = np.zeros(3, np.float32)
+        self.gravity: np.ndarray | None = None  # None until initialized
+        self._since_kf: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self._last_frame_t: float | None = None
+        self._frame_preint: pre.Preintegrated | None = None
+
+    @property
+    def initialized(self) -> bool:
+        return self.gravity is not None
+
+    # ------------------------------------------------------------------
+    def add_samples(self, samples):
+        """samples: iterable of (t, gyro[3], acc[3]) (reference:
+        Tracking::GrabImuData)."""
+        for t, w, a in samples:
+            s = (float(t), np.asarray(w, np.float32), np.asarray(a, np.float32))
+            self.samples.append(s)
+            self._since_kf.append(s)
+
+    def preintegrate_frame_gap(self, t0: float, t1: float) -> pre.Preintegrated | None:
+        """Preintegrate all samples in (t0, t1] (reference:
+        Tracking::PreintegrateIMU)."""
+        sel = [(t, w, a) for t, w, a in self.samples if t0 < t <= t1]
+        if len(sel) < 2:
+            return None
+        gy = jnp.asarray(np.stack([s[1] for s in sel]))
+        ac = jnp.asarray(np.stack([s[2] for s in sel]))
+        ts = np.asarray([s[0] for s in sel])
+        dts = jnp.asarray(np.diff(ts, prepend=t0).astype(np.float32))
+        return pre.preintegrate(gy, ac, dts, jnp.asarray(self.bias_gyro),
+                                jnp.asarray(self.bias_acc), self.calib)
+
+    # ------------------------------------------------------------------
+    def predict_rotation(self, R_cw: np.ndarray, p: pre.Preintegrated) -> np.ndarray:
+        """Gyro-only camera rotation prediction for guided matching
+        (reference: PredictStateIMU's rotation part, robust even before
+        full inertial init). R_cw' = R_cb dR^T R_bc R_cw."""
+        dR = np.asarray(pre.delta_rotation(p, jnp.asarray(self.bias_gyro)))
+        R_bw = self.R_cb.T @ R_cw  # body-from-world... (R_cb maps body->cam)
+        R_bw_new = dR.T @ R_bw
+        return (self.R_cb @ R_bw_new).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, kf_id: int, t_prev_kf: float | None, t_kf: float,
+                    store) -> None:
+        """Record the preintegration covering (prev KF, this KF]."""
+        if kf_id in self.kf_chain:
+            # slot reuse after keyframe culling — drop the stale history
+            i = self.kf_chain.index(kf_id)
+            for k in self.kf_chain[i:]:
+                self.kf_preint.pop(k, None)
+            self.kf_chain = self.kf_chain[:i]
+        if t_prev_kf is not None:
+            p = self.preintegrate_frame_gap(t_prev_kf, t_kf)
+            if p is not None:
+                self.kf_preint[kf_id] = p
+        self.kf_chain.append(kf_id)
+        # drop consumed samples (keep a small tail for overlap)
+        self.samples = [s for s in self.samples if s[0] > t_kf - 0.5]
+        # staged initialization (reference: InitializeIMU at t≈0/5/15 s):
+        # wait for enough integrated time, then keep refining the estimate
+        # while the window is still short
+        total_t = float(sum(float(p.dT) for p in self.kf_preint.values()))
+        if len(self.kf_chain) >= self.init_min_kfs and (
+            (not self.initialized and total_t >= self.init_min_time)
+            or (self.initialized and total_t < self.init_refine_until)
+        ):
+            self._try_initialize(store)
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, store) -> bool:
+        """Gravity/bias/velocity estimation over the KF chain (reference:
+        LocalMapping::InitializeIMU; scale fixed for stereo/RGB-D)."""
+        chain = [k for k in self.kf_chain if store.kf_mask[k]]
+        pairs = [(a, b) for a, b in zip(chain[:-1], chain[1:])
+                 if b in self.kf_preint]
+        if len(pairs) < self.init_min_kfs - 1:
+            return False
+        kfs = [pairs[0][0]] + [b for _, b in pairs]
+        R_wb, p_wb = [], []
+        for k in kfs:
+            R_cw = store.kf_R[k]
+            t_cw = store.kf_t[k]
+            R_wb.append((R_cw.T @ self.R_cb).astype(np.float32))
+            # p_wb = camera center - R_wb t_cb... T_bw = T_bc T_cw
+            R_bc = self.R_cb.T
+            t_bc = -R_bc @ self.t_cb
+            R_bw = R_bc @ R_cw
+            t_bw = R_bc @ t_cw + t_bc
+            p_wb.append((-R_bw.T @ t_bw).astype(np.float32))
+        preints = imu_init.stack_preints([self.kf_preint[b] for _, b in pairs])
+        out = imu_init.inertial_only_optimize(
+            jnp.asarray(np.stack(R_wb)), jnp.asarray(np.stack(p_wb)),
+            preints, fix_scale=True)
+        if not bool(jnp.all(jnp.isfinite(out.gravity))):
+            return False
+        self.gravity = np.asarray(out.gravity)
+        self.bias_gyro = np.asarray(out.bias_gyro)
+        self.bias_acc = np.asarray(out.bias_acc)
+        for k, v in zip(kfs, np.asarray(out.velocities)):
+            self.kf_velocity[k] = v.astype(np.float32)
+        return True
+
+    # ------------------------------------------------------------------
+    def vi_local_ba(self, cam, store, kf_id: int, window: int = 8):
+        """VI-BA over the temporal KF window ending at kf_id (reference:
+        LocalInertialBA uses the temporally-connected recent keyframes)."""
+        if not self.initialized:
+            return False
+        chain = [k for k in self.kf_chain if store.kf_mask[k]]
+        if kf_id not in chain:
+            return False
+        end = chain.index(kf_id)
+        kfs = chain[max(0, end - window + 1): end + 1]
+        if len(kfs) < 3:
+            return False
+        # all consecutive pairs need preintegrations
+        pres, pmask = [], []
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            if b in self.kf_preint:
+                pres.append(self.kf_preint[b])
+                pmask.append(True)
+            else:
+                pres.append(jax.tree.map(jnp.zeros_like,
+                                         next(iter(self.kf_preint.values()))))
+                pmask.append(False)
+        K = len(kfs)
+        R_wb = np.zeros((K, 3, 3), np.float32)
+        p_wb = np.zeros((K, 3), np.float32)
+        v_w = np.zeros((K, 3), np.float32)
+        R_bc = self.R_cb.T
+        t_bc = -R_bc @ self.t_cb
+        for i, k in enumerate(kfs):
+            R_bw = R_bc @ store.kf_R[k]
+            t_bw = R_bc @ store.kf_t[k] + t_bc
+            R_wb[i] = R_bw.T
+            p_wb[i] = -R_bw.T @ t_bw
+            v_w[i] = self.kf_velocity.get(k, np.zeros(3, np.float32))
+
+        # visual observations of the window
+        okf, opt, okp = store.live_obs()
+        sel = np.isin(okf, kfs)
+        pts = np.unique(opt[sel])
+        pts = pts[store.pt_mask[pts]]
+        if len(pts) < 20:
+            return False
+        kf_local = {k: i for i, k in enumerate(kfs)}
+        pt_local = np.full(store.max_pts, -1, np.int64)
+        pt_local[pts] = np.arange(len(pts))
+        sel = sel & np.isin(opt, pts)
+        o_kf = np.asarray([kf_local[k] for k in okf[sel]], np.int32)
+        o_pt = pt_local[opt[sel]].astype(np.int32)
+        o_uvr = store.kf_kp_uvr[okf[sel], okp[sel]]
+        M = len(o_kf)
+        if M < 40:
+            return False
+
+        fixed = np.zeros((K,), bool)
+        fixed[0] = True
+        from ..imu.initialization import stack_preints
+
+        prob = vi_ba.VIProblem(
+            jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(v_w),
+            jnp.asarray(np.tile(self.bias_gyro, (K, 1))),
+            jnp.asarray(np.tile(self.bias_acc, (K, 1))),
+            jnp.asarray(fixed), jnp.ones((K,), bool),
+            jnp.asarray(self.R_cb), jnp.asarray(self.t_cb),
+            jnp.asarray(store.pt_xyz[pts]), jnp.ones((len(pts),), bool),
+            jnp.asarray(o_kf), jnp.asarray(o_pt), jnp.asarray(o_uvr),
+            jnp.ones((M,), jnp.float32), jnp.ones((M,), bool),
+            stack_preints(pres), jnp.asarray(pmask),
+            jnp.asarray(self.gravity),
+        )
+        Rn, pn, vn, bgn, ban, ptsn, info = vi_ba.vi_bundle_adjust(
+            cam, prob, num_iters=6, cg_iters=30)
+        if not np.isfinite(float(info["cost"])):
+            return False
+        Rn, pn, vn = np.asarray(Rn), np.asarray(pn), np.asarray(vn)
+        for i, k in enumerate(kfs):
+            if fixed[i]:
+                continue
+            R_bw = Rn[i].T
+            t_bw = -R_bw @ pn[i]
+            store.kf_R[k] = (self.R_cb @ R_bw).astype(np.float32)
+            store.kf_t[k] = (self.R_cb @ t_bw + self.t_cb).astype(np.float32)
+            self.kf_velocity[k] = vn[i].astype(np.float32)
+        store.pt_xyz[pts] = np.asarray(ptsn)
+        self.bias_gyro = np.asarray(bgn).mean(0).astype(np.float32)
+        self.bias_acc = np.asarray(ban).mean(0).astype(np.float32)
+        return True

@@ -41,6 +41,7 @@ class SystemConfig:
     use_lines: bool = False
     max_lines: int = 128
     sensor: str = "rgbd"  # "rgbd" | "stereo" | "mono"
+    use_imu: bool = False
     min_kf_inliers: int = 30
     kf_ratio: float = 0.75
     max_kf_interval: int = 10
@@ -65,6 +66,10 @@ class System:
         self.local_mapper = LocalMapper(
             cam, self.store, scale=c.scale, use_lines=c.use_lines,
             triangulate_new_points=(c.sensor == "mono"),
+            # culling frees KF slots whose ids would be reused, corrupting
+            # the temporal preintegration chain (the reference likewise
+            # restricts culling of temporal neighbours in inertial mode)
+            kf_culling=not c.use_imu,
         )
         self.loop_closer = (
             LoopCloser(self.store, kfdb=self.kfdb) if c.loop_closing else None
@@ -77,11 +82,44 @@ class System:
                 cam, voxel_size=c.dense_voxel_size,
                 use_segmentation=c.dense_segmentation,
             )
+        self.inertial = None
+        if c.use_imu:
+            from .inertial import InertialRuntime
+
+            self.inertial = InertialRuntime()
+        self._last_frame_ts = None
+        self._last_kf_ts = None
         self.loops_closed = []
         self.trajectory = []  # list of (timestamp, R, t) world-to-camera
 
-    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+    def _imu_pre_frame(self, timestamp: float, imu_samples):
+        """Queue IMU samples and override the motion model's rotation with
+        the gyro prediction (reference: PredictStateIMU rotation)."""
+        if self.inertial is None:
+            return
+        if imu_samples is not None:
+            self.inertial.add_samples(imu_samples)
+        if self._last_frame_ts is not None:
+            p = self.inertial.preintegrate_frame_gap(
+                self._last_frame_ts, timestamp)
+            if p is not None and self.tracker.state == 2:  # OK
+                R_pred = self.inertial.predict_rotation(self.tracker.R, p)
+                self.tracker.vel_R = (
+                    R_pred @ self.tracker.R.T).astype(np.float32)
+
+    def _imu_post_kf(self, kf_id: int, timestamp: float):
+        if self.inertial is None:
+            return
+        self.inertial.on_keyframe(kf_id, self._last_kf_ts, timestamp,
+                                  self.store)
+        self._last_kf_ts = timestamp
+        if self.inertial.initialized:
+            self.inertial.vi_local_ba(self.cam, self.store, kf_id)
+
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float,
+                   imu_samples=None):
         """Track one RGB-D frame; returns (state, Rcw, tcw)."""
+        self._imu_pre_frame(timestamp, imu_samples)
         fr = frame_mod.build_frame_rgbd(
             jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
             self.cam, self.config.num_features, self.config.n_levels,
@@ -120,10 +158,12 @@ class System:
                             lambda k: (st.kf_R[k], st.kf_t[k])
                             if st.kf_mask[k] else (None, None)
                         )
+            self._imu_post_kf(res.kf_id, timestamp)
             # keep the tracker's pose consistent with the (possibly loop-
-            # corrected) adjusted KF
+            # corrected / VI-refined) adjusted KF
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
 
@@ -150,9 +190,11 @@ class System:
         return res.state, res.R, res.t
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
-                     timestamp: float):
+                     timestamp: float, imu_samples=None):
         """Track one rectified stereo pair (reference: System::TrackStereo,
-        src/System.cc:460)."""
+        src/System.cc:460; with imu_samples it is the stereo-inertial entry
+        point, reference: Examples/Stereo-Inertial mains)."""
+        self._imu_pre_frame(timestamp, imu_samples)
         fr = frame_mod.build_frame_stereo(
             jnp.asarray(gray_l, jnp.float32), jnp.asarray(gray_r, jnp.float32),
             self.cam, self.config.num_features, self.config.n_levels,
@@ -183,8 +225,10 @@ class System:
                 info = self.loop_closer.process_keyframe(res.kf_id)
                 if info is not None:
                     self.loops_closed.append((res.kf_id, info))
+            self._imu_post_kf(res.kf_id, timestamp)
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
 

@@ -20,6 +20,10 @@ import jax  # noqa: E402
 # JAX_PLATFORMS env var; the config update below wins as long as no backend
 # has been initialized yet (conftest imports run before any test module).
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated CI runs skip recompiles
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -169,3 +169,109 @@ class TestInertialInit:
         np.testing.assert_allclose(float(out.scale), true_scale, rtol=0.03)
         np.testing.assert_allclose(np.asarray(out.gravity), g_w, atol=0.15)
         np.testing.assert_allclose(np.asarray(out.bias_gyro), true_bg, atol=2e-3)
+
+
+class TestVIBA:
+    def test_recovers_perturbed_states(self):
+        """Simulated VI setup: camera observes landmarks from body poses,
+        IMU preintegrations between keyframes; perturbed states + points
+        must converge back (reference: Optimizer::LocalInertialBA)."""
+        from plvs_tpu.geometry import cameras
+        from plvs_tpu.solvers import vi_ba
+
+        cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320,
+                              height=240, bf=24.0)
+        dt = 0.005
+        spk = 40
+        K = 6
+        g_w = np.array([0, 0, -9.81], np.float32)
+        true_bg = np.array([0.002, -0.001, 0.0015], np.float32)
+        true_ba = np.array([0.02, -0.01, 0.03], np.float32)
+
+        R = np.eye(3, dtype=np.float32)
+        p = np.zeros(3, np.float32)
+        v = np.array([0.4, 0.1, -0.05], np.float32)
+        kf_R, kf_p, kf_v = [R.copy()], [p.copy()], [v.copy()]
+        preints = []
+        for i in range(K - 1):
+            gy, ac = [], []
+            for k in range(spk):
+                t = (i * spk + k) * dt
+                w = np.array([0.4 * np.sin(3 * t), 0.3 * np.cos(2 * t), 0.2],
+                             np.float32)
+                a_w = np.array([0.5 * np.sin(4 * t), 0.4 * np.cos(3 * t),
+                                0.3 * np.sin(2 * t)], np.float32)
+                f_b = R.T @ (a_w - g_w)
+                gy.append(w + true_bg)
+                ac.append(f_b + true_ba)
+                p = p + v * dt + 0.5 * a_w * dt * dt
+                v = v + a_w * dt
+                R = R @ np.asarray(lie.so3_exp(jnp.asarray(w * dt)))
+            kf_R.append(R.copy()); kf_p.append(p.copy()); kf_v.append(v.copy())
+            preints.append(pre.preintegrate(
+                jnp.asarray(np.stack(gy)), jnp.asarray(np.stack(ac)),
+                jnp.full((spk,), dt), jnp.asarray(true_bg),
+                jnp.asarray(true_ba)))
+        kf_R = np.stack(kf_R); kf_p = np.stack(kf_p); kf_v = np.stack(kf_v)
+
+        # landmarks in front of the trajectory (world z ~ 3-6)
+        rng = np.random.default_rng(0)
+        P = 300
+        pts = np.stack([rng.uniform(-2, 3, P), rng.uniform(-2, 2, P),
+                        rng.uniform(2.5, 6.0, P)], -1).astype(np.float32)
+        # identity body-camera extrinsics
+        R_cb = np.eye(3, dtype=np.float32)
+        t_cb = np.zeros(3, np.float32)
+        obs_kf, obs_pt, obs_uvr = [], [], []
+        from plvs_tpu.geometry import cameras as cmod
+        for k in range(K):
+            R_cw = R_cb @ kf_R[k].T
+            t_cw = -R_cw @ kf_p[k]
+            Xc = pts @ R_cw.T + t_cw
+            uv = np.asarray(cmod.project(cam, jnp.asarray(Xc)))
+            vis = (Xc[:, 2] > 0.3) & np.asarray(
+                cmod.in_image(cam, jnp.asarray(uv)))
+            idx = np.nonzero(vis)[0]
+            obs_kf.append(np.full(len(idx), k, np.int32))
+            obs_pt.append(idx.astype(np.int32))
+            u = uv[idx] + rng.normal(size=(len(idx), 2)).astype(np.float32) * 0.3
+            obs_uvr.append(np.concatenate(
+                [u, -np.ones((len(idx), 1), np.float32)], -1))
+        obs_kf = np.concatenate(obs_kf); obs_pt = np.concatenate(obs_pt)
+        obs_uvr = np.concatenate(obs_uvr)
+        M = len(obs_kf)
+
+        # perturb states (except fixed KF0) and points
+        pr = np.random.default_rng(1)
+        R0 = kf_R.copy(); p0 = kf_p.copy(); v0 = kf_v.copy()
+        for k in range(1, K):
+            R0[k] = np.asarray(lie.so3_exp(
+                jnp.asarray(pr.normal(size=3) * 0.01, jnp.float32))) @ kf_R[k]
+            p0[k] = kf_p[k] + pr.normal(size=3).astype(np.float32) * 0.03
+            v0[k] = kf_v[k] + pr.normal(size=3).astype(np.float32) * 0.05
+        pts0 = pts + pr.normal(size=(P, 3)).astype(np.float32) * 0.03
+        fixed = np.zeros((K,), bool); fixed[0] = True
+
+        from plvs_tpu.imu.initialization import stack_preints
+        prob = vi_ba.VIProblem(
+            jnp.asarray(R0), jnp.asarray(p0), jnp.asarray(v0),
+            jnp.zeros((K, 3)), jnp.zeros((K, 3)),
+            jnp.asarray(fixed), jnp.ones((K,), bool),
+            jnp.asarray(R_cb), jnp.asarray(t_cb),
+            jnp.asarray(pts0), jnp.ones((P,), bool),
+            jnp.asarray(obs_kf), jnp.asarray(obs_pt), jnp.asarray(obs_uvr),
+            jnp.ones((M,)), jnp.ones((M,), bool),
+            stack_preints(preints), jnp.ones((K - 1,), bool),
+            jnp.asarray(g_w),
+        )
+        Rn, pn, vn, bgn, ban, ptsn, info = vi_ba.vi_bundle_adjust(
+            cam, prob, num_iters=10, cg_iters=40)
+        assert float(info["cost"]) < float(info["cost0"]) * 0.2, info
+        e_p0 = np.linalg.norm(p0 - kf_p, axis=-1).max()
+        e_p = np.linalg.norm(np.asarray(pn) - kf_p, axis=-1).max()
+        assert e_p < e_p0 * 0.4, (e_p0, e_p)
+        e_v = np.linalg.norm(np.asarray(vn) - kf_v, axis=-1).mean()
+        assert e_v < 0.05, e_v
+        # biases move toward the negative of the integration error... here
+        # preints used the TRUE bias, states should estimate bias ~ 0 delta
+        assert np.abs(np.asarray(bgn)).max() < 5e-3

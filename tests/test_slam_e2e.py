@@ -264,3 +264,65 @@ class TestMonocular:
         rmse = evaluation.ate_rmse(est, gtx, align=True, with_scale=True)
         assert rmse < 0.05, rmse
         assert system.map_statistics()["points"] > 200
+
+
+class TestInertial:
+    def test_rgbd_inertial(self):
+        """RGB-D + IMU: gyro-aided prediction, online IMU initialization
+        (gravity + biases) and VI local BA; ATE stays small and the
+        estimated gravity matches the simulated one."""
+        import jax.numpy as jnp
+        from plvs_tpu.geometry import lie as lie_mod
+
+        cam = CAM
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=11)
+        # simulate body==camera motion by integrating an IMU with gravity
+        # along +y (camera looks at the wall, y down)
+        g_w = np.array([0.3, 9.7, -0.4], np.float32)
+        g_w = g_w / np.linalg.norm(g_w) * 9.81
+        dt = 1.0 / 300.0
+        fps = 30
+        n_frames = 80
+        true_bg = np.array([0.002, -0.001, 0.001], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        p = np.zeros(3, np.float32)
+        v = np.array([0.3, 0.0, 0.08], np.float32)
+        frames = []
+        t_now = 0.0
+        for i in range(n_frames):
+            samples = []
+            for k in range(300 // fps):
+                t_now += dt
+                w = np.array([0.1 * np.sin(2 * t_now), 0.15 * np.cos(t_now),
+                              0.05], np.float32)
+                a_w = np.array([0.25 * np.sin(3 * t_now),
+                                0.2 * np.cos(2 * t_now),
+                                0.15 * np.sin(t_now)], np.float32)
+                f_b = R.T @ (a_w - g_w)
+                samples.append((t_now, w + true_bg, f_b))
+                p = p + v * dt + 0.5 * a_w * dt * dt
+                v = v + a_w * dt
+                R = R @ np.asarray(lie_mod.so3_exp(jnp.asarray(w * dt)))
+            # camera pose: world-to-camera from body pose (R_cb = I)
+            R_cw = R.T.copy()
+            t_cw = (-R_cw @ p).copy()
+            frames.append((t_now, R_cw, t_cw, samples))
+
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=96,
+                           max_pts=32768, loop_closing=False, use_imu=True,
+                           max_kf_interval=4)
+        system = System(cam, cfg)
+        gt = []
+        for ts, R_cw, t_cw, samples in frames:
+            gray, depth = scene.render(R_cw.astype(np.float32),
+                                       t_cw.astype(np.float32))
+            system.track_rgbd(gray, depth, ts, imu_samples=samples)
+            gt.append(-R_cw.T @ t_cw)
+        assert system.inertial.initialized, "IMU never initialized"
+        g_est = system.inertial.gravity
+        cos = np.dot(g_est, g_w) / (np.linalg.norm(g_est) * 9.81)
+        assert cos > 0.98, (g_est, g_w)
+        assert np.linalg.norm(system.inertial.bias_gyro - true_bg) < 5e-3
+        traj = system.trajectory_tum()
+        rmse = evaluation.ate_rmse(traj[:, 1:4], np.stack(gt), align=True)
+        assert rmse < 0.04, rmse
