@@ -48,7 +48,21 @@ def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x / (k * k)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "census_window", "agg_radius"))
+def _median3(disp: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median filter applied to valid pixels only."""
+    neigh = [
+        jnp.roll(disp, (dy, dx), axis=(0, 1))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]
+    med = jnp.median(jnp.stack(neigh), axis=0)
+    return jnp.where(disp > 0, med, disp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_disp", "census_window", "agg_radius",
+                     "lr_thresh", "uniqueness"),
+)
 def disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -58,10 +72,23 @@ def disparity(
     lr_thresh: float = 1.5,
     uniqueness: float = 0.95,
 ):
-    """Rectified pair -> float disparity map (<= 0 invalid)."""
+    """Rectified pair -> float disparity map (<= 0 invalid).
+
+    On TPU the cost volume never touches HBM: census + the fused Pallas
+    WTA kernel (plvs_tpu.ops.stereo) + the XLA median tail. Elsewhere the
+    pure-jnp volume path below runs (and serves as the kernel's oracle)."""
     h, w = left.shape
     cl = census_transform(left, census_window)
     cr = census_transform(right, census_window)
+
+    from plvs_tpu.ops import use_pallas
+    if use_pallas():
+        from plvs_tpu.ops import stereo as _stereo_ops
+        disp = _stereo_ops.disparity_wta_pallas(
+            cl, cr, max_disp=max_disp, agg_radius=agg_radius,
+            uniqueness=uniqueness, lr_thresh=lr_thresh,
+        )
+        return _median3(disp)
 
     def ham(a, b):
         return jax.lax.population_count(jnp.bitwise_xor(a, b)).astype(jnp.float32)
@@ -110,15 +137,7 @@ def disparity(
     valid = unique_ok & lr_ok & (best > 0) & (best < D - 1)
     disp = jnp.where(valid, disp, -1.0)
 
-    # 3x3 median filter (sorting network over the 9 neighbors)
-    neigh = [
-        jnp.roll(disp, (dy, dx), axis=(0, 1))
-        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-    ]
-    stack = jnp.stack(neigh)
-    med = jnp.median(stack, axis=0)
-    disp = jnp.where(disp > 0, med, disp)
-    return disp
+    return _median3(disp)
 
 
 def disparity_to_depth(disp: jnp.ndarray, bf: float) -> jnp.ndarray:

@@ -24,9 +24,13 @@ HISTO_BINS = 30
 
 
 def hamming(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
-    """[Q, 8] x [K, 8] uint32 -> [Q, K] int32 Hamming distances."""
-    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    """[Q, 8] x [K, 8] uint32 -> [Q, K] int32 Hamming distances.
+
+    Dispatches to the Pallas tiled kernel on TPU (plvs_tpu.ops.hamming),
+    falling back to fused XOR+popcount elsewhere."""
+    from plvs_tpu.ops import hamming as _ham_ops
+
+    return _ham_ops.hamming_matrix(d1, d2)
 
 
 def hamming_pairs(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
