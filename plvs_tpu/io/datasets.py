@@ -17,6 +17,10 @@ import numpy as np
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    if path.endswith(".png"):
+        from .. import native
+        if native.available():
+            return native.read_png_gray(path)
     try:
         from PIL import Image
 
@@ -32,6 +36,10 @@ def _imread_gray(path: str) -> np.ndarray:
 
 
 def _imread_depth(path: str, factor: float) -> np.ndarray:
+    if path.endswith(".png"):
+        from .. import native
+        if native.available():
+            return native.read_png_gray(path) / factor
     try:
         from PIL import Image
 

@@ -38,6 +38,13 @@ class MapStore:
         self.kf_fixed = np.zeros((K,), bool)
         self.kf_timestamp = np.zeros((K,), np.float64)
         self.kf_frame_id = np.zeros((K,), np.int64)
+        # multi-map atlas: each keyframe belongs to one map; maps are
+        # disjoint id-sets inside this one fixed-capacity store (reference:
+        # Atlas multi-map manager include/Atlas.h:87-147 — CreateNewMap on
+        # tracking loss, welded back by map merging)
+        self.kf_map = np.zeros((K,), np.int64)
+        self.active_map = 0
+        self.n_maps = 1
         # per-KF keypoints (snapshot of the Frame at KF creation)
         self.kf_kp_xy = np.zeros((K, N, 2), np.float32)
         self.kf_kp_uvr = np.full((K, N, 3), -1.0, np.float32)
@@ -96,12 +103,65 @@ class MapStore:
     def alloc_kf(self) -> int:
         free = np.nonzero(~self.kf_mask[: self._n_kf])[0]
         if len(free):
-            return int(free[0])
-        if self._n_kf >= self.max_kf:
-            raise RuntimeError("MapStore: keyframe capacity exhausted")
-        k = self._n_kf
-        self._n_kf += 1
+            k = int(free[0])
+        else:
+            if self._n_kf >= self.max_kf:
+                raise RuntimeError("MapStore: keyframe capacity exhausted")
+            k = self._n_kf
+            self._n_kf += 1
+        self.kf_map[k] = self.active_map
         return k
+
+    # -- multi-map atlas (reference: Atlas, include/Atlas.h:87-147) --------
+    def create_map(self) -> int:
+        """Start a fresh map; subsequent keyframes belong to it (reference:
+        Atlas::CreateNewMap via Tracking::CreateMapInAtlas on loss,
+        include/Tracking.h:147)."""
+        self.active_map = self.n_maps
+        self.n_maps += 1
+        return self.active_map
+
+    def kfs_of_map(self, map_id: int) -> np.ndarray:
+        return np.nonzero(self.kf_mask & (self.kf_map == map_id))[0]
+
+    def points_of_map(self, map_id: int) -> np.ndarray:
+        """Live points whose reference keyframe lies in ``map_id``."""
+        pts = np.nonzero(self.pt_mask)[0]
+        ref = self.pt_ref_kf[pts]
+        ok = (ref >= 0) & (self.kf_map[np.clip(ref, 0, self.max_kf - 1)]
+                           == map_id)
+        return pts[ok]
+
+    def merge_map_into(self, src_map: int, dst_map: int,
+                       G_R: np.ndarray, G_t: np.ndarray,
+                       G_s: float = 1.0):
+        """Weld ``src_map`` into ``dst_map``'s frame: X_dst = s G_R X_src + G_t
+        for every landmark, and T_kf' = T_kf ∘ G^{-1} for every keyframe
+        (reference: LoopClosing::MergeLocal Sim3 welding,
+        src/LoopClosing.cc:1684-)."""
+        kfs = self.kfs_of_map(src_map)
+        pts = self.points_of_map(src_map)
+        # landmarks
+        self.pt_xyz[pts] = (
+            G_s * self.pt_xyz[pts] @ G_R.T + G_t).astype(np.float32)
+        lns = np.nonzero(self.ln_mask)[0]
+        if len(lns):
+            ref = self.ln_ref_kf[lns]
+            sel = lns[(ref >= 0)
+                      & (self.kf_map[np.clip(ref, 0, self.max_kf - 1)]
+                         == src_map)]
+            for arr in (self.ln_Xs, self.ln_Xe):
+                arr[sel] = (G_s * arr[sel] @ G_R.T + G_t).astype(np.float32)
+        # keyframes: camera center maps like any world point
+        # (C' = s G_R C + G_t), so R' = R G_R^T and t' = s t - R' G_t
+        for k in kfs:
+            Rk, tk = self.kf_R[k], self.kf_t[k]
+            Rn = Rk @ G_R.T
+            self.kf_R[k] = Rn.astype(np.float32)
+            self.kf_t[k] = (G_s * tk - Rn @ G_t).astype(np.float32)
+        self.kf_map[kfs] = dst_map
+        if self.active_map == src_map:
+            self.active_map = dst_map
 
     def alloc_pts(self, n: int) -> np.ndarray:
         free = np.nonzero(~self.pt_mask[: self._n_pt])[0][:n]
@@ -266,13 +326,24 @@ class MapStore:
 
     def covisibility(self, kf: int, min_weight: int = 15):
         """KF ids sharing >= min_weight map points with ``kf``, sorted by
-        weight desc (reference: KeyFrame::GetBestCovisibilityKeyFrames)."""
-        okf, opt, _ = self.live_obs()
-        my_pts = opt[okf == kf]
-        if len(my_pts) == 0:
-            return np.zeros((0,), np.int64), np.zeros((0,), np.int64)
-        sel = np.isin(opt, my_pts) & (okf != kf)
-        counts = np.bincount(okf[sel], minlength=self.max_kf)
+        weight desc (reference: KeyFrame::GetBestCovisibilityKeyFrames).
+
+        Uses the native C++ covisibility engine (plvs_tpu.native) when
+        available — this runs on the host concurrently with device compute —
+        with an equivalent numpy fallback."""
+        from .. import native
+        if native.available():
+            m = self.obs_mask[: self._obs_top]
+            counts = native.covis_counts(
+                self.obs_kf[: self._obs_top], self.obs_pt[: self._obs_top],
+                m, kf, self.max_kf, self.max_pts).astype(np.int64)
+        else:
+            okf, opt, _ = self.live_obs()
+            my_pts = opt[okf == kf]
+            if len(my_pts) == 0:
+                return np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+            sel = np.isin(opt, my_pts) & (okf != kf)
+            counts = np.bincount(okf[sel], minlength=self.max_kf)
         ids = np.nonzero(counts >= min_weight)[0]
         order = np.argsort(-counts[ids], kind="stable")
         ids = ids[order]
