@@ -56,13 +56,47 @@ class LoopCloser:
         cand = self._detect(kf_id)
         if cand is None:
             return None
-        ok, R_rel, t_rel, n_inl = self._verify(kf_id, cand)
+        ok, R_rel, t_rel, n_inl, pairs = self._verify(kf_id, cand)
         if not ok:
             return None
-        info = self._correct(kf_id, cand, R_rel, t_rel)
+        if st.kf_map[cand] != st.kf_map[kf_id]:
+            # place recognised in another atlas map -> weld the active map
+            # into it (reference: MergeLocal, src/LoopClosing.cc:1684-)
+            info = self._merge(kf_id, cand, R_rel, t_rel, pairs)
+        else:
+            info = self._correct(kf_id, cand, R_rel, t_rel)
         info.update({"candidate": int(cand), "inliers": int(n_inl)})
         self.last_loop_kf = kf_id
         return info
+
+    # ------------------------------------------------------------------
+    def _merge(self, kf_id: int, cand: int, R_rel, t_rel, pairs) -> dict:
+        """Weld kf_id's map into cand's map (reference: LoopClosing::
+        MergeLocal — Sim3 welding transform, duplicate-landmark fusion).
+
+        The verified relation is X_cand_cam = R_rel X_kf_cam + t_rel, so the
+        world-to-world weld G (kf-map world -> cand-map world) is
+        T_cand^-1 ∘ (R_rel, t_rel) ∘ T_kf.
+        """
+        st = self.store
+        src_map = int(st.kf_map[kf_id])
+        dst_map = int(st.kf_map[cand])
+        Rc, tc = st.kf_R[cand], st.kf_t[cand]
+        Rk, tk = st.kf_R[kf_id], st.kf_t[kf_id]
+        G_R = (Rc.T @ R_rel @ Rk).astype(np.float32)
+        G_t = (Rc.T @ (R_rel @ tk + t_rel - tc)).astype(np.float32)
+        st.merge_map_into(src_map, dst_map, G_R, G_t)
+        # fuse the verified duplicate landmarks: keep the matched (older)
+        # map's point (reference: SearchAndFuse during merge)
+        n_fused = 0
+        for p_src, p_dst in pairs:
+            if st.pt_mask[p_src] and st.pt_mask[p_dst] and p_src != p_dst:
+                st.replace_point(int(p_src), int(p_dst))
+                n_fused += 1
+        return {"merged_map": src_map, "into_map": dst_map,
+                "n_fused": n_fused, "merge": True,
+                "cost0": 0.0, "cost": 0.0,
+                "n_kf": int(len(st.kfs_of_map(dst_map)))}
 
     # ------------------------------------------------------------------
     def _detect(self, kf_id: int):
@@ -105,9 +139,11 @@ class LoopCloser:
         idx = np.asarray(idx)
         sel = np.nonzero(idx >= 0)[0]
         if len(sel) < self.min_inliers:
-            return False, None, None, 0
-        pts1 = st.pt_xyz[st.kf_kp_pt[kf_id][sel]]
-        pts2 = st.pt_xyz[st.kf_kp_pt[cand][idx[sel]]]
+            return False, None, None, 0, None
+        p1_ids = st.kf_kp_pt[kf_id][sel]
+        p2_ids = st.kf_kp_pt[cand][idx[sel]]
+        pts1 = st.pt_xyz[p1_ids]
+        pts2 = st.pt_xyz[p2_ids]
         # express both in their local camera frames (reference aligns
         # camera-frame points, making the estimate the relative pose)
         X1 = pts1 @ st.kf_R[kf_id].T + st.kf_t[kf_id]
@@ -119,8 +155,11 @@ class LoopCloser:
             with_scale=not self.fix_scale, inlier_thresh=0.10,
         )
         if int(res.n_inliers) < self.min_inliers:
-            return False, None, None, int(res.n_inliers)
-        return True, np.asarray(res.R), np.asarray(res.t), int(res.n_inliers)
+            return False, None, None, int(res.n_inliers), None
+        inl = np.asarray(res.inliers)
+        pairs = list(zip(p1_ids[inl].tolist(), p2_ids[inl].tolist()))
+        return (True, np.asarray(res.R), np.asarray(res.t),
+                int(res.n_inliers), pairs)
 
     # ------------------------------------------------------------------
     def _correct(self, kf_id: int, cand: int, R_rel, t_rel):
@@ -128,7 +167,7 @@ class LoopCloser:
         OptimizeEssentialGraph). The loop edge pins T_cand_w ∘ T_w_kf to the
         verified relative pose; the chain edges come from current estimates."""
         st = self.store
-        live = np.sort(np.nonzero(st.kf_mask)[0])
+        live = np.sort(st.kfs_of_map(int(st.kf_map[kf_id])))
         K = len(live)
         loc = {int(k): i for i, k in enumerate(live)}
         R = jnp.asarray(st.kf_R[live])

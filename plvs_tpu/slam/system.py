@@ -45,6 +45,10 @@ class SystemConfig:
     min_kf_inliers: int = 30
     kf_ratio: float = 0.75
     max_kf_interval: int = 10
+    # atlas: park the map and start a new one after this many consecutive
+    # lost frames (reference: 5 s relocalization deadline at 30 fps,
+    # src/Tracking.cc:86); 0 disables multi-map
+    new_map_after_lost: int = 150
 
 
 class System:
@@ -62,6 +66,7 @@ class System:
             min_kf_inliers=c.min_kf_inliers, kf_ratio=c.kf_ratio,
             max_kf_interval=c.max_kf_interval, use_lines=c.use_lines,
             kfdb=self.kfdb, sensor=c.sensor,
+            new_map_after_lost=c.new_map_after_lost,
         )
         self.local_mapper = LocalMapper(
             cam, self.store, scale=c.scale, use_lines=c.use_lines,
@@ -252,4 +257,5 @@ class System:
             "points": self.store.num_points,
             "lines": self.store.num_lines,
             "frames": len(self.trajectory),
+            "maps": self.store.n_maps,
         }

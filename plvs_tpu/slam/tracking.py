@@ -136,7 +136,8 @@ class Tracker:
                  min_kf_inliers: int = 30, kf_ratio: float = 0.75,
                  max_kf_interval: int = 10, max_depth_factor: float = 40.0,
                  use_lines: bool = False, local_lines_cap: int = 512,
-                 kfdb=None, sensor: str = "rgbd"):
+                 kfdb=None, sensor: str = "rgbd",
+                 new_map_after_lost: int = 0):
         self.cam = cam
         self.store = store
         self.num_features = num_features
@@ -163,6 +164,13 @@ class Tracker:
         self.ref_kf_npts = 0
         self.frames_since_kf = 0
         self.frame_id = 0
+        # multi-map atlas: after this many consecutive lost frames with a
+        # mature map, park it and start a fresh one (reference: the 5s
+        # relocalization deadline src/Tracking.cc:86 feeding
+        # CreateMapInAtlas; 0 disables)
+        self.new_map_after_lost = new_map_after_lost
+        self.lost_frames = 0
+        self.maps_created = 0
 
     # ------------------------------------------------------------------
     def process_frame(self, fr: frame_mod.Frame, timestamp: float,
@@ -171,11 +179,40 @@ class Tracker:
             res = self._initialize(fr, timestamp, fl)
         elif self.state == LOST:
             res = self._relocalize(fr, timestamp)
+            if res.state == LOST:
+                self.lost_frames += 1
+                if (self.new_map_after_lost
+                        and self.lost_frames >= self.new_map_after_lost
+                        and len(self.store.kfs_of_map(
+                            self.store.active_map)) >= 5):
+                    self._create_map_in_atlas()
+            else:
+                self.lost_frames = 0
         else:
             res = self._track(fr, timestamp, fl)
+            self.lost_frames = 1 if res.state == LOST else 0
         self.last_frame = fr
         self.frame_id += 1
         return res
+
+    # ------------------------------------------------------------------
+    def _create_map_in_atlas(self):
+        """Park the current map and start a fresh one (reference:
+        Tracking::CreateMapInAtlas, include/Tracking.h:147 — the old map
+        stays in the Atlas and can be welded back by map merging)."""
+        self.store.create_map()
+        self.maps_created += 1
+        self.state = NOT_INITIALIZED
+        self.R = np.eye(3, dtype=np.float32)
+        self.t = np.zeros(3, np.float32)
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self.ref_kf = -1
+        self.ref_kf_npts = 0
+        self.frames_since_kf = 0
+        self.lost_frames = 0
+        self._init_frame = None
+        self.last_kp_pt_id = None
 
     # ------------------------------------------------------------------
     def _relocalize(self, fr: frame_mod.Frame, timestamp: float) -> TrackResult:
@@ -189,6 +226,10 @@ class Tracker:
             return TrackResult(self.state, self.R, self.t, 0, empty)
         cands = self.kfdb.relocalization_candidates(
             np.asarray(fr.kp.desc), np.asarray(fr.kp.mask))
+        # relocalize only in the active map; other maps are reached through
+        # map merging (reference: Relocalization searches the active map)
+        cands = [(k, s) for k, s in cands
+                 if st.kf_map[k] == st.active_map]
         from ..features.matching import match_nn_ratio
         from ..solvers import sim3_solver
 
