@@ -43,21 +43,46 @@ class DenseMapper:
 
     def __post_init__(self):
         self.volume = TSDFVolume(self.cam, voxel_size=self.voxel_size,
-                                 max_blocks=self.max_blocks)
+                                 max_blocks=self.max_blocks,
+                                 with_labels=self.use_segmentation)
         self.keyframes: list[DenseKeyFrame] = []
         self.labels: dict[int, np.ndarray] = {}
+        if self.use_segmentation:
+            from .labels import GlobalLabelMap
+
+            self.label_map = GlobalLabelMap()
 
     # ------------------------------------------------------------------
+    def _segment_and_fuse(self, kf_id: int, depth: np.ndarray,
+                          Rcw: np.ndarray, tcw: np.ndarray):
+        """Per-KF segmentation -> local->global association -> voxel label
+        fusion (reference dataflow: src/PointCloudMapping.cc:930-1180 +
+        LabelMap association + octree label accumulation)."""
+        local, _ = processing.segment_depth(self.cam, jnp.asarray(depth))
+        local, _ = processing.relabel_compact(np.asarray(local))
+        # global labels currently stored at this frame's surface voxels
+        pts_c = np.asarray(processing.backproject_image(
+            self.cam, jnp.asarray(depth))).reshape(-1, 3)
+        valid = (depth > 0).ravel() & (local.ravel() > 0)
+        Rwc = Rcw.T
+        pts_w = pts_c[valid] @ Rwc.T + (-Rwc @ tcw)
+        glob_at_px = np.zeros(depth.size, np.int32)
+        glob_at_px[valid] = self.volume.labels_at(pts_w)
+        lut = self.label_map.associate(
+            local, glob_at_px.reshape(depth.shape))
+        glob = self.label_map.apply(local, lut)
+        self.volume.integrate_labels(depth, glob, Rcw, tcw)
+        self.labels[kf_id] = glob
+
     def insert_keyframe_rgbd(self, kf_id: int, color: np.ndarray,
                              depth: np.ndarray, Rcw: np.ndarray,
                              tcw: np.ndarray):
         if self.filter_depth:
             depth = np.asarray(processing.filter_depth(jnp.asarray(depth)))
-        if self.use_segmentation:
-            labels, _ = processing.segment_depth(self.cam, jnp.asarray(depth))
-            self.labels[kf_id] = np.asarray(labels)
         self.keyframes.append(DenseKeyFrame(kf_id, depth, color))
         self.volume.integrate(depth, color, Rcw, tcw)
+        if self.use_segmentation:
+            self._segment_and_fuse(kf_id, depth, Rcw, tcw)
 
     def insert_keyframe_stereo(self, kf_id: int, left: np.ndarray,
                                right: np.ndarray, Rcw: np.ndarray,
@@ -82,10 +107,18 @@ class DenseMapper:
             if Rcw is None:
                 continue
             self.volume.integrate(dkf.depth, dkf.color, Rcw, tcw)
+            if self.use_segmentation and dkf.kf_id in self.labels:
+                # re-fuse the stored global label images (already associated)
+                self.volume.integrate_labels(
+                    dkf.depth, self.labels[dkf.kf_id], Rcw, tcw)
 
     # ------------------------------------------------------------------
     def cloud(self):
         return self.volume.occupied_cloud()
+
+    def segment_cloud(self):
+        """Surface voxels + global segment labels (octree_point view)."""
+        return self.volume.segmented_cloud()
 
     def mesh(self):
         from .meshing import marching_tetrahedra

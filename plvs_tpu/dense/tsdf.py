@@ -94,6 +94,63 @@ def integrate_blocks(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "voxel_size", "trunc", "max_conf")
+)
+def integrate_blocks_labels(
+    block_coords: jnp.ndarray,   # [B, 3]
+    label: jnp.ndarray,          # [B, S, S, S] int32 global segment id
+    label_conf: jnp.ndarray,     # [B, S, S, S] f32 confidence counter
+    depth_img: jnp.ndarray,
+    label_img: jnp.ndarray,      # [H, W] int32 global labels (0 = none)
+    Rcw: jnp.ndarray, tcw: jnp.ndarray,
+    cam: cam_mod.Camera,
+    voxel_size: float,
+    trunc: float,
+    max_conf: float = 64.0,
+):
+    """Per-voxel label confidence fusion (reference: label + confidence
+    accumulation in OctreePointCloudCentroid voxels,
+    include/OctreePointCloudCentroid.h:236-269): observing the stored label
+    raises its confidence, a conflicting observation lowers it, and the
+    label flips once confidence is exhausted."""
+    B = block_coords.shape[0]
+    S = BLOCK
+    r = (jnp.arange(S) + 0.5) * voxel_size
+    zz, yy, xx = jnp.meshgrid(r, r, r, indexing="ij")
+    offs = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    origin = block_coords.astype(jnp.float32) * (S * voxel_size)
+    Xw = origin[:, None, :] + offs[None, :, :]
+    Xc = jnp.einsum("ij,bnj->bni", Rcw, Xw) + tcw
+    uv = cam_mod.project(cam, Xc)
+    z = Xc[..., 2]
+
+    H, W = depth_img.shape
+    ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_img[vi, ui]
+    lbl_new = label_img[vi, ui]
+
+    # only fuse labels in the surface band of this observation
+    in_band = (
+        cam_mod.in_image(cam, uv) & (z > 0.05) & (d > 0.0)
+        & (jnp.abs(d - z) < trunc) & (lbl_new > 0)
+    )
+    l_old = label.reshape(B, -1)
+    c_old = label_conf.reshape(B, -1)
+    same = l_old == lbl_new
+    unlabeled = l_old == 0
+    c_out = jnp.where(
+        same, jnp.minimum(c_old + 1.0, max_conf), c_old - 1.0)
+    c_out = jnp.where(unlabeled, 1.0, c_out)
+    flip = (~same) & (~unlabeled) & (c_out <= 0.0)
+    l_out = jnp.where(unlabeled | flip, lbl_new, l_old)
+    c_out = jnp.where(flip, 1.0, c_out)
+    l_out = jnp.where(in_band, l_out, l_old)
+    c_out = jnp.where(in_band, c_out, c_old)
+    return l_out.reshape(label.shape), c_out.reshape(label_conf.shape)
+
+
 @dataclasses.dataclass
 class TSDFVolume:
     """Host-managed block table + device-batched integration."""
@@ -104,6 +161,7 @@ class TSDFVolume:
     max_blocks: int = 8192
     depth_subsample: int = 4       # allocation raycast stride
     max_depth: float = 8.0
+    with_labels: bool = False      # per-voxel segment labels (octree_point)
 
     def __post_init__(self):
         S = BLOCK
@@ -112,6 +170,9 @@ class TSDFVolume:
         self.tsdf = np.ones((self.max_blocks, S, S, S), np.float32)
         self.weight = np.zeros((self.max_blocks, S, S, S), np.float32)
         self.color = np.zeros((self.max_blocks, S, S, S, 3), np.float32)
+        if self.with_labels:
+            self.label = np.zeros((self.max_blocks, S, S, S), np.int32)
+            self.label_conf = np.zeros((self.max_blocks, S, S, S), np.float32)
         self.n_blocks = 0
 
     @property
@@ -169,6 +230,46 @@ class TSDFVolume:
         self.weight[:n] = np.asarray(w)
         self.color[:n] = np.asarray(c)
 
+    def integrate_labels(self, depth: np.ndarray, label_img: np.ndarray,
+                         Rcw: np.ndarray, tcw: np.ndarray):
+        """Fuse one frame's global label image into the voxel labels
+        (call after ``integrate`` so new blocks exist)."""
+        assert self.with_labels
+        n = self.n_blocks
+        if n == 0:
+            return
+        l, c = integrate_blocks_labels(
+            jnp.asarray(self.block_coords[:n]),
+            jnp.asarray(self.label[:n]), jnp.asarray(self.label_conf[:n]),
+            jnp.asarray(depth), jnp.asarray(label_img, np.int32),
+            jnp.asarray(Rcw), jnp.asarray(tcw),
+            self.cam, self.voxel_size, self.trunc,
+        )
+        self.label[:n] = np.asarray(l)
+        self.label_conf[:n] = np.asarray(c)
+
+    def labels_at(self, pts_world: np.ndarray) -> np.ndarray:
+        """Stored global label at each world point's voxel (0 if the voxel's
+        block is unallocated) — the map side of local->global label
+        association (reference: LabelMap voxel-overlap matching)."""
+        assert self.with_labels
+        S = BLOCK
+        out = np.zeros(len(pts_world), np.int32)
+        if self.n_blocks == 0 or len(pts_world) == 0:
+            return out
+        bs = S * self.voxel_size
+        bc = np.floor(pts_world / bs).astype(np.int32)
+        vox = np.floor(pts_world / self.voxel_size).astype(np.int32) - bc * S
+        vox = np.clip(vox, 0, S - 1)
+        # vectorized block lookup through a dense table of seen coords
+        uniq, inv = np.unique(bc, axis=0, return_inverse=True)
+        slot = np.array(
+            [self.block_map.get(tuple(c), -1) for c in uniq.tolist()],
+            np.int64)[inv]
+        ok = slot >= 0
+        out[ok] = self.label[slot[ok], vox[ok, 2], vox[ok, 1], vox[ok, 0]]
+        return out
+
     def reset(self):
         self.__post_init__()
 
@@ -186,6 +287,26 @@ class TSDFVolume:
             + (np.stack([xi, yi, zi], -1) + 0.5) * self.voxel_size
         )
         return centers.astype(np.float32), self.color[:n][sel]
+
+    def segmented_cloud(self, tsdf_eps: float = 0.5, min_weight: float = 1.0,
+                        min_conf: float = 2.0):
+        """Surface voxel centroids + their global segment labels (the
+        octree_point backend's segment view; labels below the confidence
+        floor report 0)."""
+        assert self.with_labels
+        n = self.n_blocks
+        if n == 0:
+            return (np.zeros((0, 3), np.float32), np.zeros((0,), np.int32))
+        S = BLOCK
+        sel = (np.abs(self.tsdf[:n]) < tsdf_eps) & (self.weight[:n] >= min_weight)
+        b, zi, yi, xi = np.nonzero(sel)
+        centers = (
+            self.block_coords[:n][b] * (S * self.voxel_size)
+            + (np.stack([xi, yi, zi], -1) + 0.5) * self.voxel_size
+        ).astype(np.float32)
+        lab = self.label[:n][sel]
+        conf = self.label_conf[:n][sel]
+        return centers, np.where(conf >= min_conf, lab, 0).astype(np.int32)
 
     def save_ply(self, path: str, max_points: int | None = None):
         pts, cols = self.occupied_cloud()
