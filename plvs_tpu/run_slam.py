@@ -29,6 +29,8 @@ def main(argv=None):
                     default="tum")
     ap.add_argument("--save-map", type=str, default=None)
     ap.add_argument("--save-dense", type=str, default=None)
+    ap.add_argument("--viz", type=str, default=None, metavar="MAP_PNG",
+                    help="render the final map to a PNG (headless viewer)")
     ap.add_argument("--dense", action="store_true")
     ap.add_argument("--lines", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -116,6 +118,17 @@ def main(argv=None):
 
         serialization.save_dense(args.save_dense, system.dense_mapper.volume)
         print(f"dense map saved to {args.save_dense}")
+    if args.viz:
+        from plvs_tpu.viz import map_drawer
+
+        traj_np = system.trajectory_tum()
+        dense = None
+        if system.dense_mapper is not None:
+            dense = system.dense_mapper.cloud()[0]
+        if map_drawer.render_map_png(args.viz, system.store,
+                                     dense_cloud=dense,
+                                     traj=traj_np[:, 1:4]):
+            print(f"map rendered to {args.viz}")
     if args.timing:
         print(sw.report())
 
