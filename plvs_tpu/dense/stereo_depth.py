@@ -48,6 +48,51 @@ def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x / (k * k)
 
 
+def _sgm_scan_lr(vol_xhd: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """Directional SGM aggregation along the leading (scan) axis.
+
+    ``vol_xhd`` is [S, B, D] — scan position, batch (the perpendicular image
+    axis), disparity. Returns the aggregated path cost with the same shape.
+    The recurrence is the classic semi-global matching update
+    (reference: Thirdparty/libsgm path aggregation kernels,
+    src/{vertical,horizontal}_path_aggregation.cu):
+
+        L(x, d) = C(x, d) + min(L(x-1, d),
+                                L(x-1, d-1) + P1, L(x-1, d+1) + P1,
+                                min_d' L(x-1, d') + P2) - min_d' L(x-1, d')
+    """
+    big = jnp.asarray(1e9, vol_xhd.dtype)
+
+    def step(L_prev, c):
+        lmin = jnp.min(L_prev, axis=-1, keepdims=True)
+        up = jnp.concatenate([L_prev[..., 1:], jnp.full_like(L_prev[..., :1], big)], -1)
+        dn = jnp.concatenate([jnp.full_like(L_prev[..., :1], big), L_prev[..., :-1]], -1)
+        m = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(up, dn) + p1), lmin + p2)
+        L = c + m - lmin
+        return L, L
+
+    L0 = vol_xhd[0]
+    _, rest = jax.lax.scan(step, L0, vol_xhd[1:])
+    return jnp.concatenate([L0[None], rest], axis=0)
+
+
+def sgm_aggregate(vol: jnp.ndarray, p1: float = 7.0, p2: float = 100.0) -> jnp.ndarray:
+    """4-path semi-global aggregation of a [D, H, W] cost volume.
+
+    TPU-native re-derivation of libsgm's path aggregation (reference:
+    Thirdparty/libsgm/src/*_path_aggregation.cu + sgm.cu): each direction is
+    one lax.scan along the image axis, vectorized over the perpendicular
+    axis and all disparities (the inner update is pure VPU work). The summed
+    4-path volume feeds the same WTA/uniqueness/LR tail as the box filter.
+    """
+    v = jnp.transpose(vol, (2, 1, 0))  # [W, H, D]
+    horiz = _sgm_scan_lr(v, p1, p2) + _sgm_scan_lr(v[::-1], p1, p2)[::-1]
+    vt = jnp.transpose(vol, (1, 2, 0))  # [H, W, D]
+    vert = _sgm_scan_lr(vt, p1, p2) + _sgm_scan_lr(vt[::-1], p1, p2)[::-1]
+    agg = jnp.transpose(horiz, (2, 1, 0)) + jnp.transpose(vert, (2, 0, 1))
+    return agg / 4.0
+
+
 def _median3(disp: jnp.ndarray) -> jnp.ndarray:
     """3x3 median filter applied to valid pixels only."""
     neigh = [
@@ -61,7 +106,7 @@ def _median3(disp: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("max_disp", "census_window", "agg_radius",
-                     "lr_thresh", "uniqueness"),
+                     "lr_thresh", "uniqueness", "method", "p1", "p2"),
 )
 def disparity(
     left: jnp.ndarray,
@@ -71,18 +116,27 @@ def disparity(
     agg_radius: int = 3,
     lr_thresh: float = 1.5,
     uniqueness: float = 0.95,
+    method: str = "box",
+    p1: float = 7.0,
+    p2: float = 100.0,
 ):
     """Rectified pair -> float disparity map (<= 0 invalid).
 
-    On TPU the cost volume never touches HBM: census + the fused Pallas
-    WTA kernel (plvs_tpu.ops.stereo) + the XLA median tail. Elsewhere the
-    pure-jnp volume path below runs (and serves as the kernel's oracle)."""
+    ``method`` selects the aggregation family covering the reference's
+    engines: "box" (local block matching — the OpenCV BM / ELAS support-
+    point regime) or "sgm" (4-path semi-global aggregation — the
+    libsgm/SGBM regime; reference: Thirdparty/libsgm, src/StereoDisparity.cc
+    StereoDisparityCPU SGBM path).
+
+    On TPU the box path runs the fused Pallas WTA kernel
+    (plvs_tpu.ops.stereo) so the cost volume never touches HBM; the SGM path
+    and the CPU oracle use the jnp volume below."""
     h, w = left.shape
     cl = census_transform(left, census_window)
     cr = census_transform(right, census_window)
 
     from plvs_tpu.ops import use_pallas
-    if use_pallas():
+    if method == "box" and use_pallas():
         from plvs_tpu.ops import stereo as _stereo_ops
         disp = _stereo_ops.disparity_wta_pallas(
             cl, cr, max_disp=max_disp, agg_radius=agg_radius,
@@ -102,7 +156,10 @@ def disparity(
         c = c.at[:, :d].set(1e3)
         vol.append(c)
     vol = jnp.stack(vol)  # [D, H, W]
-    vol = _box_filter(vol, agg_radius)
+    if method == "sgm":
+        vol = sgm_aggregate(_box_filter(vol, 1), p1=p1, p2=p2)
+    else:
+        vol = _box_filter(vol, agg_radius)
 
     best = jnp.argmin(vol, axis=0)
     cbest = jnp.min(vol, axis=0)

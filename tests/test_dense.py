@@ -81,6 +81,54 @@ class TestStereo:
         err = np.abs(disp[:, 40:150][interior] - d_gt)
         assert np.median(err) < 0.5, np.median(err)
 
+    def test_sgm_constant_disparity(self, rng):
+        """SGM aggregation path recovers a constant shift too."""
+        d_gt = 12
+        tex = rng.uniform(0, 255, (120, 200)).astype(np.float32)
+        from scipy.ndimage import gaussian_filter
+        tex = gaussian_filter(tex, 1.0)
+        left = tex[:, 0:160]
+        right = tex[:, d_gt:160 + d_gt]
+        disp = stereo_depth.disparity(
+            jnp.asarray(left), jnp.asarray(right), max_disp=32, method="sgm")
+        disp = np.asarray(disp)
+        interior = (disp > 0)[:, 40:150]
+        assert interior.mean() > 0.5
+        err = np.abs(disp[:, 40:150][interior] - d_gt)
+        assert np.median(err) < 0.5, np.median(err)
+
+    def test_sgm_scan_matches_numpy_recurrence(self, rng):
+        """Directional scan == the textbook SGM recurrence evaluated in numpy."""
+        S, B, D = 7, 3, 5
+        p1, p2 = 2.0, 9.0
+        c = rng.uniform(0, 10, (S, B, D)).astype(np.float32)
+        out = np.asarray(stereo_depth._sgm_scan_lr(jnp.asarray(c), p1, p2))
+        L = np.empty_like(c)
+        L[0] = c[0]
+        big = 1e9
+        for x in range(1, S):
+            prev = L[x - 1]
+            lmin = prev.min(axis=-1, keepdims=True)
+            up = np.concatenate([prev[:, 1:], np.full((B, 1), big, np.float32)], 1)
+            dn = np.concatenate([np.full((B, 1), big, np.float32), prev[:, :-1]], 1)
+            m = np.minimum(np.minimum(prev, np.minimum(up, dn) + p1), lmin + p2)
+            L[x] = c[x] + m - lmin
+        np.testing.assert_allclose(out, L, rtol=1e-5, atol=1e-5)
+
+    def test_sgm_regularizes_noisy_costs(self, rng):
+        """P2 smoothness suppresses isolated WTA errors a box filter keeps."""
+        D, H, W = 16, 12, 40
+        gt = 5
+        vol = rng.uniform(2.0, 4.0, (D, H, W)).astype(np.float32)
+        vol[gt] = 1.0              # true minimum everywhere
+        # inject gross outliers: wrong disparity wins at scattered pixels
+        ys = rng.integers(0, H, 30)
+        xs = rng.integers(0, W, 30)
+        vol[12, ys, xs] = 0.0
+        agg = np.asarray(stereo_depth.sgm_aggregate(jnp.asarray(vol), 1.0, 50.0))
+        wta = agg.argmin(axis=0)
+        assert (wta == gt).mean() > 0.95
+
     def test_depth_conversion(self):
         disp = jnp.asarray([[2.0, -1.0]])
         depth = stereo_depth.disparity_to_depth(disp, bf=24.0)
