@@ -49,6 +49,10 @@ class SystemConfig:
     # lost frames (reference: 5 s relocalization deadline at 30 fps,
     # src/Tracking.cc:86); 0 disables multi-map
     new_map_after_lost: int = 150
+    # pre-trained vocabulary (reference: ORBVocabulary load,
+    # src/System.cc:158-196): .txt = DBoW2 text format, .npz = native dump;
+    # None = train lazily from the first keyframes
+    vocabulary_path: Optional[str] = None
 
 
 class System:
@@ -61,6 +65,16 @@ class System:
         c = self.config
         self.store = MapStore(max_kf=c.max_kf, max_pts=c.max_pts, n_kp=c.num_features)
         self.kfdb = KeyFrameDatabase(self.store)
+        if c.vocabulary_path:
+            from ..vocab import bow
+
+            if c.vocabulary_path.endswith(".txt"):
+                self.kfdb.voc = bow.load_dbow2_text(c.vocabulary_path)
+            else:
+                try:
+                    self.kfdb.voc = bow.Vocabulary.load(c.vocabulary_path)
+                except (KeyError, ValueError):
+                    self.kfdb.voc = bow.GeneralVocabulary.load(c.vocabulary_path)
         self.tracker = Tracker(
             cam, self.store, num_features=c.num_features,
             min_kf_inliers=c.min_kf_inliers, kf_ratio=c.kf_ratio,

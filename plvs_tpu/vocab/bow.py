@@ -127,10 +127,133 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
     return voc._replace(word_weights=jnp.asarray(idf))
 
 
-def quantize(voc: Vocabulary, desc: jnp.ndarray, mask=None) -> jnp.ndarray:
+class GeneralVocabulary(NamedTuple):
+    """Irregular-tree vocabulary (explicit children table) for pre-trained
+    DBoW2 vocabularies like ORBvoc (reference:
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1467-1517 loadFromTextFile —
+    nodes carry parent id + 32 descriptor bytes + weight; leaves become words
+    in node-id order). The descent is still fully batched: each level is one
+    masked [N, k] Hamming argmin over the children table."""
+
+    k: int                    # max branching factor
+    depth: int                # tree depth (descent iterations)
+    nodes: jnp.ndarray        # [n_nodes, 8] uint32 node descriptors
+    children: jnp.ndarray     # [n_nodes, k] int32; -1 = no child
+    word_id: jnp.ndarray      # [n_nodes] int32; -1 = internal node
+    word_weights: jnp.ndarray  # [n_words] float32 (idf)
+    n_words: int
+
+    def save(self, path: str):
+        np.savez(path, k=self.k, depth=self.depth,
+                 nodes=np.asarray(self.nodes),
+                 children=np.asarray(self.children),
+                 word_id=np.asarray(self.word_id),
+                 word_weights=np.asarray(self.word_weights))
+
+    @staticmethod
+    def load(path: str) -> "GeneralVocabulary":
+        z = np.load(path)
+        return GeneralVocabulary(
+            int(z["k"]), int(z["depth"]), jnp.asarray(z["nodes"]),
+            jnp.asarray(z["children"]), jnp.asarray(z["word_id"]),
+            jnp.asarray(z["word_weights"]), int(z["word_weights"].shape[0]))
+
+
+def load_dbow2_text(path: str) -> GeneralVocabulary:
+    """Parse a DBoW2 text vocabulary (the ORBvoc.txt format).
+
+    Format (reference: TemplatedVocabulary::loadFromTextFile,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1467-1517): header line
+    ``k L scoring weighting``; then one line per non-root node in node-id
+    order: ``parent_id is_leaf b0 .. b31 weight`` with 32 descriptor bytes.
+    Leaves get word ids in node-id order.
+    """
+    with open(path, "r") as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaf, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf.append(bool(int(parts[1])))
+            descs.append([int(b) for b in parts[2:34]])
+            weights.append(float(parts[34]))
+    n = len(parents) + 1  # + root
+    desc_bytes = np.zeros((n, 32), np.uint8)
+    desc_bytes[1:] = np.asarray(descs, np.uint8)
+    nodes = desc_bytes.view(np.uint32)  # [n, 8]
+
+    children = np.full((n, k), -1, np.int32)
+    child_count = np.zeros(n, np.int64)
+    for i, p in enumerate(parents, start=1):
+        if child_count[p] < k:
+            children[p, child_count[p]] = i
+            child_count[p] += 1
+    word_id = np.full(n, -1, np.int32)
+    w = []
+    wid = 0
+    for i in range(1, n):
+        if leaf[i - 1]:
+            word_id[i] = wid
+            w.append(weights[i - 1])
+            wid += 1
+    # leaves keep themselves as their single child so early-terminating
+    # branches survive the fixed-depth batched descent
+    leaves = word_id >= 0
+    children[leaves, 0] = np.nonzero(leaves)[0]
+    return GeneralVocabulary(
+        k, L, jnp.asarray(np.ascontiguousarray(nodes)),
+        jnp.asarray(children), jnp.asarray(word_id),
+        jnp.asarray(np.asarray(w, np.float32)), wid)
+
+
+def save_dbow2_text(voc: GeneralVocabulary, path: str):
+    """Write the DBoW2 text format (round-trips through load_dbow2_text)."""
+    nodes = np.asarray(voc.nodes).view(np.uint8).reshape(-1, 32)
+    children = np.asarray(voc.children)
+    word_id = np.asarray(voc.word_id)
+    weights = np.asarray(voc.word_weights)
+    n = nodes.shape[0]
+    parent = np.zeros(n, np.int32)
+    for p in range(n):
+        for c in children[p]:
+            if c > 0 and c != p and parent[c] == 0:
+                parent[c] = p
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.depth} 0 0\n")
+        for i in range(1, n):
+            is_leaf = int(word_id[i] >= 0)
+            wt = weights[word_id[i]] if is_leaf else 0.0
+            b = " ".join(str(int(x)) for x in nodes[i])
+            f.write(f"{parent[i]} {is_leaf} {b} {wt:.6f}\n")
+
+
+def _quantize_general(voc: GeneralVocabulary, desc: jnp.ndarray) -> jnp.ndarray:
+    n = desc.shape[0]
+    idx = jnp.zeros((n,), jnp.int32)  # root
+    for _ in range(voc.depth):
+        ch = voc.children[idx]                      # [N, k]
+        valid = ch >= 0
+        cands = voc.nodes[jnp.maximum(ch, 0)]       # [N, k, 8]
+        d = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(desc[:, None, :], cands)),
+            axis=-1,
+        )
+        d = jnp.where(valid, d, jnp.iinfo(jnp.int32).max)
+        best = jnp.argmin(d, axis=-1)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        idx = jnp.where(nxt >= 0, nxt, idx)
+    return voc.word_id[idx]
+
+
+def quantize(voc, desc: jnp.ndarray, mask=None) -> jnp.ndarray:
     """Batched tree descent: [N, 8] uint32 -> word ids [N] int32."""
     from ..features.matching import hamming
 
+    if isinstance(voc, GeneralVocabulary):
+        return _quantize_general(voc, desc)
     n = desc.shape[0]
     idx = jnp.zeros((n,), jnp.int32)  # child-path index within level
     for l in range(voc.depth):
@@ -154,10 +277,11 @@ def node_ids(voc: Vocabulary, words: jnp.ndarray, levels_up: int = 1) -> jnp.nda
     return words // (voc.k ** levels_up)
 
 
-def bow_vector(voc: Vocabulary, words: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Dense L1-normalized TF-IDF vector [n_words]."""
+def bow_vector(voc, words: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Dense L1-normalized TF-IDF vector [n_words]. Accepts the regular
+    trained Vocabulary or a loaded GeneralVocabulary."""
     v = jnp.zeros((voc.n_words,), jnp.float32)
-    v = v.at[words].add(jnp.where(mask, 1.0, 0.0))
+    v = v.at[jnp.maximum(words, 0)].add(jnp.where(mask & (words >= 0), 1.0, 0.0))
     v = v * voc.word_weights
     return v / jnp.maximum(jnp.sum(v), 1e-9)
 

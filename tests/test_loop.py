@@ -163,3 +163,75 @@ class TestBow:
         scores = bow.score_database(vecs[2], vecs)
         assert int(jnp.argmax(scores)) == 2
         np.testing.assert_allclose(float(scores[2]), 1.0, atol=1e-5)
+
+
+class TestDbow2TextFormat:
+    """DBoW2 ORBvoc.txt-format vocabularies (irregular trees)."""
+
+    def _toy_text(self, tmp_path):
+        # root(0) -> 1,2 internal; 1 -> 3,4 leaves; 2 -> 5 leaf (irregular)
+        rng = np.random.default_rng(3)
+        d = rng.integers(0, 256, (6, 32))
+        # greedy descent follows internal-node descriptors: make each
+        # internal node carry the descriptor of one of its leaves
+        d[1] = d[3]
+        d[2] = d[5]
+        lines = ["2 2 0 0"]
+        spec = [(0, 0, 1), (0, 0, 2), (1, 1, 3), (1, 1, 4), (2, 1, 5)]
+        for parent, is_leaf, node in spec:
+            b = " ".join(str(x) for x in d[node])
+            lines.append(f"{parent} {is_leaf} {b} 0.5")
+        p = tmp_path / "voc.txt"
+        p.write_text("\n".join(lines) + "\n")
+        return str(p), d
+
+    def test_load_structure(self, tmp_path):
+        path, d = self._toy_text(tmp_path)
+        voc = bow.load_dbow2_text(path)
+        assert voc.n_words == 3
+        assert voc.k == 2 and voc.depth == 2
+        wid = np.asarray(voc.word_id)
+        assert (wid >= 0).sum() == 3
+        # node descriptors survive byte packing
+        got = np.asarray(voc.nodes).view(np.uint8).reshape(-1, 32)
+        np.testing.assert_array_equal(got[3], d[3].astype(np.uint8))
+
+    def test_quantize_descends_to_nearest_leaf(self, tmp_path):
+        path, d = self._toy_text(tmp_path)
+        voc = bow.load_dbow2_text(path)
+        # query = exact leaf-3 descriptor -> must land on leaf 3's word
+        q = jnp.asarray(d[3:4].astype(np.uint8).reshape(1, 32).view(np.uint32))
+        w = bow.quantize(voc, q)
+        assert int(w[0]) == int(np.asarray(voc.word_id)[3])
+
+    def test_irregular_branch_early_leaf(self, tmp_path):
+        path, d = self._toy_text(tmp_path)
+        voc = bow.load_dbow2_text(path)
+        # query equal to node-2 side: node 5 is reached at depth 1 and must
+        # survive the depth-2 descent
+        q = jnp.asarray(d[5:6].astype(np.uint8).reshape(1, 32).view(np.uint32))
+        w = bow.quantize(voc, q)
+        assert int(w[0]) == int(np.asarray(voc.word_id)[5])
+
+    def test_roundtrip(self, tmp_path):
+        path, _ = self._toy_text(tmp_path)
+        voc = bow.load_dbow2_text(path)
+        out = tmp_path / "voc2.txt"
+        bow.save_dbow2_text(voc, str(out))
+        voc2 = bow.load_dbow2_text(str(out))
+        np.testing.assert_array_equal(np.asarray(voc.nodes), np.asarray(voc2.nodes))
+        np.testing.assert_array_equal(np.asarray(voc.word_id), np.asarray(voc2.word_id))
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(bow.quantize(voc, q)), np.asarray(bow.quantize(voc2, q)))
+
+    def test_bow_vector_with_general_vocab(self, tmp_path):
+        path, _ = self._toy_text(tmp_path)
+        voc = bow.load_dbow2_text(path)
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.integers(0, 2 ** 32, (32, 8), dtype=np.uint32))
+        words = bow.quantize(voc, q)
+        v = bow.bow_vector(voc, words, jnp.ones((32,), bool))
+        assert v.shape == (voc.n_words,)
+        np.testing.assert_allclose(float(v.sum()), 1.0, rtol=1e-5)
