@@ -89,6 +89,7 @@ def segment_depth(
     max_gap: float = 0.03,
     n_iters: int | None = None,
     min_area: int = 50,
+    use_sigma_z: bool = True,
 ):
     """Geometric segmentation of a depth image into smooth/convex regions.
 
@@ -105,6 +106,18 @@ def segment_depth(
     nrm = normals_from_points(pts)
     valid = depth > 0
 
+    # range-adaptive gap tolerance: depth noise grows quadratically with z,
+    # so the same metric gap means less far away (reference: the
+    # SigmaZminOverSigmaZ weight applied to the segmentation scores,
+    # src/PointCloudMapping.cc:1098)
+    if use_sigma_z:
+        from ..utils import depth_model
+
+        gap_tol = max_gap / jnp.maximum(
+            depth_model.sigma_z_min_over_sigma_z(depth), 0.2)
+    else:
+        gap_tol = jnp.full_like(depth, max_gap)
+
     def edge_ok(shift_y, shift_x):
         p2 = jnp.roll(pts, (shift_y, shift_x), axis=(0, 1))
         n2 = jnp.roll(nrm, (shift_y, shift_x), axis=(0, 1))
@@ -115,7 +128,7 @@ def segment_depth(
         dirn = dp / (gap[..., None] + 1e-12)
         fi = jnp.sum(nrm * dirn, axis=-1)
         smooth = jnp.sum(nrm * n2, axis=-1) > 0.92
-        return valid & v2 & (gap < max_gap) & ((fi > min_convexity) | smooth)
+        return valid & v2 & (gap < gap_tol) & ((fi > min_convexity) | smooth)
 
     connect = jnp.stack([
         edge_ok(1, 0),   # up neighbor

@@ -162,8 +162,13 @@ def extract(
     for l, (img_l, n_l) in enumerate(zip(levels, per)):
         if n_l <= 0:
             continue
+        # adapt the uniformity cell so the grid can actually supply the
+        # requested budget on small images/levels (the reference's quadtree
+        # splits until it has enough nodes; cell-max is our batched analogue)
+        h_l, w_l = img_l.shape
+        cell_l = max(8, min(cell, int(np.sqrt(h_l * w_l / max(n_l, 1)))))
         xy, score, valid = fast_mod.detect(
-            img_l, n_l, threshold_hi, threshold_lo, border=HALF + 1, cell=cell
+            img_l, n_l, threshold_hi, threshold_lo, border=HALF + 1, cell=cell_l
         )
         patches = extract_patches(img_l, xy)
         ang = ic_angle(patches)

@@ -77,6 +77,17 @@ def kannala_brandt8(fx, fy, cx, cy, k1, k2, k3, k4, width=640, height=480, bf=0.
     return Camera(KANNALA_BRANDT8, p, int(width), int(height), float(bf))
 
 
+def scale_camera(cam: Camera, s: float) -> Camera:
+    """Camera for images resized by factor ``s`` (reference:
+    Camera.imageScale handling — System::TrackRGBD rescales images and
+    Settings scales fx/fy/cx/cy/bf accordingly). Distortion coefficients
+    are scale-invariant; bf is in pixel-metres so it scales with fx."""
+    fx, fy, cx, cy, *rest = cam.params
+    p = (fx * s, fy * s, cx * s, cy * s, *rest)
+    return Camera(cam.kind, p, int(round(cam.width * s)),
+                  int(round(cam.height * s)), cam.bf * s)
+
+
 # ---------------------------------------------------------------------------
 # Projection
 # ---------------------------------------------------------------------------

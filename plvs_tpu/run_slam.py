@@ -22,6 +22,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="plvs_tpu SLAM runner")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--tum", type=str, default=None)
+    ap.add_argument("--euroc", type=str, default=None,
+                    help="EuRoC mav0 dir (stereo; reference: "
+                         "Examples/Stereo/stereo_euroc.cc)")
+    ap.add_argument("--kitti", type=str, default=None,
+                    help="KITTI sequence dir (stereo; reference: "
+                         "Examples/Stereo/stereo_kitti.cc)")
+    ap.add_argument("--mono", action="store_true",
+                    help="monocular mode: use only the left/rgb image")
+    ap.add_argument("--localization", action="store_true",
+                    help="localization-only mode (frozen map)")
     ap.add_argument("--settings", type=str, default=None)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--out", type=str, default="trajectory_tum.txt")
@@ -65,8 +75,14 @@ def main(argv=None):
         cfg.dense_mapping = True
     if args.lines:
         cfg.use_lines = True
+    if args.mono:
+        cfg.sensor = "mono"
+    elif args.euroc or args.kitti:
+        cfg.sensor = "stereo"
 
     system = System(cam, cfg)
+    if args.localization:
+        system.activate_localization_mode()
 
     if args.synthetic:
         scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0)
@@ -94,13 +110,37 @@ def main(argv=None):
         t0 = time.perf_counter()
         for ts, gray, depth in ds.frames():
             with sw.scope("track"):
-                system.track_rgbd(gray, depth, ts)
+                if args.mono:
+                    system.track_monocular(gray, ts)
+                else:
+                    system.track_rgbd(gray, depth, ts)
+            n += 1
+        dt = time.perf_counter() - t0
+        print(json.dumps({"frames": n, "fps": round(n / dt, 2),
+                          **system.map_statistics()}))
+    elif args.euroc or args.kitti:
+        if args.euroc:
+            from plvs_tpu.io.datasets import EurocStereo
+
+            ds = EurocStereo(args.euroc)
+        else:
+            from plvs_tpu.io.datasets import KittiStereo
+
+            ds = KittiStereo(args.kitti)
+        n = 0
+        t0 = time.perf_counter()
+        for ts, left, right in ds.frames():
+            with sw.scope("track"):
+                if args.mono:
+                    system.track_monocular(left, ts)
+                else:
+                    system.track_stereo(left, right, ts)
             n += 1
         dt = time.perf_counter() - t0
         print(json.dumps({"frames": n, "fps": round(n / dt, 2),
                           **system.map_statistics()}))
     else:
-        ap.error("choose --synthetic or --tum")
+        ap.error("choose --synthetic, --tum, --euroc or --kitti")
 
     writer = {"tum": trajectory.write_tum, "kitti": trajectory.write_kitti,
               "euroc": trajectory.write_euroc}[args.out_format]

@@ -82,6 +82,9 @@ class Settings:
     fps: float = 30.0
     depth_map_factor: float = 1.0
     th_depth: float = 40.0
+    # reference: Depth.sigmaZfactor — depth-noise multiplier feeding the
+    # sigma_Z model (plvs_tpu.utils.depth_model)
+    sigma_z_factor: float = 6.0
     raw: dict | None = None
 
     @staticmethod
@@ -132,6 +135,12 @@ class Settings:
                 _get(d, "PointCloudMapping.resolution", default=0.02)),
             dense_segmentation=bool(_get(d, "Segmentation.on", default=False)),
             loop_closing=bool(_get(d, "LoopClosing.on", default=True)),
+            image_scale=float(_get(d, "Camera.imageScale", default=1.0)),
+            fov_centers_kf=bool(_get(
+                d, "KeyFrame.fovCentersBasedGeneration.on", default=False)),
+            max_fov_centers_distance=float(_get(
+                d, "KeyFrame.maxFovCentersDistance", default=0.4)),
+            vocabulary_path=_get(d, "Vocabulary.path", default=None),
         )
         return Settings(
             camera=cam,
@@ -141,5 +150,6 @@ class Settings:
                                         "RGBD.DepthMapFactor", default=1.0)),
             th_depth=float(_get(d, "ThDepth", "Stereo.ThDepth",
                                 "RGBD.ThDepth", default=40.0)),
+            sigma_z_factor=float(_get(d, "Depth.sigmaZfactor", default=6.0)),
             raw=d,
         )

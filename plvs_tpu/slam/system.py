@@ -53,6 +53,15 @@ class SystemConfig:
     # src/System.cc:158-196): .txt = DBoW2 text format, .npz = native dump;
     # None = train lazily from the first keyframes
     vocabulary_path: Optional[str] = None
+    # input images (and intrinsics) rescaled by this factor before tracking
+    # (reference: Camera.imageScale, Settings::readImageInfo)
+    image_scale: float = 1.0
+    # start in localization-only mode (reference: System localization mode)
+    only_tracking: bool = False
+    # fov-centers keyframe generation criterion (reference: yaml
+    # KeyFrame.fovCentersBasedGeneration.on / maxFovCentersDistance)
+    fov_centers_kf: bool = False
+    max_fov_centers_distance: float = 0.4
 
 
 class System:
@@ -60,9 +69,12 @@ class System:
     milestones; the RGB-D path exercises the full stack)."""
 
     def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None):
-        self.cam = cam
+        self._base_cam = cam
         self.config = config or SystemConfig()
         c = self.config
+        if c.image_scale != 1.0:
+            cam = cam_mod.scale_camera(cam, c.image_scale)
+        self.cam = cam
         self.store = MapStore(max_kf=c.max_kf, max_pts=c.max_pts, n_kp=c.num_features)
         self.kfdb = KeyFrameDatabase(self.store)
         if c.vocabulary_path:
@@ -81,7 +93,11 @@ class System:
             max_kf_interval=c.max_kf_interval, use_lines=c.use_lines,
             kfdb=self.kfdb, sensor=c.sensor,
             new_map_after_lost=c.new_map_after_lost,
+            fov_centers_kf=c.fov_centers_kf,
+            max_fov_centers_distance=c.max_fov_centers_distance,
+            min_init_pts=max(100, int(round(300 * c.image_scale ** 2))),
         )
+        self.tracker.only_tracking = c.only_tracking
         self.local_mapper = LocalMapper(
             cam, self.store, scale=c.scale, use_lines=c.use_lines,
             triangulate_new_points=(c.sensor == "mono"),
@@ -111,6 +127,45 @@ class System:
         self.loops_closed = []
         self.trajectory = []  # list of (timestamp, R, t) world-to-camera
 
+    # -- mode / lifecycle (reference: include/System.h:157-167) ------------
+    def activate_localization_mode(self):
+        """Freeze the map; keep tracking against it (reference:
+        System::ActivateLocalizationMode)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        """Full reset: drop every map and restart (reference: System::Reset,
+        include/System.h:166)."""
+        traj = self.trajectory
+        self.__init__(self._base_cam, self.config)
+        self.trajectory = traj  # trajectory log survives a reset
+
+    def reset_active_map(self):
+        """Clear only the active map's contents; other Atlas maps survive
+        (reference: System::ResetActiveMap, include/System.h:167)."""
+        st = self.store
+        for k in st.kfs_of_map(st.active_map):
+            st.remove_keyframe(int(k))
+        pts = st.points_of_map(st.active_map)
+        st.remove_points(pts[st.pt_mask[pts]])
+        self.tracker.reset_state()
+
+    def _maybe_scale(self, img: np.ndarray, nearest: bool = False) -> np.ndarray:
+        """Rescale an input image to the working resolution (reference:
+        image scaling in System::Track* when Camera.imageScale != 1)."""
+        s = self.config.image_scale
+        if s == 1.0:
+            return img
+        import jax
+
+        h, w = self.cam.height, self.cam.width
+        method = "nearest" if nearest else "linear"
+        return np.asarray(jax.image.resize(jnp.asarray(img, jnp.float32),
+                                           (h, w) + img.shape[2:], method))
+
     def _imu_pre_frame(self, timestamp: float, imu_samples):
         """Queue IMU samples and override the motion model's rotation with
         the gyro prediction (reference: PredictStateIMU rotation)."""
@@ -138,6 +193,8 @@ class System:
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float,
                    imu_samples=None):
         """Track one RGB-D frame; returns (state, Rcw, tcw)."""
+        gray = self._maybe_scale(gray)
+        depth = self._maybe_scale(depth, nearest=True)
         self._imu_pre_frame(timestamp, imu_samples)
         fr = frame_mod.build_frame_rgbd(
             jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
@@ -189,6 +246,7 @@ class System:
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Track one monocular frame (reference: System::TrackMonocular,
         src/System.cc:653). The returned map/trajectory is up to scale."""
+        gray = self._maybe_scale(gray)
         fr = frame_mod.build_frame_mono(
             jnp.asarray(gray, jnp.float32), self.cam,
             self.config.num_features, self.config.n_levels, self.config.scale,
@@ -213,6 +271,8 @@ class System:
         """Track one rectified stereo pair (reference: System::TrackStereo,
         src/System.cc:460; with imu_samples it is the stereo-inertial entry
         point, reference: Examples/Stereo-Inertial mains)."""
+        gray_l = self._maybe_scale(gray_l)
+        gray_r = self._maybe_scale(gray_r)
         self._imu_pre_frame(timestamp, imu_samples)
         fr = frame_mod.build_frame_stereo(
             jnp.asarray(gray_l, jnp.float32), jnp.asarray(gray_r, jnp.float32),

@@ -137,7 +137,10 @@ class Tracker:
                  max_kf_interval: int = 10, max_depth_factor: float = 40.0,
                  use_lines: bool = False, local_lines_cap: int = 512,
                  kfdb=None, sensor: str = "rgbd",
-                 new_map_after_lost: int = 0):
+                 new_map_after_lost: int = 0,
+                 fov_centers_kf: bool = False,
+                 max_fov_centers_distance: float = 0.4,
+                 min_init_pts: int = 300):
         self.cam = cam
         self.store = store
         self.num_features = num_features
@@ -171,6 +174,21 @@ class Tracker:
         self.new_map_after_lost = new_map_after_lost
         self.lost_frames = 0
         self.maps_created = 0
+        # localization-only mode: track against the frozen map, never grow it
+        # (reference: System::ActivateLocalizationMode ->
+        # Tracking::InformOnlyTracking, include/System.h:157-159)
+        self.only_tracking = False
+        # fov-centers keyframe criterion (reference: Tracking
+        # mbUseFovCentersKfGenCriterion include/Tracking.h:96, yaml
+        # KeyFrame.fovCentersBasedGeneration.*): force a KF when the camera
+        # fov center (point at median depth on the optical axis) moved far
+        # from every recent keyframe's fov center
+        self.fov_centers_kf = fov_centers_kf
+        self.max_fov_centers_distance = max_fov_centers_distance
+        self._kf_fov_center: dict[int, np.ndarray] = {}
+        # depth-init feature floor (reference: >=500 features at 640x480,
+        # src/Tracking.cc:79; scaled for the working resolution)
+        self.min_init_pts = min_init_pts
 
     # ------------------------------------------------------------------
     def process_frame(self, fr: frame_mod.Frame, timestamp: float,
@@ -365,7 +383,7 @@ class Tracker:
         becomes the map origin (reference: Tracking::StereoInitialization,
         src/Tracking.cc:2231, needs >= 500 features)."""
         n_depth = int(np.asarray((fr.depth > 0).sum()))
-        if n_depth < 300:
+        if n_depth < self.min_init_pts:
             return TrackResult(self.state, self.R, self.t, 0, np.full((fr.kp.xy.shape[0],), -1))
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
@@ -416,11 +434,12 @@ class Tracker:
         self.vel_R = (R2 @ Rl_inv).astype(np.float32)
         self.vel_t = (R2 @ tl_inv + t2).astype(np.float32)
 
-        # update visibility counters (reference: IncreaseVisible/Found)
-        seen = np.unique(kp_pt2[kp_pt2 >= 0])
-        st.pt_found[seen] += 1
-        vis_ids = local_pts
-        st.pt_visible[vis_ids] += 1
+        # update visibility counters (reference: IncreaseVisible/Found) —
+        # frozen in localization-only mode, where the map must not change
+        if not self.only_tracking:
+            seen = np.unique(kp_pt2[kp_pt2 >= 0])
+            st.pt_found[seen] += 1
+            st.pt_visible[local_pts] += 1
 
         self.frames_since_kf += 1
         self.last_kp_pt_id = kp_pt2
@@ -435,7 +454,13 @@ class Tracker:
         need_kf = (
             n2 < self.kf_ratio * max(self.ref_kf_npts, 1)
             or self.frames_since_kf >= self.max_kf_interval
-        ) and n2 >= self.min_kf_inliers
+        )
+        if self.fov_centers_kf and not need_kf:
+            c = self._fov_center(fr, R2, t2)
+            if c is not None and self.ref_kf in self._kf_fov_center:
+                d = np.linalg.norm(c - self._kf_fov_center[self.ref_kf])
+                need_kf = d > self.max_fov_centers_distance
+        need_kf = need_kf and n2 >= self.min_kf_inliers and not self.only_tracking
         kf_id = -1
         if need_kf:
             kf_id, pt_ids = self._create_keyframe(
@@ -449,6 +474,37 @@ class Tracker:
         self.state = OK
         return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2,
                            need_kf, kf_id, kl_ln_id)
+
+    # ------------------------------------------------------------------
+    def _fov_center(self, fr, R, t) -> np.ndarray | None:
+        """World point at median keypoint depth along the optical axis
+        (reference: KeyFrame fov center used by the fovCenters KF criterion,
+        Tracking.h:96)."""
+        depth = np.asarray(fr.depth)
+        d = depth[depth > 0]
+        if len(d) < 10:
+            return None
+        z = float(np.median(d))
+        Rwc = np.asarray(R).T
+        twc = -Rwc @ np.asarray(t)
+        return (twc + Rwc @ np.array([0.0, 0.0, z], np.float32)).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def reset_state(self):
+        """Return to the pre-initialization state without touching the map
+        (the tracker half of System::Reset / ResetActiveMap)."""
+        self.state = NOT_INITIALIZED
+        self.R = np.eye(3, dtype=np.float32)
+        self.t = np.zeros(3, np.float32)
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self.ref_kf = -1
+        self.ref_kf_npts = 0
+        self.frames_since_kf = 0
+        self.lost_frames = 0
+        self._init_frame = None
+        self.last_kp_pt_id = None
+        self._kf_fov_center.clear()
 
     # ------------------------------------------------------------------
     def _match_step(self, fr, R_pred, t_pred, cand_ids: np.ndarray, radius: float):
@@ -542,6 +598,9 @@ class Tracker:
         N = fr.kp.xy.shape[0]
         st.kf_R[kf] = self.R
         st.kf_t[kf] = self.t
+        c = self._fov_center(fr, self.R, self.t)
+        if c is not None:
+            self._kf_fov_center[kf] = c
         st.kf_mask[kf] = True
         st.kf_timestamp[kf] = timestamp
         st.kf_frame_id[kf] = self.frame_id

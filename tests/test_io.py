@@ -232,3 +232,115 @@ class TestCLI:
         assert os.path.exists(mp)
         st, _ = serialization.load_atlas(mp)
         assert st.num_keyframes >= 1
+
+
+class TestDepthModel:
+    def test_sigma_grows_with_range(self):
+        import jax.numpy as jnp
+        from plvs_tpu.utils import depth_model
+        z = jnp.asarray([0.5, 2.0, 5.0])
+        s = depth_model.sigma_z(z)
+        assert float(s[0]) < float(s[1]) < float(s[2])
+
+    def test_weight_bounded_and_monotone(self):
+        import jax.numpy as jnp
+        from plvs_tpu.utils import depth_model
+        z = jnp.asarray([0.5, 1.0, 3.0, 6.0])
+        w = depth_model.sigma_z_min_over_sigma_z(z)
+        wn = [float(x) for x in w]
+        assert all(0 < x <= 1.0 for x in wn)
+        assert wn == sorted(wn, reverse=True)
+
+    def test_inv_sigma2_scaled_by_factor(self):
+        import jax.numpy as jnp
+        from plvs_tpu.utils import depth_model
+        w1 = float(depth_model.depth_inv_sigma2(jnp.asarray(2.0), 1.0))
+        w6 = float(depth_model.depth_inv_sigma2(jnp.asarray(2.0), 6.0))
+        assert abs(w1 / w6 - 36.0) < 1e-3
+
+
+class TestSettingsParityKeys:
+    def test_new_keys_parsed(self, tmp_path):
+        from plvs_tpu.slam import settings
+        y = tmp_path / "s.yaml"
+        y.write_text("""%YAML:1.0
+Camera.fx: 250.0
+Camera.fy: 250.0
+Camera.cx: 160.0
+Camera.cy: 120.0
+Camera.width: 320
+Camera.height: 240
+Camera.imageScale: 0.5
+KeyFrame.fovCentersBasedGeneration.on: 1
+KeyFrame.maxFovCentersDistance: 0.3
+Depth.sigmaZfactor: 9.0
+""")
+        s = settings.Settings.from_yaml(str(y))
+        assert s.config.image_scale == 0.5
+        assert s.config.fov_centers_kf is True
+        assert s.config.max_fov_centers_distance == 0.3
+        assert s.sigma_z_factor == 9.0
+
+    def test_camera_scaling_helper(self):
+        from plvs_tpu.geometry import cameras
+        cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0,
+                              width=320, height=240, bf=24.0)
+        half = cameras.scale_camera(cam, 0.5)
+        assert half.width == 160 and half.height == 120
+        assert half.fx == 150.0 and half.bf == 12.0
+
+
+class TestBenchmarkHarness:
+    def test_gate_and_aggregation(self):
+        from plvs_tpu.io import benchmark as bm
+        seq = [bm.RunResult(0.02, 0.0, [10.0, 12.0]),
+               bm.RunResult(0.03, 0.01, [11.0]),
+               bm.RunResult(9.99, 0.50, [40.0]),  # gated out
+               bm.RunResult(0.025, 0.0, [9.0])]
+        it = iter(seq)
+        rep = bm.run_sequence_benchmark(lambda i: next(it), n_runs=4)
+        assert not rep["failed"]
+        assert rep["discarded"] == 1
+        assert abs(rep["median_rmse"] - 0.025) < 1e-9
+        # track time excludes the gated run's 40ms sample
+        assert rep["track_ms_mean"] < 13.0
+
+    def test_sequence_fails_with_too_many_lost_runs(self):
+        from plvs_tpu.io import benchmark as bm
+        seq = [bm.RunResult(0.02, 0.5, [10.0])] * 3 + \
+              [bm.RunResult(0.02, 0.0, [10.0])]
+        it = iter(seq)
+        rep = bm.run_sequence_benchmark(lambda i: next(it), n_runs=4)
+        assert rep["failed"]
+
+    def test_resource_sampler(self):
+        from plvs_tpu.io import benchmark as bm
+        import time as _t
+        with bm.ResourceSampler(interval=0.05) as rs:
+            x = 0
+            t0 = _t.perf_counter()
+            while _t.perf_counter() - t0 < 0.3:
+                x += sum(range(1000))
+        s = rs.stats()
+        assert s["ram_mb_mean"] > 10.0  # this process surely uses >10 MB
+
+    def test_synthetic_run_once(self):
+        """End-to-end: one benchmark run over the synthetic scene."""
+        import numpy as np
+        from plvs_tpu.geometry import cameras
+        from plvs_tpu.io import benchmark as bm, synthetic
+        from plvs_tpu.slam import System, SystemConfig
+
+        cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320,
+                              height=240, bf=24.0)
+        cfg = SystemConfig(num_features=512, n_levels=4, loop_closing=False)
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0)
+        frames = list(scene.sequence(n_frames=10))
+        gt = np.stack([-R.T @ t for _, _, _, R, t in frames])
+        r = bm.run_system_once(
+            lambda: System(cam, cfg),
+            lambda: [(ts, g, d) for ts, g, d, _, _ in frames],
+            gt_xyz=gt, sample_resources=False)
+        assert r.lost_frac < 0.05
+        assert r.ate_rmse < 0.05
+        assert len(r.track_ms) == 10

@@ -326,3 +326,92 @@ class TestInertial:
         traj = system.trajectory_tum()
         rmse = evaluation.ate_rmse(traj[:, 1:4], np.stack(gt), align=True)
         assert rmse < 0.04, rmse
+
+
+class TestSystemModes:
+    """Localization-only mode, resets, image scaling (reference:
+    include/System.h:157-167, Camera.imageScale)."""
+
+    def _cam(self):
+        from plvs_tpu.geometry import cameras
+        return cameras.pinhole(300.0, 300.0, 160.0, 120.0,
+                               width=320, height=240, bf=24.0)
+
+    def _frames(self, n=16):
+        from plvs_tpu.io import synthetic
+        scene = synthetic.SyntheticRGBD(self._cam(), wall_z=3.0, seed=0)
+        return list(scene.sequence(n_frames=n))
+
+    def test_localization_mode_freezes_map(self):
+        from plvs_tpu.slam.system import System, SystemConfig
+        sys_ = System(self._cam(), SystemConfig(num_features=512, n_levels=4,
+                                                loop_closing=False))
+        frames = self._frames(16)
+        for ts, gray, depth, R, t in frames[:8]:
+            sys_.track_rgbd(gray, depth, ts)
+        kfs_before = sys_.store.num_keyframes
+        pts_before = sys_.store.num_points
+        sys_.activate_localization_mode()
+        res = [sys_.track_rgbd(g, d, ts) for ts, g, d, R, t in frames[8:]]
+        assert sys_.store.num_keyframes == kfs_before
+        assert sys_.store.num_points == pts_before
+        # still tracking OK
+        assert res[-1][0] == 2
+        sys_.deactivate_localization_mode()
+        assert not sys_.tracker.only_tracking
+
+    def test_reset_active_map(self):
+        from plvs_tpu.slam.system import System, SystemConfig
+        sys_ = System(self._cam(), SystemConfig(num_features=512, n_levels=4,
+                                                loop_closing=False))
+        frames = self._frames(12)
+        for ts, gray, depth, R, t in frames[:6]:
+            sys_.track_rgbd(gray, depth, ts)
+        assert sys_.store.num_keyframes > 0
+        sys_.reset_active_map()
+        assert sys_.store.num_keyframes == 0
+        assert sys_.tracker.state == 1  # NOT_INITIALIZED
+        # re-initializes on the next frames and tracks again
+        res = [sys_.track_rgbd(g, d, ts) for ts, g, d, R, t in frames[6:]]
+        assert res[-1][0] == 2
+
+    def test_full_reset(self):
+        from plvs_tpu.slam.system import System, SystemConfig
+        sys_ = System(self._cam(), SystemConfig(num_features=512, n_levels=4,
+                                                loop_closing=False))
+        frames = self._frames(12)
+        for ts, gray, depth, R, t in frames[:6]:
+            sys_.track_rgbd(gray, depth, ts)
+        n_traj = len(sys_.trajectory)
+        sys_.reset()
+        assert sys_.store.num_keyframes == 0
+        assert len(sys_.trajectory) == n_traj  # log survives
+        res = [sys_.track_rgbd(g, d, ts) for ts, g, d, R, t in frames[6:]]
+        assert res[-1][0] == 2
+
+    def test_image_scale_tracks(self):
+        from plvs_tpu.slam.system import System, SystemConfig
+        sys_ = System(self._cam(), SystemConfig(num_features=512, n_levels=4,
+                                                loop_closing=False,
+                                                image_scale=0.5))
+        assert sys_.cam.width == 160 and sys_.cam.height == 120
+        res = [sys_.track_rgbd(g, d, ts)
+               for ts, g, d, R, t in self._frames(8)]
+        assert res[-1][0] == 2  # OK at half resolution
+
+    def test_fov_centers_criterion_creates_kfs(self):
+        from plvs_tpu.slam.system import System, SystemConfig
+        base = SystemConfig(num_features=512, n_levels=4, loop_closing=False,
+                            max_kf_interval=10000, kf_ratio=0.0)
+        frames = self._frames(12)
+        s_off = System(self._cam(), base)
+        for ts, g, d, R, t in frames:
+            s_off.track_rgbd(g, d, ts)
+        import dataclasses as _dc
+        s_on = System(self._cam(), _dc.replace(
+            base, fov_centers_kf=True, max_fov_centers_distance=0.05))
+        for ts, g, d, R, t in frames:
+            s_on.track_rgbd(g, d, ts)
+        # the translating synthetic camera moves its fov center; with the
+        # ratio/interval criteria disabled only the fov criterion adds KFs
+        assert s_on.store.num_keyframes > s_off.store.num_keyframes
