@@ -106,13 +106,25 @@ def detect(
     # rank: hi-threshold winners strictly above lo-threshold ones
     BIG = 1e6
     sel = jnp.where(s_hi > 0, s_hi + BIG, s_lo)
-    sel = _cell_max_mask(sel, cell)
 
-    flat = sel.reshape(-1)
-    k = min(num_features, flat.shape[0])
-    top, idx = jax.lax.top_k(flat, k)
-    yy = (idx // w).astype(jnp.float32)
-    xx = (idx % w).astype(jnp.float32)
+    # per-cell winner score AND its pixel index via two cheap window
+    # reductions, then top-k over the ~(H/cell)*(W/cell) cell array only —
+    # a global top_k over H*W pixels is the slow path on TPU
+    pad_h = (-h) % cell
+    pad_w = (-w) % cell
+    selp = jnp.pad(sel, ((0, pad_h), (0, pad_w)))
+    hc, wc = selp.shape[0] // cell, selp.shape[1] // cell
+    cells = selp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(hc * wc, cell * cell)
+    cell_best = jnp.max(cells, axis=1)                 # [C]
+    cell_arg = jnp.argmax(cells, axis=1)               # [C] offset in cell
+    k = min(num_features, cell_best.shape[0])
+    top, cidx = jax.lax.top_k(cell_best, k)
+    off = cell_arg[cidx]
+    cy = cidx // wc
+    cx = cidx % wc
+    yy = (cy * cell + off // cell).astype(jnp.float32)
+    xx = (cx * cell + off % cell).astype(jnp.float32)
     xy = jnp.stack([xx, yy], axis=-1)
     valid = top > 0
     score = jnp.where(top > BIG / 2, top - BIG, top)

@@ -88,34 +88,64 @@ def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+N_ANGLE_BINS = 30  # the ORB construction discretizes steering to 2*pi/30
+
+
+def _make_sampling_matrix() -> np.ndarray:
+    """[PATCH*PATCH, N_ANGLE_BINS * 2*N_BITS] bilinear sampling matrix.
+
+    Column (b, k) holds the 4 bilinear weights that sample the k-th rotated
+    pattern endpoint at angle bin b. Turning pattern sampling into ONE
+    patches @ S matmul keeps the descriptor stage on the MXU — element
+    gathers (take_along_axis) are the slow path on TPU. Angle quantization
+    to 30 steps is the original ORB design (and what the reference's
+    OpenCV-derived extractor effectively computes).
+    """
+    n_cols = N_ANGLE_BINS * 2 * N_BITS
+    S = np.zeros((PATCH * PATCH, n_cols), np.float32)
+    pat = PATTERN.reshape(-1, 2)  # [512, 2] (dx, dy)
+    for b in range(N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(a), np.sin(a)
+        rx = np.clip(ca * pat[:, 0] - sa * pat[:, 1] + HALF, 0.0, PATCH - 1.001)
+        ry = np.clip(sa * pat[:, 0] + ca * pat[:, 1] + HALF, 0.0, PATCH - 1.001)
+        x0 = np.floor(rx).astype(np.int64)
+        y0 = np.floor(ry).astype(np.int64)
+        fx = (rx - x0).astype(np.float32)
+        fy = (ry - y0).astype(np.float32)
+        col = b * 2 * N_BITS + np.arange(2 * N_BITS)
+        S[y0 * PATCH + x0, col] += (1 - fx) * (1 - fy)
+        S[y0 * PATCH + x0 + 1, col] += fx * (1 - fy)
+        S[(y0 + 1) * PATCH + x0, col] += (1 - fx) * fy
+        S[(y0 + 1) * PATCH + x0 + 1, col] += fx * fy
+    return S
+
+
+_SAMPLING_S = _make_sampling_matrix()
+
+
 def descriptors(patches_blurred: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """[N, P, P] blurred patches + [N] angles -> [N, 8] uint32 descriptors."""
+    """[N, P, P] blurred patches + [N] angles -> [N, 8] uint32 descriptors.
+
+    MXU formulation: all 30 steering bins are sampled with one
+    [N, P^2] @ [P^2, 30*512] matmul (bf16 weights), the per-keypoint bin is
+    selected with a one-hot reduction, and only the selected 256 bits are
+    packed. (reference: computeDescriptors / calcOrb_kernel, which walk the
+    rotated pattern pointer-wise per keypoint.)
+    """
     n = patches_blurred.shape[0]
-    pat = jnp.asarray(PATTERN.reshape(-1, 2))  # [512, 2] (dx, dy)
-    ca, sa = jnp.cos(angles), jnp.sin(angles)
-    # rotate pattern by keypoint angle (steered BRIEF)
-    rx = ca[:, None] * pat[None, :, 0] - sa[:, None] * pat[None, :, 1] + HALF
-    ry = sa[:, None] * pat[None, :, 0] + ca[:, None] * pat[None, :, 1] + HALF
-    rx = jnp.clip(rx, 0.0, PATCH - 1.001)
-    ry = jnp.clip(ry, 0.0, PATCH - 1.001)
-    x0 = jnp.floor(rx).astype(jnp.int32)
-    y0 = jnp.floor(ry).astype(jnp.int32)
-    fx = rx - x0
-    fy = ry - y0
-    flat = patches_blurred.reshape(n, -1)  # [N, P*P]
-
-    def at(yy, xx):
-        return jnp.take_along_axis(flat, yy * PATCH + xx, axis=1)
-
-    v = (
-        at(y0, x0) * (1 - fx) * (1 - fy)
-        + at(y0, x0 + 1) * fx * (1 - fy)
-        + at(y0 + 1, x0) * (1 - fx) * fy
-        + at(y0 + 1, x0 + 1) * fx * fy
-    )  # [N, 512]
-    v = v.reshape(n, N_BITS, 2)
-    bits = (v[:, :, 0] < v[:, :, 1]).astype(jnp.uint32)  # [N, 256]
-    words = bits.reshape(n, 8, 32)
+    flat = patches_blurred.reshape(n, -1)
+    S = jnp.asarray(_SAMPLING_S, jnp.bfloat16)
+    v = jnp.dot(flat.astype(jnp.bfloat16), S,
+                preferred_element_type=jnp.float32)  # [N, 30*512]
+    v = v.reshape(n, N_ANGLE_BINS, N_BITS, 2)
+    bits_all = v[..., 0] < v[..., 1]                  # [N, 30, 256]
+    step = 2.0 * jnp.pi / N_ANGLE_BINS
+    bin_idx = jnp.mod(jnp.round(angles / step), N_ANGLE_BINS).astype(jnp.int32)
+    onehot = jax.nn.one_hot(bin_idx, N_ANGLE_BINS, dtype=jnp.float32)
+    bits = jnp.einsum("nb,nbk->nk", onehot,
+                      bits_all.astype(jnp.float32)) > 0.5  # [N, 256]
+    words = bits.astype(jnp.uint32).reshape(n, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
