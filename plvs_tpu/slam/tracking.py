@@ -413,6 +413,14 @@ class Tracker:
         if n1 < 20:
             # wider search fallback (reference doubles the window)
             R1, t1, n1, kp_pt1 = self._match_step(fr, R_pred, t_pred, cand, radius=30.0)
+        if n1 < 20 and self.ref_kf >= 0:
+            # pose-prior-free fallback: pure descriptor matching against the
+            # reference keyframe's map points + pose-only BA (reference:
+            # Tracking::TrackReferenceKeyFrame, src/Tracking.cc:2277 — used
+            # when the motion model fails)
+            Rr, tr, nr, kp_ptr = self._track_reference_kf(fr, self.R, self.t)
+            if nr > n1:
+                R1, t1, n1, kp_pt1 = Rr, tr, nr, kp_ptr
 
         # --- step 2: track local map --------------------------------------
         local_pts = self._local_points()
@@ -474,6 +482,40 @@ class Tracker:
         self.state = OK
         return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2,
                            need_kf, kf_id, kl_ln_id)
+
+    # ------------------------------------------------------------------
+    def _track_reference_kf(self, fr, R_init, t_init):
+        """Descriptor-NN match against the reference KF's landmarks, then
+        pose-only optimization (reference: TrackReferenceKeyFrame,
+        src/Tracking.cc:2277 — SearchByBoW + PoseOptimization; the dense
+        Hamming matrix subsumes the BoW-bucket gating)."""
+        from ..features.matching import match_nn_ratio
+        from ..solvers import pose_opt as po
+
+        st = self.store
+        kf = self.ref_kf
+        kf_pt = st.kf_kp_pt[kf]
+        m2 = jnp.asarray(st.kf_kp_mask[kf] & (kf_pt >= 0)
+                         & st.pt_mask[np.maximum(kf_pt, 0)])
+        idx, _ = match_nn_ratio(fr.kp.desc, jnp.asarray(st.kf_kp_desc[kf]),
+                                fr.kp.mask, m2, max_dist=64, ratio=0.8)
+        idx = np.asarray(idx)
+        n_kp = fr.kp.xy.shape[0]
+        kp_pt_id = np.full((n_kp,), -1, np.int64)
+        ok = idx >= 0
+        kp_pt_id[ok] = kf_pt[idx[ok]]
+        if ok.sum() < 10:
+            return (np.asarray(R_init), np.asarray(t_init), 0, kp_pt_id)
+        Xw = np.zeros((n_kp, 3), np.float32)
+        Xw[ok] = st.pt_xyz[kp_pt_id[ok]]
+        obs = po.make_pose_obs(
+            jnp.asarray(Xw), fr.uvr, fr.inv_sigma2,
+            jnp.asarray(ok) & fr.kp.mask)
+        R, t, inl, _, n_inl = po.pose_optimize(
+            self.cam, jnp.asarray(R_init), jnp.asarray(t_init), obs)
+        inl = np.asarray(inl)
+        kp_pt_id[~inl] = -1
+        return np.asarray(R), np.asarray(t), int(n_inl), kp_pt_id
 
     # ------------------------------------------------------------------
     def _fov_center(self, fr, R, t) -> np.ndarray | None:

@@ -24,6 +24,10 @@ jax.config.update("jax_platforms", "cpu")
 _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the XLA:CPU AOT sub-cache embeds host CPU feature flags that vary
+# between runs in this sandbox (cpu_aot_loader rejections); keep only
+# the portable HLO-level cache entries
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
