@@ -1,1 +1,1 @@
-from . import sharded_ba  # noqa: F401
+from . import pipeline, sharded_ba, sharded_pose_graph, sharded_tsdf  # noqa: F401
