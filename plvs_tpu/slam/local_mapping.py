@@ -233,6 +233,24 @@ class LocalMapper:
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         window = np.concatenate([[kf_id], covis[: self.window_size]]).astype(np.int64)
+        return self._window_ba(window)
+
+    def global_ba(self, map_id: int | None = None, num_iters: int = 10):
+        """Full bundle adjustment over every live keyframe of a map
+        (reference: Optimizer::GlobalBundleAdjustemnt src/Optimizer.cc:459,
+        dispatched by LoopClosing::RunGlobalBundleAdjustment after a loop
+        closure; here it runs synchronously on the same window-BA core)."""
+        st = self.store
+        if map_id is None:
+            map_id = st.active_map
+        window = np.sort(st.kfs_of_map(map_id)).astype(np.int64)
+        # all KFs free; the gauge anchor falls out below (oldest KF fixed
+        # when no out-of-window observer exists)
+        return self._window_ba(window, num_iters=num_iters)
+
+    def _window_ba(self, window: np.ndarray, num_iters: int = 6,
+                   cg_iters: int = 30):
+        st = self.store
         if len(window) < 2:
             return
         pts = st.points_in_kfs(window)
@@ -351,7 +369,7 @@ class LocalMapper:
             **line_kw,
         )
         Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust(
-            self.cam, prob, num_iters=6, cg_iters=30
+            self.cam, prob, num_iters=num_iters, cg_iters=cg_iters
         )
         if not np.isfinite(float(info["cost"])):
             return

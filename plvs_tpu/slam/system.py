@@ -62,6 +62,9 @@ class SystemConfig:
     # KeyFrame.fovCentersBasedGeneration.on / maxFovCentersDistance)
     fov_centers_kf: bool = False
     max_fov_centers_distance: float = 0.4
+    # run full-map bundle adjustment after each closed loop (reference:
+    # LoopClosing::RunGlobalBundleAdjustment, src/LoopClosing.cc:1652-1663)
+    global_ba_on_loop: bool = True
 
 
 class System:
@@ -225,6 +228,10 @@ class System:
                 info = self.loop_closer.process_keyframe(res.kf_id)
                 if info is not None:
                     self.loops_closed.append((res.kf_id, info))
+                    if self.config.global_ba_on_loop and self.config.local_ba:
+                        # full BA refines the pose-graph solution (reference:
+                        # RunGlobalBundleAdjustment after CorrectLoop)
+                        self.local_mapper.global_ba()
                     if self.dense_mapper is not None:
                         # loop closure moved keyframes: rebuild the dense map
                         # with corrected poses (reference: RebuildMap signal,
@@ -243,10 +250,15 @@ class System:
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
 
-    def track_monocular(self, gray: np.ndarray, timestamp: float):
+    def track_monocular(self, gray: np.ndarray, timestamp: float,
+                        imu_samples=None):
         """Track one monocular frame (reference: System::TrackMonocular,
-        src/System.cc:653). The returned map/trajectory is up to scale."""
+        src/System.cc:653; with imu_samples this is the monocular-inertial
+        entry point, reference: Examples/Monocular-Inertial mains). The
+        returned map/trajectory is up to scale until IMU initialization
+        resolves it."""
         gray = self._maybe_scale(gray)
+        self._imu_pre_frame(timestamp, imu_samples)
         fr = frame_mod.build_frame_mono(
             jnp.asarray(gray, jnp.float32), self.cam,
             self.config.num_features, self.config.n_levels, self.config.scale,
@@ -261,8 +273,12 @@ class System:
                 info = self.loop_closer.process_keyframe(res.kf_id)
                 if info is not None:
                     self.loops_closed.append((res.kf_id, info))
+                    if self.config.global_ba_on_loop and self.config.local_ba:
+                        self.local_mapper.global_ba()
+            self._imu_post_kf(res.kf_id, timestamp)
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
 
@@ -324,6 +340,21 @@ class System:
 
     def save_trajectory_tum(self, path: str):
         np.savetxt(path, self.trajectory_tum(), fmt="%.6f")
+
+    def shutdown(self, save_map_path: str | None = None,
+                 save_dense_path: str | None = None):
+        """Finalize the session, optionally persisting the atlas and dense
+        map (reference: System::Shutdown + SparseMapping.saveOnShutdown,
+        src/System.cc:829-844)."""
+        if save_map_path:
+            from ..io import serialization
+
+            voc = self.kfdb.voc if self.kfdb else None
+            serialization.save_atlas(save_map_path, self.store, voc)
+        if save_dense_path and self.dense_mapper is not None:
+            from ..io import serialization
+
+            serialization.save_dense(save_dense_path, self.dense_mapper.volume)
 
     def map_statistics(self):
         return {

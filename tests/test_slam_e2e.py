@@ -415,3 +415,30 @@ class TestSystemModes:
         # the translating synthetic camera moves its fov center; with the
         # ratio/interval criteria disabled only the fov criterion adds KFs
         assert s_on.store.num_keyframes > s_off.store.num_keyframes
+
+
+class TestGlobalBA:
+    def test_global_ba_improves_or_keeps_map(self):
+        """Full-map BA runs over every keyframe and keeps the map finite
+        (reference: GlobalBundleAdjustemnt after a loop closure)."""
+        import numpy as np
+        from plvs_tpu.geometry import cameras
+        from plvs_tpu.io import synthetic
+        from plvs_tpu.slam.system import System, SystemConfig
+
+        cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0,
+                              width=320, height=240, bf=24.0)
+        sys_ = System(cam, SystemConfig(num_features=512, n_levels=4,
+                                        loop_closing=False))
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0)
+        for ts, gray, depth, R, t in scene.sequence(n_frames=12):
+            sys_.track_rgbd(gray, depth, ts)
+        assert sys_.store.num_keyframes >= 2
+        t_before = sys_.store.kf_t.copy()
+        sys_.local_mapper.global_ba()
+        st = sys_.store
+        live = np.nonzero(st.kf_mask)[0]
+        assert np.isfinite(st.kf_t[live]).all()
+        assert np.isfinite(st.pt_xyz[np.nonzero(st.pt_mask)[0]]).all()
+        # poses may move but not explode
+        assert np.linalg.norm(st.kf_t[live] - t_before[live], axis=-1).max() < 0.5
