@@ -32,23 +32,21 @@ from ..geometry import cameras as cam_mod
 BLOCK = 8  # voxels per block side
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "voxel_size", "trunc", "max_weight")
-)
-def integrate_blocks(
-    block_coords: jnp.ndarray,   # [B, 3] int32 block grid coords (world/block)
-    tsdf: jnp.ndarray,           # [B, S, S, S] f32
-    weight: jnp.ndarray,         # [B, S, S, S] f32
-    color: jnp.ndarray,          # [B, S, S, S, 3] f32
-    depth_img: jnp.ndarray,      # [H, W] f32 (<= 0 invalid)
-    color_img: jnp.ndarray,      # [H, W, 3] f32
-    Rcw: jnp.ndarray, tcw: jnp.ndarray,
-    cam: cam_mod.Camera,
-    voxel_size: float,
-    trunc: float,
-    max_weight: float = 100.0,
+def _next_bucket(n: int, floor: int, cap: int) -> int:
+    """Round a live block count up to a power-of-two bucket so the jitted
+    integrators see a handful of static shapes instead of one per frame."""
+    b = floor
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def _tsdf_update(
+    block_coords, tsdf, weight, color, depth_img, color_img, Rcw, tcw,
+    cam, voxel_size, trunc, max_weight=100.0, block_valid=None,
 ):
-    """Projective TSDF update of all blocks against one depth frame.
+    """Projective TSDF update math (unjitted body shared by the public
+    fixed-shape entry and the device-resident bucketed entry).
 
     (reference behavior: chisel ProjectionIntegrator / voxblox fast
     integrator — here inverted into a gather so it vectorizes.)
@@ -78,6 +76,8 @@ def integrate_blocks(
     # tapered weight behind the surface (voxblox-style)
     w_new = jnp.where(sdf < 0, jnp.maximum((trunc + sdf) / trunc, 0.0), 1.0)
     w_new = jnp.where(upd, w_new, 0.0)
+    if block_valid is not None:
+        w_new = jnp.where(block_valid[:, None], w_new, 0.0)
 
     w_old = weight.reshape(B, -1)
     t_old = tsdf.reshape(B, -1)
@@ -95,19 +95,59 @@ def integrate_blocks(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "voxel_size", "trunc", "max_conf")
+    jax.jit, static_argnames=("cam", "voxel_size", "trunc", "max_weight")
 )
-def integrate_blocks_labels(
-    block_coords: jnp.ndarray,   # [B, 3]
-    label: jnp.ndarray,          # [B, S, S, S] int32 global segment id
-    label_conf: jnp.ndarray,     # [B, S, S, S] f32 confidence counter
-    depth_img: jnp.ndarray,
-    label_img: jnp.ndarray,      # [H, W] int32 global labels (0 = none)
+def integrate_blocks(
+    block_coords: jnp.ndarray,   # [B, 3] int32 block grid coords (world/block)
+    tsdf: jnp.ndarray,           # [B, S, S, S] f32
+    weight: jnp.ndarray,         # [B, S, S, S] f32
+    color: jnp.ndarray,          # [B, S, S, S, 3] f32
+    depth_img: jnp.ndarray,      # [H, W] f32 (<= 0 invalid)
+    color_img: jnp.ndarray,      # [H, W, 3] f32
     Rcw: jnp.ndarray, tcw: jnp.ndarray,
     cam: cam_mod.Camera,
     voxel_size: float,
     trunc: float,
-    max_conf: float = 64.0,
+    max_weight: float = 100.0,
+):
+    """Projective TSDF update of all blocks against one depth frame
+    (fixed-shape public entry; also the unit of the sharded multi-device
+    path in plvs_tpu.parallel.sharded_tsdf)."""
+    return _tsdf_update(
+        block_coords, tsdf, weight, color, depth_img, color_img, Rcw, tcw,
+        cam, voxel_size, trunc, max_weight)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "voxel_size", "trunc", "nb"),
+    donate_argnums=(1, 2, 3),
+)
+def _integrate_resident(
+    coords_full, tsdf_full, weight_full, color_full, n_valid,
+    depth_img, color_img, Rcw, tcw, cam, voxel_size, trunc, nb,
+):
+    """Device-resident bucketed update: the full-capacity block table stays
+    on the device across frames (donated in/out, zero host round trips);
+    only the first ``nb`` slots (live count rounded up to a power-of-two
+    bucket, so recompiles are O(log capacity) not O(frames)) are touched,
+    and slots past ``n_valid`` are masked out of the update."""
+    bc = coords_full[:nb]
+    valid = jnp.arange(nb) < n_valid
+    t, w, c = _tsdf_update(
+        bc, tsdf_full[:nb], weight_full[:nb], color_full[:nb],
+        depth_img, color_img, Rcw, tcw, cam, voxel_size, trunc,
+        block_valid=valid)
+    return (
+        tsdf_full.at[:nb].set(t),
+        weight_full.at[:nb].set(w),
+        color_full.at[:nb].set(c),
+    )
+
+
+def _label_update(
+    block_coords, label, label_conf, depth_img, label_img, Rcw, tcw,
+    cam, voxel_size, trunc, max_conf=64.0, block_valid=None,
 ):
     """Per-voxel label confidence fusion (reference: label + confidence
     accumulation in OctreePointCloudCentroid voxels,
@@ -136,6 +176,8 @@ def integrate_blocks_labels(
         cam_mod.in_image(cam, uv) & (z > 0.05) & (d > 0.0)
         & (jnp.abs(d - z) < trunc) & (lbl_new > 0)
     )
+    if block_valid is not None:
+        in_band = in_band & block_valid[:, None]
     l_old = label.reshape(B, -1)
     c_old = label_conf.reshape(B, -1)
     same = l_old == lbl_new
@@ -151,6 +193,44 @@ def integrate_blocks_labels(
     return l_out.reshape(label.shape), c_out.reshape(label_conf.shape)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "voxel_size", "trunc", "max_conf")
+)
+def integrate_blocks_labels(
+    block_coords: jnp.ndarray,   # [B, 3]
+    label: jnp.ndarray,          # [B, S, S, S] int32 global segment id
+    label_conf: jnp.ndarray,     # [B, S, S, S] f32 confidence counter
+    depth_img: jnp.ndarray,
+    label_img: jnp.ndarray,      # [H, W] int32 global labels (0 = none)
+    Rcw: jnp.ndarray, tcw: jnp.ndarray,
+    cam: cam_mod.Camera,
+    voxel_size: float,
+    trunc: float,
+    max_conf: float = 64.0,
+):
+    """Fixed-shape public entry for label fusion (see _label_update)."""
+    return _label_update(
+        block_coords, label, label_conf, depth_img, label_img, Rcw, tcw,
+        cam, voxel_size, trunc, max_conf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "voxel_size", "trunc", "nb"),
+    donate_argnums=(1, 2),
+)
+def _integrate_labels_resident(
+    coords_full, label_full, conf_full, n_valid,
+    depth_img, label_img, Rcw, tcw, cam, voxel_size, trunc, nb,
+):
+    bc = coords_full[:nb]
+    valid = jnp.arange(nb) < n_valid
+    l, c = _label_update(
+        bc, label_full[:nb], conf_full[:nb], depth_img, label_img, Rcw, tcw,
+        cam, voxel_size, trunc, block_valid=valid)
+    return label_full.at[:nb].set(l), conf_full.at[:nb].set(c)
+
+
 @dataclasses.dataclass
 class TSDFVolume:
     """Host-managed block table + device-batched integration."""
@@ -162,22 +242,92 @@ class TSDFVolume:
     depth_subsample: int = 4       # allocation raycast stride
     max_depth: float = 8.0
     with_labels: bool = False      # per-voxel segment labels (octree_point)
+    device: object = None          # pin state to a device (pipelining)
 
     def __post_init__(self):
         S = BLOCK
         self.block_map: dict[tuple, int] = {}
         self.block_coords = np.zeros((self.max_blocks, 3), np.int32)
-        self.tsdf = np.ones((self.max_blocks, S, S, S), np.float32)
-        self.weight = np.zeros((self.max_blocks, S, S, S), np.float32)
-        self.color = np.zeros((self.max_blocks, S, S, S, 3), np.float32)
-        if self.with_labels:
-            self.label = np.zeros((self.max_blocks, S, S, S), np.int32)
-            self.label_conf = np.zeros((self.max_blocks, S, S, S), np.float32)
         self.n_blocks = 0
+        # working state lives ON DEVICE across frames (the reference's
+        # backends mutate host memory in place; here the per-frame hot loop
+        # must not ship the whole block table over PCIe/tunnel every frame)
+        self._dev = {
+            "tsdf": jnp.ones((self.max_blocks, S, S, S), jnp.float32),
+            "weight": jnp.zeros((self.max_blocks, S, S, S), jnp.float32),
+            "color": jnp.zeros((self.max_blocks, S, S, S, 3), jnp.float32),
+        }
+        if self.with_labels:
+            self._dev["label"] = jnp.zeros((self.max_blocks, S, S, S), jnp.int32)
+            self._dev["label_conf"] = jnp.zeros(
+                (self.max_blocks, S, S, S), jnp.float32)
+        if self.device is not None:
+            self._dev = {k: jax.device_put(v, self.device)
+                         for k, v in self._dev.items()}
+        self._coords_d = None          # device copy, refreshed on allocation
+        self._mirror: dict | None = None  # lazy host copy for queries/save
+        self._alloc_rays = None        # cached subsampled unprojection rays
 
     @property
     def trunc(self):
         return self.trunc_factor * self.voxel_size
+
+    def _put(self, x, dtype=None):
+        a = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
+        if self.device is not None:
+            return jax.device_put(a, self.device)
+        return jnp.asarray(a)
+
+    # -- host views (read-only; pulled from device lazily, invalidated by
+    # integrate). Mutating these does NOT write back — use load_state. ------
+    def _pull(self):
+        if self._mirror is None:
+            self._mirror = {k: np.asarray(v) for k, v in self._dev.items()}
+        return self._mirror
+
+    @property
+    def tsdf(self):
+        return self._pull()["tsdf"]
+
+    @property
+    def weight(self):
+        return self._pull()["weight"]
+
+    @property
+    def color(self):
+        return self._pull()["color"]
+
+    @property
+    def label(self):
+        return self._pull()["label"]
+
+    @property
+    def label_conf(self):
+        return self._pull()["label_conf"]
+
+    def load_state(self, block_coords, tsdf, weight, color,
+                   label=None, label_conf=None):
+        """Replace the volume contents (checkpoint restore path)."""
+        n = len(block_coords)
+        assert n <= self.max_blocks
+        self.n_blocks = n
+        self.block_coords[:] = 0
+        self.block_coords[:n] = block_coords
+        self.block_map = {tuple(c): i for i, c in
+                          enumerate(np.asarray(block_coords).tolist())}
+        S = BLOCK
+        for key, init, val in (
+            ("tsdf", 1.0, tsdf), ("weight", 0.0, weight), ("color", 0.0, color),
+            ("label", 0, label), ("label_conf", 0.0, label_conf),
+        ):
+            if key not in self._dev:
+                continue
+            full = np.full_like(np.asarray(self._dev[key]), init)
+            if val is not None:
+                full[:n] = val
+            self._dev[key] = self._put(full)
+        self._coords_d = None
+        self._mirror = None
 
     # -- allocation ---------------------------------------------------------
     def _allocate_for_frame(self, depth, Rcw, tcw):
@@ -190,9 +340,12 @@ class TSDFVolume:
         ok = (d > 0) & (d < self.max_depth)
         if not ok.any():
             return
-        uv = np.stack([us[ok], vs[ok]], -1).astype(np.float32)
-        import jax.numpy as jnp
-        rays = np.asarray(cam_mod.unproject(self.cam, jnp.asarray(uv)))
+        if self._alloc_rays is None or self._alloc_rays.shape[:2] != d.shape:
+            uv_all = np.stack([us, vs], -1).astype(np.float32).reshape(-1, 2)
+            self._alloc_rays = np.asarray(
+                cam_mod.unproject(self.cam, jnp.asarray(uv_all))
+            ).reshape(*d.shape, 3)
+        rays = self._alloc_rays[ok]
         Rwc = Rcw.T
         C = -Rwc @ tcw
         pts = []
@@ -202,33 +355,39 @@ class TSDFVolume:
         P = np.concatenate(pts)
         bc = np.floor(P / (BLOCK * self.voxel_size)).astype(np.int32)
         uniq = np.unique(bc, axis=0)
+        n0 = self.n_blocks
         for c in map(tuple, uniq.tolist()):
             if c not in self.block_map:
                 if self.n_blocks >= self.max_blocks:
-                    return  # capacity — silently stop allocating (bounded map)
+                    break  # capacity — silently stop allocating (bounded map)
                 self.block_map[c] = self.n_blocks
                 self.block_coords[self.n_blocks] = c
                 self.n_blocks += 1
+        if self.n_blocks != n0:
+            self._coords_d = None  # device copy stale
 
     # -- integration --------------------------------------------------------
     def integrate(self, depth: np.ndarray, color: np.ndarray,
                   Rcw: np.ndarray, tcw: np.ndarray):
-        """Fuse one registered RGB-D frame."""
+        """Fuse one registered RGB-D frame (device-resident hot path: the
+        only per-frame host→device traffic is the images + pose)."""
         self._allocate_for_frame(depth, Rcw, tcw)
         n = self.n_blocks
         if n == 0:
             return
-        t, w, c = integrate_blocks(
-            jnp.asarray(self.block_coords[:n]),
-            jnp.asarray(self.tsdf[:n]), jnp.asarray(self.weight[:n]),
-            jnp.asarray(self.color[:n]),
-            jnp.asarray(depth), jnp.asarray(color),
-            jnp.asarray(Rcw), jnp.asarray(tcw),
-            self.cam, self.voxel_size, self.trunc,
+        if self._coords_d is None:
+            self._coords_d = self._put(self.block_coords)
+        nb = _next_bucket(n, 512, self.max_blocks)
+        d = self._dev
+        t, w, c = _integrate_resident(
+            self._coords_d, d["tsdf"], d["weight"], d["color"],
+            self._put(n, np.int32),
+            self._put(depth, np.float32), self._put(color, np.float32),
+            self._put(Rcw, np.float32), self._put(tcw, np.float32),
+            self.cam, self.voxel_size, self.trunc, nb,
         )
-        self.tsdf[:n] = np.asarray(t)
-        self.weight[:n] = np.asarray(w)
-        self.color[:n] = np.asarray(c)
+        d["tsdf"], d["weight"], d["color"] = t, w, c
+        self._mirror = None
 
     def integrate_labels(self, depth: np.ndarray, label_img: np.ndarray,
                          Rcw: np.ndarray, tcw: np.ndarray):
@@ -238,15 +397,19 @@ class TSDFVolume:
         n = self.n_blocks
         if n == 0:
             return
-        l, c = integrate_blocks_labels(
-            jnp.asarray(self.block_coords[:n]),
-            jnp.asarray(self.label[:n]), jnp.asarray(self.label_conf[:n]),
-            jnp.asarray(depth), jnp.asarray(label_img, np.int32),
-            jnp.asarray(Rcw), jnp.asarray(tcw),
-            self.cam, self.voxel_size, self.trunc,
+        if self._coords_d is None:
+            self._coords_d = self._put(self.block_coords)
+        nb = _next_bucket(n, 512, self.max_blocks)
+        d = self._dev
+        l, c = _integrate_labels_resident(
+            self._coords_d, d["label"], d["label_conf"],
+            self._put(n, np.int32),
+            self._put(depth, np.float32), self._put(label_img, np.int32),
+            self._put(Rcw, np.float32), self._put(tcw, np.float32),
+            self.cam, self.voxel_size, self.trunc, nb,
         )
-        self.label[:n] = np.asarray(l)
-        self.label_conf[:n] = np.asarray(c)
+        d["label"], d["label_conf"] = l, c
+        self._mirror = None
 
     def labels_at(self, pts_world: np.ndarray) -> np.ndarray:
         """Stored global label at each world point's voxel (0 if the voxel's

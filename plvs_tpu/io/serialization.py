@@ -119,10 +119,5 @@ def load_dense(path: str, cam, max_blocks: int | None = None):
     vol = TSDFVolume(cam, voxel_size=float(z["voxel_size"]),
                      trunc_factor=float(z["trunc_factor"]),
                      max_blocks=max_blocks or max(n * 2, 1024))
-    vol.n_blocks = n
-    vol.block_coords[:n] = z["block_coords"]
-    vol.tsdf[:n] = z["tsdf"]
-    vol.weight[:n] = z["weight"]
-    vol.color[:n] = z["color"]
-    vol.block_map = {tuple(c): i for i, c in enumerate(z["block_coords"].tolist())}
+    vol.load_state(z["block_coords"], z["tsdf"], z["weight"], z["color"])
     return vol

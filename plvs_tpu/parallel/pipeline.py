@@ -19,70 +19,20 @@ from ..geometry import cameras as cam_mod
 
 
 class DevicePlacedTSDF(tsdf_mod.TSDFVolume):
-    """TSDFVolume pinned to a specific device; integrations dispatch async
-    and results are fetched lazily (``flush()`` or any query blocks)."""
+    """TSDFVolume pinned to a specific device.
+
+    The base class is already device-resident and async-dispatching (JAX's
+    dispatch IS the queue); this subclass only selects WHICH device the
+    block table lives on, so integration runs concurrently with tracking
+    on another chip. Queries pull the host mirror, which blocks on any
+    outstanding integrations."""
 
     def __init__(self, device, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.device = device
-        # device-resident state (kept as jax arrays to avoid per-frame
-        # host->device reuploads of the whole volume)
-        self._dev_tsdf = None
-        self._dev_weight = None
-        self._dev_color = None
-        self._dev_n = 0
-        self._dirty = False
-
-    def _sync_device_state(self):
-        import jax.numpy as jnp
-
-        n = self.n_blocks
-        if n != self._dev_n:
-            # block table grew: upload the active slice once
-            self._dev_tsdf = jax.device_put(self.tsdf[:n], self.device)
-            self._dev_weight = jax.device_put(self.weight[:n], self.device)
-            self._dev_color = jax.device_put(self.color[:n], self.device)
-            self._dev_n = n
-
-    def integrate(self, depth: np.ndarray, color: np.ndarray,
-                  Rcw: np.ndarray, tcw: np.ndarray):
-        import jax.numpy as jnp
-
-        self._allocate_for_frame(depth, Rcw, tcw)
-        if self.n_blocks == 0:
-            return
-        self._sync_device_state()
-        n = self._dev_n
-        bc = jax.device_put(self.block_coords[:n], self.device)
-        d = jax.device_put(np.asarray(depth, np.float32), self.device)
-        ci = jax.device_put(np.asarray(color, np.float32), self.device)
-        R = jax.device_put(np.asarray(Rcw, np.float32), self.device)
-        t = jax.device_put(np.asarray(tcw, np.float32), self.device)
-        # async dispatch on the mapping device — does not block tracking
-        self._dev_tsdf, self._dev_weight, self._dev_color = (
-            tsdf_mod.integrate_blocks(
-                bc, self._dev_tsdf, self._dev_weight, self._dev_color,
-                d, ci, R, t, self.cam, self.voxel_size, self.trunc))
-        self._dirty = True
+        super().__init__(*args, device=device, **kwargs)
 
     def flush(self):
-        """Block on outstanding integrations and mirror state to the host."""
-        if self._dirty and self._dev_tsdf is not None:
-            jax.block_until_ready(self._dev_tsdf)
-            n = self._dev_n
-            self.tsdf[:n] = np.asarray(self._dev_tsdf)
-            self.weight[:n] = np.asarray(self._dev_weight)
-            self.color[:n] = np.asarray(self._dev_color)
-            self._dirty = False
-
-    # queries go through the host mirror
-    def occupied_cloud(self, *a, **kw):
-        self.flush()
-        return super().occupied_cloud(*a, **kw)
-
-    def save_ply(self, *a, **kw):
-        self.flush()
-        return super().save_ply(*a, **kw)
+        """Block on outstanding integrations."""
+        jax.block_until_ready(self._dev["tsdf"])
 
 
 def make_pipelined_dense_mapper(cam: cam_mod.Camera, voxel_size: float = 0.02,

@@ -84,6 +84,8 @@ class ShardedTSDFVolume(tsdf_mod.TSDFVolume):
             jnp.asarray(c), jnp.asarray(depth), jnp.asarray(color),
             jnp.asarray(Rcw), jnp.asarray(tcw),
             self.cam, self.voxel_size, self.trunc)
-        self.tsdf[:n] = np.asarray(t_out)[:n]
-        self.weight[:n] = np.asarray(w_out)[:n]
-        self.color[:n] = np.asarray(c_out)[:n]
+        d = self._dev
+        d["tsdf"] = d["tsdf"].at[:n].set(t_out[:n])
+        d["weight"] = d["weight"].at[:n].set(w_out[:n])
+        d["color"] = d["color"].at[:n].set(c_out[:n])
+        self._mirror = None
