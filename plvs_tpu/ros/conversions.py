@@ -111,3 +111,28 @@ def cloud_to_xyz_rgb_bytes(pts: np.ndarray, cols: np.ndarray) -> bytes:
         (cols[:, 1].astype(np.uint32) << 8) | cols[:, 2].astype(np.uint32)
     out[:, 3] = rgb.view(np.float32)
     return out.tobytes()
+
+
+def cloud_to_msg(pts: np.ndarray, cols: np.ndarray, frame_id: str = "map",
+                 stamp=None):
+    """Build a sensor_msgs/PointCloud2 (ROS1 or ROS2 — same field API) from
+    points + uint8 colors. Lazy-imports sensor_msgs; only call from a ROS
+    environment."""
+    from sensor_msgs.msg import PointCloud2, PointField
+
+    msg = PointCloud2()
+    msg.header.frame_id = frame_id
+    if stamp is not None:
+        msg.header.stamp = stamp
+    msg.height = 1
+    msg.width = len(pts)
+    msg.fields = [
+        PointField(name=n, offset=o, datatype=PointField.FLOAT32, count=1)
+        for n, o in (("x", 0), ("y", 4), ("z", 8), ("rgb", 12))
+    ]
+    msg.is_bigendian = False
+    msg.point_step = 16
+    msg.row_step = 16 * len(pts)
+    msg.is_dense = True
+    msg.data = cloud_to_xyz_rgb_bytes(pts, np.asarray(cols, np.uint8))
+    return msg

@@ -174,7 +174,7 @@ def _make_node(node_name: str, bridge_topics):
         rclpy.shutdown()
 
 
-def _system_from_argv(argv, sensor: str):
+def _system_from_argv(argv, sensor: str, use_imu: bool = False):
     import argparse
 
     from ..geometry import cameras
@@ -197,6 +197,8 @@ def _system_from_argv(argv, sensor: str):
                               height=480, bf=40.0)
         cfg = SystemConfig()
     cfg.sensor = sensor
+    if use_imu:
+        cfg.use_imu = True
     return System(cam, cfg), args
 
 

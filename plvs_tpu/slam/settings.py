@@ -85,6 +85,9 @@ class Settings:
     # reference: Depth.sigmaZfactor — depth-noise multiplier feeding the
     # sigma_Z model (plvs_tpu.utils.depth_model)
     sigma_z_factor: float = 6.0
+    # reference: Settings::readIMU (IMU.NoiseGyro/NoiseAcc/GyroWalk/AccWalk)
+    imu: Any = None               # ImuCalib when IMU.* keys are present
+    imu_frequency: float = 200.0
     raw: dict | None = None
 
     @staticmethod
@@ -142,9 +145,20 @@ class Settings:
                 d, "KeyFrame.maxFovCentersDistance", default=0.4)),
             vocabulary_path=_get(d, "Vocabulary.path", default=None),
         )
+        imu = None
+        if any(k.startswith("IMU.") for k in d):
+            from ..imu.preintegration import ImuCalib
+            imu = ImuCalib(
+                gyro_noise=float(_get(d, "IMU.NoiseGyro", default=1.7e-4)),
+                acc_noise=float(_get(d, "IMU.NoiseAcc", default=2.0e-3)),
+                gyro_walk=float(_get(d, "IMU.GyroWalk", default=1.9e-5)),
+                acc_walk=float(_get(d, "IMU.AccWalk", default=3.0e-3)),
+            )
         return Settings(
             camera=cam,
             config=cfg,
+            imu=imu,
+            imu_frequency=float(_get(d, "IMU.Frequency", default=200.0)),
             fps=float(_get(d, "Camera.fps", default=30.0)),
             depth_map_factor=float(_get(d, "DepthMapFactor",
                                         "RGBD.DepthMapFactor", default=1.0)),

@@ -180,33 +180,9 @@ def load_dbow2_text(path: str) -> GeneralVocabulary:
             leaf.append(bool(int(parts[1])))
             descs.append([int(b) for b in parts[2:34]])
             weights.append(float(parts[34]))
-    n = len(parents) + 1  # + root
-    desc_bytes = np.zeros((n, 32), np.uint8)
-    desc_bytes[1:] = np.asarray(descs, np.uint8)
-    nodes = desc_bytes.view(np.uint32)  # [n, 8]
-
-    children = np.full((n, k), -1, np.int32)
-    child_count = np.zeros(n, np.int64)
-    for i, p in enumerate(parents, start=1):
-        if child_count[p] < k:
-            children[p, child_count[p]] = i
-            child_count[p] += 1
-    word_id = np.full(n, -1, np.int32)
-    w = []
-    wid = 0
-    for i in range(1, n):
-        if leaf[i - 1]:
-            word_id[i] = wid
-            w.append(weights[i - 1])
-            wid += 1
-    # leaves keep themselves as their single child so early-terminating
-    # branches survive the fixed-depth batched descent
-    leaves = word_id >= 0
-    children[leaves, 0] = np.nonzero(leaves)[0]
-    return GeneralVocabulary(
-        k, L, jnp.asarray(np.ascontiguousarray(nodes)),
-        jnp.asarray(children), jnp.asarray(word_id),
-        jnp.asarray(np.asarray(w, np.float32)), wid)
+    return _build_general(
+        np.asarray(parents, np.int64), np.asarray(leaf, bool),
+        np.asarray(descs, np.uint8), np.asarray(weights, np.float32), k, L)
 
 
 def save_dbow2_text(voc: GeneralVocabulary, path: str):
@@ -228,6 +204,112 @@ def save_dbow2_text(voc: GeneralVocabulary, path: str):
             wt = weights[word_id[i]] if is_leaf else 0.0
             b = " ".join(str(int(x)) for x in nodes[i])
             f.write(f"{parent[i]} {is_leaf} {b} {wt:.6f}\n")
+
+
+def _build_general(parents: np.ndarray, leaf: np.ndarray,
+                   desc_bytes: np.ndarray, weights: np.ndarray,
+                   k: int, L: int) -> GeneralVocabulary:
+    """Assemble a GeneralVocabulary from per-node arrays (nodes 1..n in file
+    order; vectorized children/word-id table construction)."""
+    n = len(parents) + 1  # + root
+    db = np.zeros((n, 32), np.uint8)
+    db[1:] = desc_bytes
+    nodes = db.view(np.uint32)
+
+    children = np.full((n, k), -1, np.int32)
+    ids = np.arange(1, n, dtype=np.int32)
+    order = np.argsort(parents, kind="stable")
+    ps = parents[order]
+    # slot of each child within its parent (cumcount per parent)
+    first = np.r_[True, ps[1:] != ps[:-1]]
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(len(ps)), 0))
+    slot = np.arange(len(ps)) - grp_start
+    ok = slot < k
+    children[ps[ok], slot[ok]] = ids[order][ok]
+
+    word_id = np.full(n, -1, np.int32)
+    leaf_ids = ids[leaf]
+    word_id[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+    w = weights[leaf]
+    # leaves keep themselves as their single child so early-terminating
+    # branches survive the fixed-depth batched descent
+    children[leaf_ids, 0] = leaf_ids
+    return GeneralVocabulary(
+        k, L, jnp.asarray(np.ascontiguousarray(nodes)),
+        jnp.asarray(children), jnp.asarray(word_id),
+        jnp.asarray(np.asarray(w, np.float32)), int(len(leaf_ids)))
+
+
+_BIN_NODE_DTYPE = np.dtype([
+    ("parent", "<i4"), ("desc", "u1", 32), ("weight", "<f4"), ("leaf", "u1"),
+])
+
+
+def load_dbow2_binary(path: str) -> GeneralVocabulary:
+    """Parse a DBoW2 binary vocabulary (the ORBvoc.bin format produced by
+    the reference's bin_vocabulary converter; layout per
+    TemplatedVocabulary::saveToBinaryFile — header of nb_nodes/size_node/
+    k/L/scoring/weighting, then packed 41-byte node records
+    [parent i32][32 desc bytes][weight f32][is_leaf u8])."""
+    with open(path, "rb") as f:
+        head = np.frombuffer(f.read(8), "<u4")
+        nb_nodes, size_node = int(head[0]), int(head[1])
+        k, L, _scoring, _weighting = np.frombuffer(f.read(16), "<i4")
+        if size_node != _BIN_NODE_DTYPE.itemsize:
+            raise ValueError(
+                f"unsupported DBoW2 binary node size {size_node} "
+                f"(expected {_BIN_NODE_DTYPE.itemsize} for ORB)")
+        rec = np.frombuffer(f.read(nb_nodes * size_node), _BIN_NODE_DTYPE,
+                            count=nb_nodes)
+    return _build_general(
+        rec["parent"].astype(np.int64), rec["leaf"].astype(bool),
+        rec["desc"], rec["weight"].astype(np.float32), int(k), int(L))
+
+
+def save_dbow2_binary(voc: GeneralVocabulary, path: str):
+    """Write the DBoW2 binary format (round-trips through
+    load_dbow2_binary; also loadable by the reference)."""
+    nodes = np.asarray(voc.nodes).view(np.uint8).reshape(-1, 32)
+    children = np.asarray(voc.children)
+    word_id = np.asarray(voc.word_id)
+    weights = np.asarray(voc.word_weights)
+    n = nodes.shape[0]
+    parent = np.zeros(n, np.int32)
+    for p in range(n):
+        for c in children[p]:
+            if c > 0 and c != p and parent[c] == 0:
+                parent[c] = p
+    rec = np.zeros(n - 1, _BIN_NODE_DTYPE)
+    rec["parent"] = parent[1:]
+    rec["desc"] = nodes[1:]
+    leaf = word_id[1:] >= 0
+    rec["leaf"] = leaf
+    rec["weight"][leaf] = weights[word_id[1:][leaf]]
+    with open(path, "wb") as f:
+        f.write(np.asarray([n - 1, _BIN_NODE_DTYPE.itemsize],
+                           "<u4").tobytes())
+        f.write(np.asarray([voc.k, voc.depth, 0, 0], "<i4").tobytes())
+        f.write(rec.tobytes())
+
+
+def load_vocabulary(path: str):
+    """Load a vocabulary by extension: .npz (native), .txt (DBoW2 text),
+    .bin (DBoW2 binary) — the reference's System loads .bin preferred with
+    text fallback (src/System.cc:158-196)."""
+    if path.endswith(".bin"):
+        return load_dbow2_binary(path)
+    if path.endswith(".txt"):
+        return load_dbow2_text(path)
+    return GeneralVocabulary.load(path) if _is_general_npz(path) \
+        else Vocabulary.load(path)
+
+
+def _is_general_npz(path: str) -> bool:
+    try:
+        with np.load(path) as z:
+            return "children" in z.files
+    except Exception:
+        return False
 
 
 def _quantize_general(voc: GeneralVocabulary, desc: jnp.ndarray) -> jnp.ndarray:

@@ -344,3 +344,24 @@ class TestBenchmarkHarness:
         assert r.lost_frac < 0.05
         assert r.ate_rmse < 0.05
         assert len(r.track_ms) == 10
+
+
+class TestShippedPresets:
+    """All Settings/ preset YAMLs must parse into valid Settings
+    (reference: 44 ready configs under Settings/)."""
+
+    def test_all_presets_parse(self):
+        import glob, os
+        root = os.path.join(os.path.dirname(__file__), "..", "Settings")
+        paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+        assert len(paths) >= 10
+        for p in paths:
+            st = Settings.from_yaml(p)
+            assert st.camera.width > 0 and st.fps > 0
+            if "TUM-VI" in p:
+                assert st.camera.kind == 1  # KB8 fisheye
+                assert st.imu is not None
+            if "Inertial" in p:
+                assert st.imu is not None and st.imu.gyro_noise > 0
+            if "KITTI" in p:
+                assert st.camera.bf > 100  # stereo baseline*f in pixels*m

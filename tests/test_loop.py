@@ -235,3 +235,60 @@ class TestDbow2TextFormat:
         v = bow.bow_vector(voc, words, jnp.ones((32,), bool))
         assert v.shape == (voc.n_words,)
         np.testing.assert_allclose(float(v.sum()), 1.0, rtol=1e-5)
+
+
+class TestBinaryVocabulary:
+    """DBoW2 .bin format (reference: TemplatedVocabulary::loadFromBinaryFile
+    / saveToBinaryFile + the bin_vocabulary converter)."""
+
+    def _toy_voc(self, tmp_path):
+        rng = np.random.default_rng(3)
+        d = rng.integers(0, 255, (6, 32), np.uint8)
+        lines = ["2 2 0 0"]
+        spec = [(0, 0, 1), (0, 0, 2), (1, 1, 3), (1, 1, 4), (2, 1, 5)]
+        for parent, is_leaf, node in spec:
+            b = " ".join(str(x) for x in d[node])
+            lines.append(f"{parent} {is_leaf} {b} 0.5")
+        p = tmp_path / "voc.txt"
+        p.write_text("\n".join(lines) + "\n")
+        return bow.load_dbow2_text(str(p))
+
+    def test_binary_roundtrip(self, tmp_path):
+        voc = self._toy_voc(tmp_path)
+        out = str(tmp_path / "voc.bin")
+        bow.save_dbow2_binary(voc, out)
+        voc2 = bow.load_dbow2_binary(out)
+        assert voc2.k == voc.k and voc2.depth == voc.depth
+        assert voc2.n_words == voc.n_words
+        np.testing.assert_array_equal(np.asarray(voc.nodes),
+                                      np.asarray(voc2.nodes))
+        np.testing.assert_array_equal(np.asarray(voc.word_id),
+                                      np.asarray(voc2.word_id))
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(bow.quantize(voc, q)), np.asarray(bow.quantize(voc2, q)))
+
+    def test_binary_record_layout(self, tmp_path):
+        """The on-disk node record must be the reference's packed 41 bytes."""
+        voc = self._toy_voc(tmp_path)
+        out = str(tmp_path / "voc.bin")
+        bow.save_dbow2_binary(voc, out)
+        raw = open(out, "rb").read()
+        nb_nodes, size_node = np.frombuffer(raw[:8], "<u4")
+        assert size_node == 41 and nb_nodes == 5
+        assert len(raw) == 8 + 16 + 41 * 5
+        k, L, scoring, weighting = np.frombuffer(raw[8:24], "<i4")
+        assert (k, L) == (2, 2)
+
+    def test_load_vocabulary_dispatches_by_extension(self, tmp_path):
+        voc = self._toy_voc(tmp_path)
+        b = str(tmp_path / "voc.bin")
+        bow.save_dbow2_binary(voc, b)
+        t = str(tmp_path / "voc2.txt")
+        bow.save_dbow2_text(voc, t)
+        n = str(tmp_path / "voc3.npz")
+        voc.save(n)
+        for p in (b, t, n):
+            v = bow.load_vocabulary(p)
+            assert v.n_words == voc.n_words

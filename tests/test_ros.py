@@ -154,3 +154,35 @@ class TestBridges:
         img = rng.integers(0, 255, (240, 320)).astype(np.uint8)
         out = bridge.on_image(_mk_gray_msg(img, 0.0))
         assert out is not None  # state NOT_INITIALIZED but pose returned
+
+
+class TestImuQueue:
+    def test_drain_until_splits_on_image_stamp(self):
+        from plvs_tpu.ros.ros1_nodes import ImuQueue
+
+        q = ImuQueue()
+        for i in range(10):
+            q.push(0.01 * i, (0.0, 0.0, 0.1 * i), (0.0, 0.0, 9.81))
+        batch = q.drain_until(0.045)
+        assert len(batch) == 5  # t = 0.00..0.04
+        assert all(t <= 0.045 for t, _, _ in batch)
+        assert len(q.samples) == 5  # the rest stays queued
+        assert q.drain_until(0.01) is None  # nothing at/below 0.01 left
+
+    def test_batch_format_matches_grab_imu_data(self):
+        import numpy as np
+        from plvs_tpu.ros.ros1_nodes import ImuQueue
+
+        q = ImuQueue()
+        q.push(1.0, (1, 2, 3), (4, 5, 6))
+        ((t, w, a),) = q.drain_until(2.0)
+        assert t == 1.0
+        np.testing.assert_allclose(w, [1, 2, 3])
+        assert w.dtype == np.float32 and a.dtype == np.float32
+
+
+class TestRos1Gating:
+    def test_module_imports_without_rospy(self):
+        import plvs_tpu.ros.ros1_nodes as r1
+
+        assert hasattr(r1, "main_rgbd") and hasattr(r1, "main_stereo_inertial")
