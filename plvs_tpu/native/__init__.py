@@ -60,7 +60,7 @@ def _build_and_load():
     pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
-    lib.covis_counts.argtypes = [pi64, pi64, pu8, i64, i64, i64, pi32]
+    lib.covis_counts.argtypes = [pi64, pi64, pu8, i64, i64, i64, i64, pi32]
     lib.covis_counts.restype = None
     lib.covis_graph.argtypes = [pi64, pi64, pu8, i64, i64, i64, i32, i64,
                                 pi32, pi32, pi32]
@@ -128,7 +128,8 @@ def covis_counts(obs_kf: np.ndarray, obs_pt: np.ndarray, obs_mask: np.ndarray,
     obs_pt = np.ascontiguousarray(obs_pt, np.int64)
     obs_mask = np.ascontiguousarray(obs_mask, np.uint8)
     out = np.zeros((max_kf,), np.int32)
-    L.covis_counts(obs_kf, obs_pt, obs_mask, len(obs_kf), kf, max_pts, out)
+    L.covis_counts(obs_kf, obs_pt, obs_mask, len(obs_kf), kf, max_kf,
+                   max_pts, out)
     return out
 
 

@@ -39,13 +39,20 @@ extern "C" {
 // keyframe. O(n_obs) two-pass: mark this KF's points, then scan.
 void covis_counts(const int64_t* obs_kf, const int64_t* obs_pt,
                   const uint8_t* obs_mask, int64_t n_obs, int64_t kf,
-                  int64_t max_pts, int32_t* out_counts /* [max_kf] zeroed */) {
+                  int64_t max_kf, int64_t max_pts,
+                  int32_t* out_counts /* [max_kf] zeroed */) {
+  // out-of-range ids are skipped rather than trusted: a single bad index
+  // from the caller must not corrupt the heap of the host process that is
+  // also running the JIT compiler
   std::vector<uint8_t> mine(max_pts, 0);
   for (int64_t i = 0; i < n_obs; ++i) {
-    if (obs_mask[i] && obs_kf[i] == kf) mine[obs_pt[i]] = 1;
+    if (obs_mask[i] && obs_kf[i] == kf && (uint64_t)obs_pt[i] < (uint64_t)max_pts)
+      mine[obs_pt[i]] = 1;
   }
   for (int64_t i = 0; i < n_obs; ++i) {
-    if (obs_mask[i] && obs_kf[i] != kf && mine[obs_pt[i]]) {
+    if (obs_mask[i] && obs_kf[i] != kf &&
+        (uint64_t)obs_pt[i] < (uint64_t)max_pts &&
+        (uint64_t)obs_kf[i] < (uint64_t)max_kf && mine[obs_pt[i]]) {
       ++out_counts[obs_kf[i]];
     }
   }
@@ -62,14 +69,18 @@ int64_t covis_graph(const int64_t* obs_kf, const int64_t* obs_pt,
   std::vector<int32_t> head(max_pts + 1, 0);
   std::vector<int32_t> kf_of;
   kf_of.reserve(n_obs);
+  auto ok = [&](int64_t i) {
+    return obs_mask[i] && (uint64_t)obs_pt[i] < (uint64_t)max_pts &&
+           (uint64_t)obs_kf[i] < (uint64_t)max_kf;
+  };
   for (int64_t i = 0; i < n_obs; ++i)
-    if (obs_mask[i]) ++head[obs_pt[i] + 1];
+    if (ok(i)) ++head[obs_pt[i] + 1];
   for (int64_t p = 0; p < max_pts; ++p) head[p + 1] += head[p];
   std::vector<int32_t> sorted(head[max_pts]);
   {
     std::vector<int32_t> cur(head.begin(), head.end() - 1);
     for (int64_t i = 0; i < n_obs; ++i)
-      if (obs_mask[i]) sorted[cur[obs_pt[i]]++] = (int32_t)obs_kf[i];
+      if (ok(i)) sorted[cur[obs_pt[i]]++] = (int32_t)obs_kf[i];
   }
   std::unordered_map<int64_t, int32_t> w;
   w.reserve(1 << 16);
@@ -138,6 +149,7 @@ void invindex_add(void* h, int32_t kf, const int32_t* words,
   auto* ix = (InvIndex*)h;
   float s = 0.f;
   for (int64_t i = 0; i < n; ++i) {
+    if ((uint64_t)words[i] >= (uint64_t)ix->n_words) continue;  // -1 = no word
     ix->postings[words[i]].emplace_back(kf, weights[i]);
     s += weights[i] < 0 ? -weights[i] : weights[i];
   }
@@ -171,8 +183,10 @@ int64_t invindex_query(void* h, const int32_t* words, const float* weights,
   if (qs <= 0) qs = 1.f;
   int64_t touched = 0;
   for (int64_t i = 0; i < n; ++i) {
+    if ((uint64_t)words[i] >= (uint64_t)ix->n_words) continue;
     const float qa = weights[i] / qs;
     for (const auto& p : ix->postings[words[i]]) {
+      if ((uint64_t)p.first >= (uint64_t)max_kf) continue;
       const float vb = p.second / ix->norm[p.first];
       out_scores[p.first] += std::abs(qa) + std::abs(vb) - std::abs(qa - vb);
       if (out_shared[p.first]++ == 0) ++touched;

@@ -189,3 +189,29 @@ class TestPngIO:
         self._write_png(pd, d16, "I;16")
         np.testing.assert_allclose(
             _imread_depth(pd, 5000.0), d16.astype(np.float32) / 5000.0)
+
+
+class TestBoundsHardening:
+    """Out-of-range ids must be skipped, not trusted (heap safety of the
+    in-process host runtime)."""
+
+    def test_covis_counts_ignores_out_of_range_ids(self):
+        if not native.available():
+            pytest.skip("native unavailable")
+        okf = np.array([0, 1, 99, 0, 1], np.int64)
+        opt = np.array([5, 5, 5, 777, -3], np.int64)  # 777/-3 out of range
+        m = np.ones(5, np.uint8)
+        counts = native.covis_counts(okf, opt, m, 0, max_kf=4, max_pts=8)
+        assert counts[1] == 1  # only the valid shared landmark counted
+        assert counts.sum() == 1
+
+    def test_invindex_ignores_invalid_words(self):
+        if not native.available():
+            pytest.skip("native unavailable")
+        ix = native.InvertedIndex(16, max_kf=4)
+        words = np.array([3, -1, 99], np.int32)  # -1 and 99 invalid
+        w = np.array([1.0, 1.0, 1.0], np.float32)
+        ix.add(0, words, w)
+        scores, shared = ix.query(words, w)
+        assert shared[0] == 1 and np.isfinite(scores).all()
+        ix.close()
