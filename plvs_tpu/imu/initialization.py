@@ -89,6 +89,33 @@ def inertial_only_optimize(
     dirG = dirG / (jnp.linalg.norm(dirG) + 1e-9)
     R0_g = _rotation_between(jnp.asarray([0.0, 0.0, -1.0], dtype), dirG)
 
+    # --- composed long-baseline rotation edges (dyadic strides) ----------
+    # Gyro bias is weakly observable from consecutive KF pairs: the bias
+    # signal over one short gap (~dT*bg) is comparable to the visual
+    # rotation noise at the two endpoints. Composing preintegrated
+    # rotations over strides 2,4,8,... grows the bias signal linearly with
+    # the baseline while the vision noise stays at the two endpoints.
+    # Composition rule for C = A∘B: dR_C = dR_A dR_B,
+    # JRg_C = dR_B^T JRg_A + JRg_B (first-order, as in the reference's
+    # per-sample Jacobian recursion, src/ImuTypes.cc).
+    sigma_vis2 = jnp.asarray(1e-3, dtype) ** 2  # visual rotation noise floor
+    rot_levels = []
+    R_s = preints.dR
+    J_s = preints.JRg
+    c_s = jax.vmap(lambda C: jnp.diagonal(C)[0:3])(preints.cov)
+    b_s = preints.bias_gyro
+    stride = 1
+    while 2 * stride <= K - 1:
+        L = R_s.shape[0]
+        A, B = slice(0, L - stride), slice(stride, L)
+        R2 = jnp.einsum("kij,kjl->kil", R_s[A], R_s[B])
+        J2 = jnp.einsum("kji,kjm->kim", R_s[B], J_s[A]) + J_s[B]
+        c2 = c_s[A] + c_s[B]
+        b2 = 0.5 * (b_s[A] + b_s[B])
+        R_s, J_s, c_s, b_s = R2, J2, c2, b2
+        stride *= 2
+        rot_levels.append((stride, R_s, J_s, c_s, b_s))
+
     def residuals(theta):
         rxy, log_s, bg, ba, vel = unpack(theta)
         s = jnp.where(fix_scale, 1.0, jnp.exp(log_s))
@@ -109,8 +136,22 @@ def inertial_only_optimize(
             return r * w
 
         rs = jax.vmap(edge)(jnp.arange(K - 1)).reshape(-1)
+
+        def rot_edge(args):
+            stride_, Rij, Jij, cij, bij = args
+
+            def one(i):
+                dR_corr = Rij[i] @ lie.so3_exp(Jij[i] @ (bg - bij[i]))
+                r = lie.so3_log(dR_corr.T @ R_wb[i].T @ R_wb[i + stride_])
+                w = 1.0 / jnp.sqrt(cij[i] + sigma_vis2)
+                return r * w
+
+            return jax.vmap(one)(jnp.arange(Rij.shape[0])).reshape(-1)
+
+        rs_long = ([rot_edge(lv) for lv in rot_levels]
+                   if rot_levels else [jnp.zeros((0,), dtype)])
         priors = jnp.concatenate([bg * prior_gyro, ba * prior_acc])
-        return jnp.concatenate([rs, priors])
+        return jnp.concatenate([rs, *rs_long, priors])
 
     theta0 = jnp.zeros((9 + 3 * K,), dtype)
 

@@ -228,6 +228,14 @@ class InertialRuntime:
             store.kf_t[k] = (self.R_cb @ t_bw + self.t_cb).astype(np.float32)
             self.kf_velocity[k] = vn[i].astype(np.float32)
         store.pt_xyz[pts] = np.asarray(ptsn)
-        self.bias_gyro = np.asarray(bgn).mean(0).astype(np.float32)
-        self.bias_acc = np.asarray(ban).mean(0).astype(np.float32)
+        # While the staged initialization is still refining (short window),
+        # the inertial-only solve — rerun on_keyframe with long-baseline
+        # rotation edges — is the better bias estimator; VI-BA's window
+        # biases random-walk within the anchor. Afterwards, track the last
+        # keyframe's optimized bias (reference: Tracking predicts with the
+        # last KF's bias, src/Tracking.cc PredictStateIMU).
+        total_t = float(sum(float(p.dT) for p in self.kf_preint.values()))
+        if total_t >= self.init_refine_until:
+            self.bias_gyro = np.asarray(bgn)[-1].astype(np.float32)
+            self.bias_acc = np.asarray(ban)[-1].astype(np.float32)
         return True

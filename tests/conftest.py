@@ -20,14 +20,17 @@ import jax  # noqa: E402
 # JAX_PLATFORMS env var; the config update below wins as long as no backend
 # has been initialized yet (conftest imports run before any test module).
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeated CI runs skip recompiles
-_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-# the XLA:CPU AOT sub-cache embeds host CPU feature flags that vary
-# between runs in this sandbox (cpu_aot_loader rejections); keep only
-# the portable HLO-level cache entries
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# Persistent compilation cache: OFF by default. XLA:CPU serializes AOT
+# machine code whose embedded target features (+prefer-no-scatter, ...) do
+# not match the host feature list, so cache hits load mismatched code —
+# cpu_aot_loader warns "could lead to execution errors such as SIGILL" and
+# the suite intermittently segfaulted inside compile with the cache on.
+# Opt back in with PLVS_TPU_COMPILE_CACHE=1 on machines where it is safe.
+if os.environ.get("PLVS_TPU_COMPILE_CACHE"):
+    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
