@@ -144,7 +144,7 @@ def run_system_once(system_factory, frame_iter_factory, gt_xyz=None,
             else:
                 state, _, _ = system.track_rgbd(imgs[0], imgs[1], ts)
             track_ms.append((time.perf_counter() - t0) * 1e3)
-            lost += int(state == 3)
+            lost += int(state in (3, 5))  # LOST or RECENTLY_LOST
             n += 1
     rmse = float("nan")
     if gt_xyz is not None and n:

@@ -29,6 +29,7 @@ def _vocab_checksum(voc) -> str:
 
 _STORE_FIELDS = [
     "kf_R", "kf_t", "kf_mask", "kf_fixed", "kf_timestamp", "kf_frame_id",
+    "kf_map",
     "kf_kp_xy", "kf_kp_uvr", "kf_kp_desc", "kf_kp_octave", "kf_kp_angle",
     "kf_kp_mask", "kf_kp_pt",
     "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist", "pt_max_dist",
@@ -51,6 +52,7 @@ def save_atlas(path: str, store: MapStore, voc=None, extra: dict | None = None):
         [store.max_kf, store.max_pts, store.max_obs, store.n_kp,
          store.max_lines, store.max_lobs, store.n_kl]
     )
+    data["_atlas"] = np.asarray([store.active_map, store.n_maps])
     data["_vocab_checksum"] = np.asarray(_vocab_checksum(voc))
     if voc is not None:
         data["_voc_k"] = np.asarray(voc.k)
@@ -75,9 +77,13 @@ def load_atlas(path: str, expected_vocab=None):
                      max_lines=int(caps[4]), max_lobs=int(caps[5]),
                      n_kl=int(caps[6]))
     for f in _STORE_FIELDS:
-        getattr(store, f)[...] = z[f]
+        if f in z:  # tolerate checkpoints from before a field existed
+            getattr(store, f)[...] = z[f]
     for c in _COUNTERS:
         setattr(store, c, int(z[c]))
+    if "_atlas" in z:
+        store.active_map = int(z["_atlas"][0])
+        store.n_maps = int(z["_atlas"][1])
 
     voc = None
     if "_voc_nodes" in z:

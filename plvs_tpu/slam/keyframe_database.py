@@ -67,6 +67,19 @@ class KeyFrameDatabase:
             st.kf_kp_desc[kf_id], st.kf_kp_mask[kf_id])
         return True
 
+    def rebuild(self):
+        """Recompute BoW vectors for every live keyframe (used after an
+        atlas load, where only descriptors are persisted — reference:
+        System::LoadAtlas recomputes BoW in KeyFrame::PostLoad)."""
+        if not self.ensure_vocab():
+            return False
+        st = self.store
+        self.kf_bow = np.zeros((st.max_kf, self.voc.n_words), np.float32)
+        for k in np.nonzero(st.kf_mask)[0]:
+            self.kf_bow[k] = self.bow_of_desc(
+                st.kf_kp_desc[k], st.kf_kp_mask[k])
+        return True
+
     # ------------------------------------------------------------------
     def query(self, vec: np.ndarray, exclude: set[int] = frozenset(),
               top_n: int = 5, min_score: float = 0.015):

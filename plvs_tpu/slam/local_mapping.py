@@ -190,7 +190,7 @@ class LocalMapper:
         okf, opt, _ = st.live_obs()
         for kc in covis:
             kc = int(kc)
-            if kc == 0 or kc == kf_id:
+            if kc == 0 or kc == kf_id or st.kf_fixed[kc]:
                 continue
             pts = opt[okf == kc]
             if len(pts) < 20:
@@ -226,6 +226,10 @@ class LocalMapper:
         age = kf_id - st.pt_first_kf[pts]  # in KF ids (approximate KF count)
         bad = (ratio < 0.25) & (st.pt_visible[pts] >= 8)
         bad |= (age >= 3) & (st.pt_n_obs[pts] <= 1) & (st.pt_visible[pts] >= 6)
+        # never cull landmarks of a frozen loaded map (their counters are
+        # historical; the reference likewise leaves loaded maps untouched)
+        ref = np.clip(st.pt_ref_kf[pts], 0, st.max_kf - 1)
+        bad &= ~st.kf_fixed[ref]
         st.remove_points(pts[bad])
 
     # ------------------------------------------------------------------
@@ -276,11 +280,16 @@ class LocalMapper:
             return
 
         # fixed mask: out-of-window observers + the oldest window KF when no
-        # external anchor exists (gauge freedom)
+        # external anchor exists (gauge freedom) + frozen loaded-map KFs
+        # (reference: mbFixed keyframes stay fixed vertices,
+        # src/System.cc:212-216)
         fixed_mask = np.zeros((K,), bool)
         fixed_mask[len(window):] = True
-        if len(fixed) == 0:
+        fixed_mask |= st.kf_fixed[cams]
+        if len(fixed) == 0 and not fixed_mask.any():
             fixed_mask[np.argmin(st.kf_frame_id[window])] = True
+        if fixed_mask.all():
+            return  # nothing free to optimize (fully frozen window)
 
         Kb = _bucket(K, 16)
         Pb = _bucket(len(pts), 256)

@@ -35,39 +35,102 @@ class LoopCloser:
     min_inliers: int = 25
     min_kf_gap: int = 10          # don't close against recent KFs
     fix_scale: bool = True        # RGB-D / stereo
+    # consecutive-coincidence gate (reference: NewDetectCommonRegions
+    # requires mnLoopNumCoincidences successive keyframes confirming the
+    # same region, src/LoopClosing.cc:377-459). Default 1: each detection
+    # here is already a full 3D-3D RANSAC with >= min_inliers, a stronger
+    # per-keyframe test than the reference's BoW stage; raise to 2-3 for
+    # the reference's multi-keyframe confirmation on self-similar scenes.
+    required_coincidences: int = 1
+    # drift-consistency tolerances for counting a later keyframe as a
+    # coincidence of a pending detection (reference:
+    # DetectAndReffineSim3FromLastKF re-verifies from the predicted Sim3)
+    coincidence_rot_tol: float = 0.17   # rad (~10 deg)
+    coincidence_trans_tol: float = 0.5  # meters
 
     def __post_init__(self):
         if self.kfdb is None:
             self.kfdb = KeyFrameDatabase(self.store)
         self.last_loop_kf = -1
         self._ransac_key = jax.random.PRNGKey(0)
+        # pending detection awaiting consecutive confirmations:
+        # dict(cand, kf, count, G_R, G_t) where (G_R, G_t) is the implied
+        # world-drift transform of the active map
+        self._pending = None
 
     @property
     def kf_bow(self):
         return self.kfdb.kf_bow
 
     # ------------------------------------------------------------------
+    def _drift_transform(self, kf_id: int, cand: int, R_rel, t_rel):
+        """World-to-world drift G implied by a verified camera-frame
+        relation X_cand_cam = R_rel X_kf_cam + t_rel: G maps the active
+        (drifted) world into the candidate's world."""
+        st = self.store
+        Rc, tc = st.kf_R[cand], st.kf_t[cand]
+        Rk, tk = st.kf_R[kf_id], st.kf_t[kf_id]
+        G_R = (Rc.T @ R_rel @ Rk).astype(np.float32)
+        G_t = (Rc.T @ (R_rel @ tk + t_rel - tc)).astype(np.float32)
+        return G_R, G_t
+
+    # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int) -> dict | None:
-        """Detect + verify + correct. Returns loop info dict if closed."""
+        """Detect + verify + (after enough consecutive coincidences)
+        correct. Returns loop info dict if closed."""
         st = self.store
         if not self.kfdb.add(kf_id):
             return None
 
         cand = self._detect(kf_id)
         if cand is None:
+            # a pending detection must be confirmed by CONSECUTIVE
+            # keyframes (reference: the coincidence counter resets when a
+            # keyframe fails to re-detect the region)
+            self._pending = None
             return None
         ok, R_rel, t_rel, n_inl, pairs = self._verify(kf_id, cand)
         if not ok:
+            self._pending = None
             return None
+        G_R, G_t = self._drift_transform(kf_id, cand, R_rel, t_rel)
+
+        pend = self._pending
+        if pend is not None and self._consistent(pend, cand, G_R, G_t):
+            count = pend["count"] + 1
+        else:
+            count = 1
+        self._pending = dict(cand=cand, kf=kf_id, count=count,
+                             G_R=G_R, G_t=G_t)
+        if count < self.required_coincidences:
+            return None
+        self._pending = None
+
         if st.kf_map[cand] != st.kf_map[kf_id]:
             # place recognised in another atlas map -> weld the active map
             # into it (reference: MergeLocal, src/LoopClosing.cc:1684-)
             info = self._merge(kf_id, cand, R_rel, t_rel, pairs)
         else:
-            info = self._correct(kf_id, cand, R_rel, t_rel)
+            info = self._correct(kf_id, cand, R_rel, t_rel, pairs)
         info.update({"candidate": int(cand), "inliers": int(n_inl)})
         self.last_loop_kf = kf_id
         return info
+
+    # ------------------------------------------------------------------
+    def _consistent(self, pend: dict, cand: int, G_R, G_t) -> bool:
+        """A new detection extends a pending one if it names the same
+        region (the candidate is the pending candidate or covisible with
+        it) and implies the same world drift."""
+        st = self.store
+        if cand != pend["cand"]:
+            covis, _ = st.covisibility(int(pend["cand"]), min_weight=5)
+            if cand not in set(covis.tolist()):
+                return False
+        dR = pend["G_R"].T @ G_R
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        dt = np.linalg.norm(G_t - pend["G_t"])
+        return bool(ang < self.coincidence_rot_tol
+                    and dt < self.coincidence_trans_tol)
 
     # ------------------------------------------------------------------
     def _merge(self, kf_id: int, cand: int, R_rel, t_rel, pairs) -> dict:
@@ -158,14 +221,79 @@ class LoopCloser:
             return False, None, None, int(res.n_inliers), None
         inl = np.asarray(res.inliers)
         pairs = list(zip(p1_ids[inl].tolist(), p2_ids[inl].tolist()))
-        return (True, np.asarray(res.R), np.asarray(res.t),
-                int(res.n_inliers), pairs)
+
+        # guided match expansion + refit (reference: after the Sim3 RANSAC
+        # hit, SearchByProjection with the estimated Sim3 gathers more
+        # matches and OptimizeSim3 refines the transform,
+        # src/LoopClosing.cc NewDetectCommonRegions second stage)
+        R_rel, t_rel = np.asarray(res.R), np.asarray(res.t)
+        G_R, G_t = self._drift_transform(kf_id, cand, R_rel, t_rel)
+        pairs2 = self._expand_pairs(kf_id, cand, pairs, G_R, G_t)
+        if len(pairs2) > len(pairs):
+            src = np.asarray([p for p, _ in pairs2])
+            dst = np.asarray([q for _, q in pairs2])
+            X1 = (st.pt_xyz[src] @ st.kf_R[kf_id].T + st.kf_t[kf_id])
+            X2 = (st.pt_xyz[dst] @ st.kf_R[cand].T + st.kf_t[cand])
+            self._ransac_key, sub = jax.random.split(self._ransac_key)
+            res2 = sim3_solver.sim3_ransac(
+                jnp.asarray(X1), jnp.asarray(X2),
+                jnp.ones((len(src),), bool), sub,
+                with_scale=not self.fix_scale, inlier_thresh=0.10,
+            )
+            if int(res2.n_inliers) >= int(res.n_inliers):
+                inl2 = np.asarray(res2.inliers)
+                pairs = list(zip(src[inl2].tolist(), dst[inl2].tolist()))
+                return (True, np.asarray(res2.R), np.asarray(res2.t),
+                        int(res2.n_inliers), pairs)
+        return (True, R_rel, t_rel, int(res.n_inliers), pairs)
 
     # ------------------------------------------------------------------
-    def _correct(self, kf_id: int, cand: int, R_rel, t_rel):
+    def _expand_pairs(self, kf_id: int, cand: int, pairs, G_R, G_t,
+                      radius: float = 0.25, max_hamming: int = 55,
+                      cap_src: int = 1024, cap_dst: int = 4096):
+        """More landmark correspondences by projecting the active map's
+        points into the candidate's neighbourhood through the drift
+        estimate G (reference: the Sim3-guided SearchByProjection stage).
+        Returns the union of ``pairs`` and the new (src, dst) id pairs."""
+        st = self.store
+        covis, _ = st.covisibility(cand, min_weight=5)
+        window = np.concatenate([[cand], covis[:5]]).astype(np.int64)
+        dst_ids = st.points_in_kfs(window)
+        dst_ids = dst_ids[st.pt_mask[dst_ids]][:cap_dst]
+        src_ids = st.kf_kp_pt[kf_id]
+        src_ids = np.unique(src_ids[src_ids >= 0])
+        src_ids = src_ids[st.pt_mask[src_ids]][:cap_src]
+        if len(dst_ids) < 10 or len(src_ids) < 10:
+            return pairs
+        have = set(pairs)
+        dst_ids = dst_ids[~np.isin(dst_ids, src_ids)]
+        if len(dst_ids) < 10:
+            return pairs
+        Xs = st.pt_xyz[src_ids] @ G_R.T + G_t   # src mapped into cand world
+        Xd = st.pt_xyz[dst_ids]
+        d2 = ((Xs[:, None, :] - Xd[None, :, :]) ** 2).sum(-1)
+        ham = np.asarray(matching.hamming(
+            jnp.asarray(st.pt_desc[src_ids]), jnp.asarray(st.pt_desc[dst_ids])))
+        cost = np.where((d2 < radius * radius) & (ham <= max_hamming),
+                        ham.astype(np.float32), np.inf)
+        best = cost.argmin(axis=1)
+        ok = np.isfinite(cost[np.arange(len(src_ids)), best])
+        out = list(pairs)
+        for s, b in zip(src_ids[ok].tolist(), best[ok].tolist()):
+            pr = (int(s), int(dst_ids[b]))
+            if pr not in have:
+                have.add(pr)
+                out.append(pr)
+        return out
+
+    # ------------------------------------------------------------------
+    def _correct(self, kf_id: int, cand: int, R_rel, t_rel,
+                 fuse_pairs=None):
         """Essential-graph correction (reference: CorrectLoop +
         OptimizeEssentialGraph). The loop edge pins T_cand_w ∘ T_w_kf to the
-        verified relative pose; the chain edges come from current estimates."""
+        verified relative pose; the chain edges come from current estimates.
+        Verified duplicate landmarks are fused afterwards (reference:
+        SearchAndFuse, src/LoopClosing.cc:1584)."""
         st = self.store
         live = np.sort(st.kfs_of_map(int(st.kf_map[kf_id])))
         K = len(live)
@@ -206,6 +334,8 @@ class LoopCloser:
         )
         fixed = np.zeros((K,), bool)
         fixed[loc[cand]] = True
+        # frozen loaded-map keyframes are never moved (reference: mbFixed)
+        fixed |= st.kf_fixed[live]
 
         prob = pose_graph.PoseGraphProblem(
             R, t, s, jnp.asarray(fixed), edge_i, edge_j, edge_R, edge_t,
@@ -235,5 +365,16 @@ class LoopCloser:
 
         st.kf_R[live] = Rn
         st.kf_t[live] = tn
+
+        # fuse the verified duplicate landmarks: the loop (older) side wins
+        # (reference: SearchAndFuse replaces current-side points with the
+        # loop-side ones after correction)
+        n_fused = 0
+        if fuse_pairs is not None and len(fuse_pairs):
+            for p_src, p_dst in fuse_pairs:
+                if (p_src != p_dst and st.pt_mask[p_src]
+                        and st.pt_mask[p_dst]):
+                    st.replace_point(int(p_src), int(p_dst))
+                    n_fused += 1
         return {"cost0": float(info["cost0"]), "cost": float(info["cost"]),
-                "n_kf": K}
+                "n_kf": K, "n_fused": n_fused}

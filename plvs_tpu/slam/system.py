@@ -192,6 +192,9 @@ class System:
         self._last_kf_ts = timestamp
         if self.inertial.initialized:
             self.inertial.vi_local_ba(self.cam, self.store, kf_id)
+            # an initialized IMU earns predicted-pose coasting through
+            # RECENTLY_LOST (reference: PredictStateIMU src/Tracking.cc:2318)
+            self.tracker.imu_coast = True
 
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float,
                    imu_samples=None):
@@ -355,6 +358,48 @@ class System:
             from ..io import serialization
 
             serialization.save_dense(save_dense_path, self.dense_mapper.volume)
+
+    def load_map(self, path: str, freeze: bool = True,
+                 force_relocalization: bool = True,
+                 dense_path: str | None = None):
+        """Reuse a previously saved atlas (reference: SparseMapping.reuseMap
+        flow — System::LoadAtlas src/System.cc:201-229: load, optionally
+        freeze every keyframe (:212-216, mbFixed), and start tracking in
+        RELOCALIZE_IN_LOADED_MAP when forceRelocalization is set
+        (:353-356)).
+
+        The loaded store replaces the current one; with ``freeze`` the
+        loaded keyframes stay fixed in every subsequent optimization and are
+        never culled, so the session only extends the map.
+        """
+        from ..io import serialization
+
+        expected = self.kfdb.voc if self.config.vocabulary_path else None
+        store, voc = serialization.load_atlas(path, expected_vocab=expected)
+        if freeze:
+            store.kf_fixed[store.kf_mask] = True
+        self.store = store
+        if voc is not None and self.kfdb.voc is None:
+            self.kfdb.voc = voc
+        self.kfdb.store = store
+        self.kfdb.rebuild()
+        self.tracker.store = store
+        self.local_mapper.store = store
+        if self.loop_closer is not None:
+            self.loop_closer.store = store
+        if dense_path and self.dense_mapper is not None:
+            self.dense_mapper.volume = serialization.load_dense(
+                dense_path, self.cam)
+        # continue numbering after the loaded session
+        live = np.nonzero(store.kf_mask)[0]
+        if len(live):
+            self.tracker.frame_id = int(store.kf_frame_id[live].max()) + 1
+        from .tracking import LOST, RELOCALIZE_IN_LOADED_MAP
+
+        self.tracker.state = (RELOCALIZE_IN_LOADED_MAP
+                              if force_relocalization else LOST)
+        self.tracker.ref_kf = int(live[-1]) if len(live) else -1
+        self.tracker.last_kp_pt_id = None
 
     def map_statistics(self):
         return {

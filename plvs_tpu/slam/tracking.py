@@ -27,6 +27,17 @@ NO_IMAGES_YET = 0
 NOT_INITIALIZED = 1
 OK = 2
 LOST = 3
+# tracking against a loaded (reused) map: relocalize before anything else
+# (reference: Tracking::RELOCALIZE_IN_LOADED_MAP include/Tracking.h:171-181,
+# entered when SparseMapping.reuseMap + forceRelocalization,
+# src/System.cc:353-356)
+RELOCALIZE_IN_LOADED_MAP = 4
+# grace period after a tracking failure on a mature map: keep publishing a
+# predicted pose (IMU/motion-model coasting) and attempt relocalization each
+# frame; falls to LOST after time_recently_lost seconds (reference:
+# Tracking::RECENTLY_LOST include/Tracking.h:176, 5s deadline
+# src/Tracking.cc:86, coasting via PredictStateIMU src/Tracking.cc:2318)
+RECENTLY_LOST = 5
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -174,6 +185,16 @@ class Tracker:
         self.new_map_after_lost = new_map_after_lost
         self.lost_frames = 0
         self.maps_created = 0
+        # RECENTLY_LOST grace period (reference: time_recently_lost = 5s,
+        # src/Tracking.cc:86); the map must have enough keyframes for the
+        # grace state to make sense (reference requires >10 KFs or IMU)
+        self.time_recently_lost = 5.0
+        self.min_kf_recently_lost = 10
+        # set by the System when the inertial runtime is initialized: coast
+        # on the motion model during RECENTLY_LOST (reference: IMU-predicted
+        # coasting, src/Tracking.cc:2318)
+        self.imu_coast = False
+        self._lost_ts = 0.0
         # localization-only mode: track against the frozen map, never grow it
         # (reference: System::ActivateLocalizationMode ->
         # Tracking::InformOnlyTracking, include/System.h:157-159)
@@ -193,11 +214,27 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_frame(self, fr: frame_mod.Frame, timestamp: float,
                       fl=None) -> TrackResult:
-        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+        if self.state == RELOCALIZE_IN_LOADED_MAP:
+            # never initialize a fresh map: localize in the loaded one
+            res = self._relocalize(fr, timestamp)
+        elif self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             res = self._initialize(fr, timestamp, fl)
+        elif self.state == RECENTLY_LOST:
+            res = self._relocalize(fr, timestamp)
+            if res.state != OK:
+                if self.imu_coast:
+                    # keep publishing a predicted pose while the deadline
+                    # has not expired (reference: PredictStateIMU coasting)
+                    self.R = (self.vel_R @ self.R).astype(np.float32)
+                    self.t = (self.vel_R @ self.t + self.vel_t).astype(
+                        np.float32)
+                if timestamp - self._lost_ts > self.time_recently_lost:
+                    self.state = LOST
+                res = TrackResult(self.state, self.R, self.t,
+                                  res.n_inliers, res.kp_pt_id)
         elif self.state == LOST:
             res = self._relocalize(fr, timestamp)
-            if res.state == LOST:
+            if res.state != OK:
                 self.lost_frames += 1
                 if (self.new_map_after_lost
                         and self.lost_frames >= self.new_map_after_lost
@@ -261,20 +298,45 @@ class Tracker:
             idx = np.asarray(idx)
             depth = np.asarray(fr.depth)
             sel = np.nonzero((idx >= 0) & (depth > 0))[0]
-            if len(sel) < 15:
-                continue
-            P = np.asarray(fr.xyz_cam)[sel]                      # camera frame
-            Q = st.pt_xyz[st.kf_kp_pt[kf_id][idx[sel]]]          # world
-            self._reloc_key, sub = jax.random.split(self._reloc_key)
-            res = sim3_solver.sim3_ransac(
-                jnp.asarray(P), jnp.asarray(Q), jnp.ones((len(sel),), bool),
-                sub, with_scale=False, inlier_thresh=0.10,
-            )
-            if int(res.n_inliers) < 15:
-                continue
-            Rwc = np.asarray(res.R)
-            twc = np.asarray(res.t)
-            R0, t0 = Rwc.T.astype(np.float32), (-Rwc.T @ twc).astype(np.float32)
+            if len(sel) >= 15:
+                P = np.asarray(fr.xyz_cam)[sel]                  # camera frame
+                Q = st.pt_xyz[st.kf_kp_pt[kf_id][idx[sel]]]      # world
+                self._reloc_key, sub = jax.random.split(self._reloc_key)
+                res = sim3_solver.sim3_ransac(
+                    jnp.asarray(P), jnp.asarray(Q),
+                    jnp.ones((len(sel),), bool),
+                    sub, with_scale=False, inlier_thresh=0.10,
+                )
+                if int(res.n_inliers) < 15:
+                    continue
+                Rwc = np.asarray(res.R)
+                twc = np.asarray(res.t)
+                R0 = Rwc.T.astype(np.float32)
+                t0 = (-Rwc.T @ twc).astype(np.float32)
+            else:
+                # no per-keypoint depth (monocular): 2D-3D PnP RANSAC on
+                # bearing vectors (reference: MLPnP RANSAC in
+                # Tracking::Relocalization src/Tracking.cc:4982-5013)
+                from ..geometry import cameras as _cm
+                from ..solvers import pnp
+
+                sel = np.nonzero(idx >= 0)[0]
+                if len(sel) < 12:
+                    continue
+                Xw = st.pt_xyz[st.kf_kp_pt[kf_id][idx[sel]]]
+                rays = np.asarray(_cm.unproject(
+                    self.cam, jnp.asarray(fr.kp.xy[sel])))
+                uvn = rays[:, :2] / np.maximum(rays[:, 2:3], 1e-9)
+                self._reloc_key, sub = jax.random.split(self._reloc_key)
+                res = pnp.pnp_ransac(
+                    jnp.asarray(Xw), jnp.asarray(uvn, jnp.float32),
+                    jnp.ones((len(sel),), bool), sub,
+                    inlier_thresh=4.0 / float(self.cam.fx),
+                )
+                if int(res.n_inliers) < 12:
+                    continue
+                R0 = np.asarray(res.R).astype(np.float32)
+                t0 = np.asarray(res.t).astype(np.float32)
             # refine with the full local map of the candidate
             covis, _ = st.covisibility(kf_id, min_weight=5)
             window = np.concatenate([[kf_id], covis[:10]])
@@ -426,7 +488,15 @@ class Tracker:
         local_pts = self._local_points()
         R2, t2, n2, kp_pt2 = self._match_step(fr, R1, t1, local_pts, radius=4.0)
         if n2 < 10:
-            self.state = LOST
+            # a mature map earns a grace period with coasting + per-frame
+            # relocalization attempts (reference: state -> RECENTLY_LOST
+            # when the map has >10 KFs or an IMU, src/Tracking.cc:2361-2371)
+            if (self.imu_coast or self.store.num_keyframes
+                    >= self.min_kf_recently_lost):
+                self.state = RECENTLY_LOST
+                self._lost_ts = timestamp
+            else:
+                self.state = LOST
             return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2)
 
         # --- step 3: line association (reference: SearchLocalLines,

@@ -292,3 +292,90 @@ class TestBinaryVocabulary:
         for p in (b, t, n):
             v = bow.load_vocabulary(p)
             assert v.n_words == voc.n_words
+
+
+class TestCoincidenceGate:
+    """The consecutive-coincidence gate of loop detection (reference:
+    NewDetectCommonRegions requires N successive keyframes confirming the
+    same region before CorrectLoop runs, src/LoopClosing.cc:377-459)."""
+
+    def _build(self, rng, required):
+        from plvs_tpu.slam.keyframe_database import KeyFrameDatabase
+        from plvs_tpu.slam.loop_closing import LoopCloser
+        from plvs_tpu.slam.map_store import MapStore
+
+        st = MapStore(max_kf=32, max_pts=4096, max_obs=32768, n_kp=256)
+        n_pts = 220
+        xyz = np.stack([
+            rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts),
+            rng.uniform(2.8, 3.2, n_pts)], -1).astype(np.float32)
+        desc = rng.integers(0, 2**32, (n_pts, 8), dtype=np.uint32)
+
+        def add_kf(t_cw, pt_ids, frame_id):
+            kf = st.alloc_kf()
+            st.kf_mask[kf] = True
+            st.kf_R[kf] = np.eye(3, dtype=np.float32)
+            st.kf_t[kf] = t_cw
+            st.kf_frame_id[kf] = frame_id
+            n = len(pt_ids)
+            st.kf_kp_desc[kf, :n] = st.pt_desc[pt_ids]
+            st.kf_kp_mask[kf, :n] = True
+            st.add_observations(kf, pt_ids, np.arange(n))
+            return kf
+
+        # original visit: two keyframes observing the wall
+        p0 = st.alloc_pts(n_pts)
+        st.pt_mask[p0] = True
+        st.pt_xyz[p0] = xyz
+        st.pt_desc[p0] = desc
+        kf0 = add_kf(np.zeros(3, np.float32), p0, 0)
+        st.pt_ref_kf[p0] = kf0
+        add_kf(np.array([0.05, 0, 0], np.float32), p0, 1)
+
+        # revisit after drift: duplicated landmarks shifted by +0.3m x
+        drift = np.array([0.3, 0.0, 0.0], np.float32)
+        p1 = st.alloc_pts(n_pts)
+        st.pt_mask[p1] = True
+        st.pt_xyz[p1] = xyz + drift
+        st.pt_desc[p1] = desc
+        kf2 = add_kf((-drift).astype(np.float32), p1, 200)
+        st.pt_ref_kf[p1] = kf2
+        kf3 = add_kf((-drift + np.array([0.04, 0, 0])).astype(np.float32),
+                     p1, 201)
+        closer = LoopCloser(
+            st, kfdb=KeyFrameDatabase(st, min_train_descs=128,
+                                      vocab_train_descs=512),
+            required_coincidences=required)
+        for k in (kf0, 1):
+            closer.kfdb.add(k)
+        return st, closer, kf2, kf3
+
+    def test_two_coincidences_needed(self, rng):
+        st, closer, kf2, kf3 = self._build(rng, required=2)
+        assert closer.process_keyframe(kf2) is None   # first hit: pending
+        assert closer._pending is not None and closer._pending["count"] == 1
+        info = closer.process_keyframe(kf3)           # consecutive confirm
+        assert info is not None, "loop not closed after 2 coincidences"
+        assert closer._pending is None
+
+    def test_gap_resets_pending(self, rng):
+        st, closer, kf2, kf3 = self._build(rng, required=2)
+        assert closer.process_keyframe(kf2) is None
+        # a keyframe seeing nothing recognisable breaks the streak
+        kf4 = st.alloc_kf()
+        st.kf_mask[kf4] = True
+        st.kf_R[kf4] = np.eye(3, dtype=np.float32)
+        st.kf_t[kf4] = np.array([50.0, 0, 0], np.float32)
+        st.kf_frame_id[kf4] = 202
+        st.kf_kp_desc[kf4, :64] = rng.integers(
+            0, 2**32, (64, 8), dtype=np.uint32)
+        st.kf_kp_mask[kf4, :64] = True
+        closer.process_keyframe(kf4)
+        assert closer._pending is None
+
+    def test_single_coincidence_closes_immediately(self, rng):
+        st, closer, kf2, _ = self._build(rng, required=1)
+        info = closer.process_keyframe(kf2)
+        assert info is not None
+        # guided expansion found the duplicated wall and fused it
+        assert info.get("n_fused", 0) >= 25

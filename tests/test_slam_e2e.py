@@ -196,6 +196,63 @@ class TestRelocalization:
         C_gt = -R_gt.T @ t_gt
         assert np.linalg.norm(C_est - C_gt) < 0.1, np.linalg.norm(C_est - C_gt)
 
+    def test_recently_lost_grace_then_lost(self):
+        """On a mature map a tracking failure enters RECENTLY_LOST (grace
+        period with per-frame relocalization attempts), and only falls to
+        LOST after the deadline expires (reference: RECENTLY_LOST state
+        include/Tracking.h:176 with the 5s time_recently_lost deadline,
+        src/Tracking.cc:86,2361-2371)."""
+        from plvs_tpu.slam.tracking import LOST, OK, RECENTLY_LOST
+
+        scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, seed=9)
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                           max_pts=16384, loop_closing=False,
+                           max_kf_interval=4)
+        system = System(CAM, cfg)
+        system.tracker.min_kf_recently_lost = 3   # map matures quickly here
+        system.tracker.time_recently_lost = 4.5 / 30.0  # ~4 frames at 30fps
+        poses = synthetic.default_trajectory(34)
+
+        states = []
+        for i, (ts, gray, depth, R_gt, t_gt) in enumerate(
+                scene.sequence(poses=poses)):
+            if 16 <= i < 28:  # long blackout: outlasts the grace deadline
+                gray = np.zeros_like(gray)
+                depth = np.zeros_like(depth)
+            state, R, t = system.track_rgbd(gray, depth, ts)
+            states.append(state)
+        # the first failures are the grace state, not LOST
+        assert states[16] == RECENTLY_LOST, states
+        assert LOST not in states[16:20], states
+        # the deadline expires inside the blackout -> LOST
+        assert LOST in states[20:28], states
+        # and the system still recovers once the view returns
+        assert OK in states[28:], states
+
+    def test_recently_lost_recovers_within_grace(self):
+        """A short occlusion is bridged entirely inside RECENTLY_LOST: the
+        system relocalizes before the deadline and never reaches LOST."""
+        from plvs_tpu.slam.tracking import LOST, OK
+
+        scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, seed=11)
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                           max_pts=16384, loop_closing=False,
+                           max_kf_interval=4)
+        system = System(CAM, cfg)
+        system.tracker.min_kf_recently_lost = 3
+        poses = synthetic.default_trajectory(30)
+
+        states = []
+        for i, (ts, gray, depth, R_gt, t_gt) in enumerate(
+                scene.sequence(poses=poses)):
+            if 16 <= i < 19:  # short occlusion, well under 5s
+                gray = np.zeros_like(gray)
+                depth = np.zeros_like(depth)
+            state, R, t = system.track_rgbd(gray, depth, ts)
+            states.append(state)
+        assert LOST not in states, states
+        assert all(s == OK for s in states[20:]), states
+
 
 class TestStereo:
     def test_stereo_slam(self):
