@@ -39,3 +39,32 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def _raise_max_map_count(target: int = 262_144):
+    """Every XLA:CPU executable mmaps JIT code regions that are NEVER
+    unmapped for the life of the process (jax.clear_caches() does not
+    release them), so a long suite run crosses the default
+    vm.max_map_count=65530 and LLVM aborts/segfaults INSIDE a later
+    compile (Fatal Python error in backend_compile_and_load, exit
+    134/139). Raise the limit when the sandbox allows; otherwise warn so
+    the crash signature is recognizable."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            current = int(f.read())
+        if current >= target:
+            return
+        with open(path, "w") as f:
+            f.write(str(target))
+    except OSError:
+        import warnings
+
+        warnings.warn(
+            f"could not raise vm.max_map_count (now {current}); a full "
+            "single-process suite run may abort inside XLA compiles once "
+            "the process exceeds that many mappings — split the run "
+            "(pytest -n 2 --dist loadfile) or raise the sysctl manually.")
+
+
+_raise_max_map_count()
