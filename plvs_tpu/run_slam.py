@@ -21,10 +21,15 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser(description="plvs_tpu SLAM runner")
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--tum", type=str, default=None)
+    ap.add_argument("--tum", type=str, default=None,
+                    help="TUM RGB-D sequence dir; ICL-NUIM's TUM-compatible "
+                         "download uses the same layout (reference: "
+                         "Scripts/evaluate_icl_nuim.sh + ICL.yaml preset)")
     ap.add_argument("--euroc", type=str, default=None,
                     help="EuRoC mav0 dir (stereo; reference: "
-                         "Examples/Stereo/stereo_euroc.cc)")
+                         "Examples/Stereo/stereo_euroc.cc). TUM-VI uses the "
+                         "same mav0 layout — pass a TUM-VI sequence here "
+                         "with Settings/TUM-VI.yaml")
     ap.add_argument("--kitti", type=str, default=None,
                     help="KITTI sequence dir (stereo; reference: "
                          "Examples/Stereo/stereo_kitti.cc)")
@@ -165,6 +170,16 @@ def main(argv=None):
         dense = None
         if system.dense_mapper is not None:
             dense = system.dense_mapper.cloud()[0]
+        if args.settings:
+            # static PLY overlays declared in the settings file (reference:
+            # GlObjects.* block, drawn by the viewer src/Viewer.cc:813)
+            from plvs_tpu.viz.gl_objects import GlObjectList
+
+            gl = GlObjectList()
+            if gl.load(args.settings):
+                overlay = gl.all_world_points()[0]
+                dense = (overlay if dense is None
+                         else np.concatenate([dense, overlay], 0))
         if map_drawer.render_map_png(args.viz, system.store,
                                      dense_cloud=dense,
                                      traj=traj_np[:, 1:4]):
