@@ -46,6 +46,11 @@ class InertialRuntime:
         self._since_kf: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._last_frame_t: float | None = None
         self._frame_preint: pre.Preintegrated | None = None
+        # world-frame body-velocity estimate carried between frames
+        # (reference: Tracking keeps mVelocity / frame velocities and
+        # PredictStateIMU propagates them, src/Tracking.cc:2034)
+        self._cur_velocity: np.ndarray | None = None
+        self._last_pose: tuple[float, np.ndarray] | None = None
 
     @property
     def initialized(self) -> bool:
@@ -82,6 +87,55 @@ class InertialRuntime:
         R_bw = self.R_cb.T @ R_cw  # body-from-world... (R_cb maps body->cam)
         R_bw_new = dR.T @ R_bw
         return (self.R_cb @ R_bw_new).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def note_frame_pose(self, R_cw: np.ndarray, t_cw: np.ndarray,
+                        timestamp: float) -> None:
+        """Refresh the velocity estimate from consecutive tracked camera
+        centers (the body-frame lever arm contributes negligibly at frame
+        rate). Called by the System after a successful visual track."""
+        C = (-R_cw.T @ t_cw).astype(np.float32)
+        if self._last_pose is not None:
+            t0, C0 = self._last_pose
+            dt = timestamp - t0
+            if 1e-4 < dt < 1.0:
+                self._cur_velocity = ((C - C0) / dt).astype(np.float32)
+        self._last_pose = (timestamp, C)
+
+    # ------------------------------------------------------------------
+    def predict_state(self, R_cw: np.ndarray, t_cw: np.ndarray,
+                      p: pre.Preintegrated):
+        """Full IMU state prediction (reference: Tracking::PredictStateIMU
+        src/Tracking.cc:2034): propagate the body state through the
+        bias-corrected preintegrated gap under the estimated gravity,
+        then map back to a camera pose. Requires initialization and a
+        velocity estimate; returns (R_cw', t_cw') or None."""
+        if not self.initialized or self._cur_velocity is None:
+            return None
+        bg = jnp.asarray(self.bias_gyro)
+        ba = jnp.asarray(self.bias_acc)
+        dR = np.asarray(pre.delta_rotation(p, bg))
+        dV = np.asarray(pre.delta_velocity(p, bg, ba))
+        dP = np.asarray(pre.delta_position(p, bg, ba))
+        dT = float(p.dT)
+        # camera pose -> body state (T_bw = T_bc T_cw)
+        R_bc = self.R_cb.T
+        t_bc = -R_bc @ self.t_cb
+        R_bw = R_bc @ R_cw
+        t_bw = R_bc @ t_cw + t_bc
+        R_wb = R_bw.T
+        p_wb = -R_wb @ t_bw
+        v = self._cur_velocity
+        g = self.gravity
+        # zero-residual propagation of imu.preintegration.inertial_residual
+        R_wb2 = R_wb @ dR
+        p_wb2 = p_wb + v * dT + 0.5 * g * dT * dT + R_wb @ dP
+        self._cur_velocity = (v + g * dT + R_wb @ dV).astype(np.float32)
+        R_bw2 = R_wb2.T
+        t_bw2 = -R_bw2 @ p_wb2
+        R_cw2 = (self.R_cb @ R_bw2).astype(np.float32)
+        t_cw2 = (self.R_cb @ t_bw2 + self.t_cb).astype(np.float32)
+        return R_cw2, t_cw2
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf_id: int, t_prev_kf: float | None, t_kf: float,

@@ -170,19 +170,45 @@ class System:
                                            (h, w) + img.shape[2:], method))
 
     def _imu_pre_frame(self, timestamp: float, imu_samples):
-        """Queue IMU samples and override the motion model's rotation with
-        the gyro prediction (reference: PredictStateIMU rotation)."""
+        """Queue IMU samples and override the motion model with the IMU
+        prediction (reference: Tracking::PredictStateIMU src/Tracking.cc:
+        2034 — full state propagation once initialized; gyro-only rotation
+        before that)."""
+        from .tracking import OK, RECENTLY_LOST
+
         if self.inertial is None:
             return
         if imu_samples is not None:
             self.inertial.add_samples(imu_samples)
-        if self._last_frame_ts is not None:
-            p = self.inertial.preintegrate_frame_gap(
-                self._last_frame_ts, timestamp)
-            if p is not None and self.tracker.state == 2:  # OK
-                R_pred = self.inertial.predict_rotation(self.tracker.R, p)
-                self.tracker.vel_R = (
-                    R_pred @ self.tracker.R.T).astype(np.float32)
+        if self._last_frame_ts is None:
+            return
+        if self.tracker.state not in (OK, RECENTLY_LOST):
+            return
+        p = self.inertial.preintegrate_frame_gap(
+            self._last_frame_ts, timestamp)
+        if p is None:
+            return
+        pred = self.inertial.predict_state(self.tracker.R, self.tracker.t, p)
+        if pred is not None:
+            R_pred, t_pred = pred
+            self.tracker.vel_R = (
+                R_pred @ self.tracker.R.T).astype(np.float32)
+            self.tracker.vel_t = (
+                t_pred - self.tracker.vel_R @ self.tracker.t).astype(
+                    np.float32)
+        else:
+            R_pred = self.inertial.predict_rotation(self.tracker.R, p)
+            self.tracker.vel_R = (
+                R_pred @ self.tracker.R.T).astype(np.float32)
+
+    def _imu_post_frame(self, state: int, timestamp: float):
+        """Refresh the inertial velocity estimate from the tracked pose
+        (reference: Tracking sets frame velocities after a successful
+        track)."""
+        if self.inertial is None or state != 2:  # OK
+            return
+        self.inertial.note_frame_pose(self.tracker.R, self.tracker.t,
+                                      timestamp)
 
     def _imu_post_kf(self, kf_id: int, timestamp: float):
         if self.inertial is None:
@@ -249,6 +275,7 @@ class System:
             # corrected / VI-refined) adjusted KF
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._imu_post_frame(res.state, timestamp)
         self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
@@ -281,6 +308,7 @@ class System:
             self._imu_post_kf(res.kf_id, timestamp)
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._imu_post_frame(res.state, timestamp)
         self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
@@ -326,6 +354,7 @@ class System:
             self._imu_post_kf(res.kf_id, timestamp)
             self.tracker.R = self.store.kf_R[res.kf_id].copy()
             self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._imu_post_frame(res.state, timestamp)
         self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t

@@ -275,3 +275,56 @@ class TestVIBA:
         # biases move toward the negative of the integration error... here
         # preints used the TRUE bias, states should estimate bias ~ 0 delta
         assert np.abs(np.asarray(bgn)).max() < 5e-3
+
+
+class TestPredictState:
+    def test_full_state_prediction_matches_ground_truth(self):
+        """InertialRuntime.predict_state propagates the camera pose through
+        a preintegrated gap to the ground-truth next pose (reference:
+        Tracking::PredictStateIMU src/Tracking.cc:2034)."""
+        from plvs_tpu.slam.inertial import InertialRuntime
+
+        gyros, accs, dts, states = simulate_trajectory(T=40, dt=0.005)
+        rt = InertialRuntime()          # identity camera-body extrinsics
+        rt.gravity = np.array([0.0, 0.0, -9.81], np.float32)
+        R0, p0, v0 = states[0]
+        rt._cur_velocity = v0.copy()
+
+        p = pre.preintegrate(gyros, accs, dts, jnp.zeros(3), jnp.zeros(3),
+                             pre.ImuCalib())
+        # camera pose of the start state (R_cb = I so cam == body)
+        R_cw = R0.T
+        t_cw = -R0.T @ p0
+        out = rt.predict_state(R_cw, t_cw, p)
+        assert out is not None
+        R_cw2, t_cw2 = out
+        R1, p1, v1 = states[-1]
+        C_pred = -R_cw2.T @ t_cw2
+        assert np.linalg.norm(C_pred - p1) < 1e-3, (C_pred, p1)
+        err_R = np.asarray(lie.so3_log(jnp.asarray(R_cw2 @ R1)))
+        assert np.linalg.norm(err_R) < 1e-3, err_R
+        np.testing.assert_allclose(rt._cur_velocity, v1, atol=1e-3)
+
+    def test_requires_init_and_velocity(self):
+        from plvs_tpu.slam.inertial import InertialRuntime
+
+        gyros, accs, dts, states = simulate_trajectory(T=10, dt=0.005)
+        rt = InertialRuntime()
+        p = pre.preintegrate(gyros, accs, dts, jnp.zeros(3), jnp.zeros(3),
+                             pre.ImuCalib())
+        assert rt.predict_state(np.eye(3, dtype=np.float32),
+                                np.zeros(3, np.float32), p) is None
+        rt.gravity = np.array([0.0, 0.0, -9.81], np.float32)
+        assert rt.predict_state(np.eye(3, dtype=np.float32),
+                                np.zeros(3, np.float32), p) is None
+
+    def test_note_frame_pose_estimates_velocity(self):
+        from plvs_tpu.slam.inertial import InertialRuntime
+
+        rt = InertialRuntime()
+        R = np.eye(3, dtype=np.float32)
+        for i in range(3):
+            C = np.array([0.1 * i, 0.0, 0.0], np.float32)
+            rt.note_frame_pose(R, -R @ C, i / 30.0)
+        np.testing.assert_allclose(rt._cur_velocity, [3.0, 0.0, 0.0],
+                                   atol=1e-5)
