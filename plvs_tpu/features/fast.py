@@ -134,3 +134,67 @@ def detect(
         score = jnp.concatenate([score, jnp.zeros((pad,), score.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     return xy, score, valid
+
+
+def detect_batched(
+    stack: jnp.ndarray,
+    shapes,
+    num_features,
+    threshold_hi: float = 20.0,
+    threshold_lo: float = 7.0,
+    border: int = 16,
+    cell: int = 16,
+):
+    """All pyramid levels at once on an edge-padded [L, H, W] stack.
+
+    Same algorithm as :func:`detect` but every stage (segment test, NMS,
+    cell reduction, top-k) runs as ONE batched kernel over the level axis —
+    per-level sequential programs underutilize the VPU and multiply launch
+    overhead. ``shapes`` holds the true (h_l, w_l) per level (static), used
+    to mask the pad region out exactly; ``num_features`` is the per-level
+    budget list. Returns (xy [L, K, 2], score [L, K], valid [L, K]) with
+    K = max(num_features); rows l beyond num_features[l] are invalid.
+    """
+    L, H, W = stack.shape
+    s_lo = jax.vmap(lambda im: fast_score(im, threshold_lo))(stack)
+    s_hi = jax.vmap(lambda im: fast_score(im, threshold_hi))(stack)
+    s_hi = jnp.where(s_hi > 0, s_lo, 0.0)
+
+    # per-level border mask over the padded canvas (host constant)
+    inb = np.zeros((L, H, W), bool)
+    for l, (h_l, w_l) in enumerate(shapes):
+        inb[l, border:h_l - border, border:w_l - border] = True
+    inb = jnp.asarray(inb)
+
+    s_hi = jnp.where(inb, jax.vmap(nms3)(s_hi), 0.0)
+    s_lo = jnp.where(inb, jax.vmap(nms3)(s_lo), 0.0)
+
+    BIG = 1e6
+    sel = jnp.where(s_hi > 0, s_hi + BIG, s_lo)
+
+    pad_h = (-H) % cell
+    pad_w = (-W) % cell
+    selp = jnp.pad(sel, ((0, 0), (0, pad_h), (0, pad_w)))
+    hc, wc = selp.shape[1] // cell, selp.shape[2] // cell
+    cells = selp.reshape(L, hc, cell, wc, cell).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(L, hc * wc, cell * cell)
+    cell_best = jnp.max(cells, axis=-1)                # [L, C]
+    cell_arg = jnp.argmax(cells, axis=-1)              # [L, C]
+    kmax = max(int(n) for n in num_features)
+    k = min(kmax, cell_best.shape[1])
+    top, cidx = jax.lax.top_k(cell_best, k)            # batched over L
+    off = jnp.take_along_axis(cell_arg, cidx, axis=1)
+    cy = cidx // wc
+    cx = cidx % wc
+    yy = (cy * cell + off // cell).astype(jnp.float32)
+    xx = (cx * cell + off % cell).astype(jnp.float32)
+    xy = jnp.stack([xx, yy], axis=-1)                  # [L, k, 2]
+    valid = top > 0
+    score = jnp.where(top > BIG / 2, top - BIG, top)
+    if k < kmax:  # pad the per-level capacity
+        pad = kmax - k
+        xy = jnp.concatenate([xy, jnp.zeros((L, pad, 2), xy.dtype)], axis=1)
+        score = jnp.concatenate([score, jnp.zeros((L, pad), score.dtype)],
+                                axis=1)
+        valid = jnp.concatenate([valid, jnp.zeros((L, pad), bool)], axis=1)
+    return xy, score, valid

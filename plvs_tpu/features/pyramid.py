@@ -68,3 +68,44 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale: float = 1.2):
             jax.image.resize(prev, shapes[l], method="linear", antialias=True)
         )
     return levels
+
+
+def build_pyramid_stack(img: jnp.ndarray, n_levels: int = 8,
+                        scale: float = 1.2) -> jnp.ndarray:
+    """Pyramid as ONE [L, H, W] tensor (levels edge-padded to level-0 size).
+
+    Uniform shapes let every downstream stage (FAST scoring, NMS, cell
+    reduction, blur, patch gather) run as a single batched kernel over all
+    levels instead of n_levels sequential small programs — the difference
+    between ~4x the kernel-launch + VPU-underutilization cost and one
+    well-shaped launch per stage. Padding is edge-replication so the blur
+    halo near a level edge stays close to the per-level behavior; detection
+    masks the pad region out exactly (per-level border masks).
+    """
+    levels = build_pyramid(img, n_levels, scale)
+    h0, w0 = levels[0].shape
+    padded = [
+        lv if lv.shape == (h0, w0)
+        else jnp.pad(lv, ((0, h0 - lv.shape[0]), (0, w0 - lv.shape[1])),
+                     mode="edge")
+        for lv in levels
+    ]
+    return jnp.stack(padded)
+
+
+def gaussian_blur_batched(stack: jnp.ndarray, sigma: float = 2.0,
+                          radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur on an [L, H, W] stack in two conv calls."""
+    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    pad = radius
+    x = jnp.pad(stack, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[:, None, :, :], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+    )[:, 0]
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[:, None, :, :], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+    )[:, 0]
+    return x

@@ -129,6 +129,12 @@ class System:
         self._last_kf_ts = None
         self.loops_closed = []
         self.trajectory = []  # list of (timestamp, R, t) world-to-camera
+        # per-stage timing (reference: REGISTER_TIMES vectors on
+        # Tracking/LocalMapping dumped by PrintTimeStats, include/
+        # Tracking.h:236-250, src/Tracking.cc:391; Stopwatch TICK/TOCK)
+        from ..utils.profiling import Stopwatch
+
+        self.stopwatch = Stopwatch()
 
     # -- mode / lifecycle (reference: include/System.h:157-167) ------------
     def activate_localization_mode(self):
@@ -228,33 +234,41 @@ class System:
         gray = self._maybe_scale(gray)
         depth = self._maybe_scale(depth, nearest=True)
         self._imu_pre_frame(timestamp, imu_samples)
-        fr = frame_mod.build_frame_rgbd(
-            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
-            self.cam, self.config.num_features, self.config.n_levels,
-            self.config.scale,
-        )
-        fl = None
-        if self.config.use_lines:
-            fl = frame_mod.build_frame_lines(
-                jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
-                self.cam, self.config.max_lines,
+        with self.stopwatch.scope("frame_build"):
+            fr = frame_mod.build_frame_rgbd(
+                jnp.asarray(gray, jnp.float32),
+                jnp.asarray(depth, jnp.float32),
+                self.cam, self.config.num_features, self.config.n_levels,
+                self.config.scale,
             )
-        res = self.tracker.process_frame(fr, timestamp, fl)
+            fl = None
+            if self.config.use_lines:
+                fl = frame_mod.build_frame_lines(
+                    jnp.asarray(gray, jnp.float32),
+                    jnp.asarray(depth, jnp.float32),
+                    self.cam, self.config.max_lines,
+                )
+        with self.stopwatch.scope("track"):
+            res = self.tracker.process_frame(fr, timestamp, fl)
         if res.is_keyframe and res.kf_id >= 0:
             if self.config.local_ba:
-                self.local_mapper.process_keyframe(res.kf_id)
+                with self.stopwatch.scope("local_mapping"):
+                    self.local_mapper.process_keyframe(res.kf_id)
             if self.dense_mapper is not None:
                 # reference pushes RGB+depth to the dense thread at KF
                 # creation (src/Tracking.cc:4401-4423)
                 color = np.repeat(np.asarray(gray, np.float32)[..., None], 3, -1)
-                self.dense_mapper.insert_keyframe_rgbd(
-                    res.kf_id, color, np.asarray(depth, np.float32),
-                    self.store.kf_R[res.kf_id], self.store.kf_t[res.kf_id],
-                )
+                with self.stopwatch.scope("dense_mapping"):
+                    self.dense_mapper.insert_keyframe_rgbd(
+                        res.kf_id, color, np.asarray(depth, np.float32),
+                        self.store.kf_R[res.kf_id],
+                        self.store.kf_t[res.kf_id],
+                    )
             if self.loop_closer is None:
                 self.kfdb.add(res.kf_id)
             if self.loop_closer is not None:
-                info = self.loop_closer.process_keyframe(res.kf_id)
+                with self.stopwatch.scope("loop_closing"):
+                    info = self.loop_closer.process_keyframe(res.kf_id)
                 if info is not None:
                     self.loops_closed.append((res.kf_id, info))
                     if self.config.global_ba_on_loop and self.config.local_ba:
@@ -289,11 +303,14 @@ class System:
         resolves it."""
         gray = self._maybe_scale(gray)
         self._imu_pre_frame(timestamp, imu_samples)
-        fr = frame_mod.build_frame_mono(
-            jnp.asarray(gray, jnp.float32), self.cam,
-            self.config.num_features, self.config.n_levels, self.config.scale,
-        )
-        res = self.tracker.process_frame(fr, timestamp)
+        with self.stopwatch.scope("frame_build"):
+            fr = frame_mod.build_frame_mono(
+                jnp.asarray(gray, jnp.float32), self.cam,
+                self.config.num_features, self.config.n_levels,
+                self.config.scale,
+            )
+        with self.stopwatch.scope("track"):
+            res = self.tracker.process_frame(fr, timestamp)
         if res.is_keyframe and res.kf_id >= 0:
             if self.config.local_ba:
                 self.local_mapper.process_keyframe(res.kf_id)
@@ -321,21 +338,25 @@ class System:
         gray_l = self._maybe_scale(gray_l)
         gray_r = self._maybe_scale(gray_r)
         self._imu_pre_frame(timestamp, imu_samples)
-        fr = frame_mod.build_frame_stereo(
-            jnp.asarray(gray_l, jnp.float32), jnp.asarray(gray_r, jnp.float32),
-            self.cam, self.config.num_features, self.config.n_levels,
-            self.config.scale,
-        )
-        fl = None
-        if self.config.use_lines:
-            # line endpoint depths from the dense disparity of sparse stereo
-            # are unreliable; lines still participate via triangulated obs
-            fl = frame_mod.build_frame_lines(
+        with self.stopwatch.scope("frame_build"):
+            fr = frame_mod.build_frame_stereo(
                 jnp.asarray(gray_l, jnp.float32),
-                jnp.zeros_like(jnp.asarray(gray_l, jnp.float32)),
-                self.cam, self.config.max_lines,
+                jnp.asarray(gray_r, jnp.float32),
+                self.cam, self.config.num_features, self.config.n_levels,
+                self.config.scale,
             )
-        res = self.tracker.process_frame(fr, timestamp, fl)
+            fl = None
+            if self.config.use_lines:
+                # line endpoint depths from the dense disparity of sparse
+                # stereo are unreliable; lines still participate via
+                # triangulated obs
+                fl = frame_mod.build_frame_lines(
+                    jnp.asarray(gray_l, jnp.float32),
+                    jnp.zeros_like(jnp.asarray(gray_l, jnp.float32)),
+                    self.cam, self.config.max_lines,
+                )
+        with self.stopwatch.scope("track"):
+            res = self.tracker.process_frame(fr, timestamp, fl)
         if res.is_keyframe and res.kf_id >= 0:
             if self.config.local_ba:
                 self.local_mapper.process_keyframe(res.kf_id)
@@ -438,3 +459,13 @@ class System:
             "frames": len(self.trajectory),
             "maps": self.store.n_maps,
         }
+
+    def time_stats(self) -> dict:
+        """Per-stage timing statistics (reference: PrintTimeStats,
+        src/Tracking.cc:391 — mean/std per stage over the run)."""
+        return self.stopwatch.stats()
+
+    def print_time_stats(self) -> str:
+        report = self.stopwatch.report()
+        print(report)
+        return report
