@@ -154,8 +154,8 @@ def pose_optimize(
         R, t, in_pts, in_lines = carry
         use_robust = round_idx < rounds - 1
 
-        def gn_iter(_, Rt):
-            R, t = Rt
+        def gn_iter(state):
+            R, t, i, _ = state
             res, J, ok, is_stereo = _point_residual_jac(cam, R, t, obs)
             w = obs.inv_sigma2 * (ok & in_pts)
             chi2 = jnp.sum(res * res, axis=-1) * obs.inv_sigma2
@@ -178,9 +178,17 @@ def pose_optimize(
             dx = jnp.linalg.solve(H, b)
             dR, dt = lie.se3_exp(dx)
             Rn, tn = lie.se3_compose(dR, dt, R, t)
-            return (lie.normalize_rotation(Rn), tn)
+            # converged once the SE3 step is negligible — from a motion-model
+            # prediction this lands in 2-4 iterations, and on TPU each GN
+            # iteration is a chain of small sequential kernels, so stopping
+            # early is a direct latency win over a fixed iteration count
+            done = jnp.sum(dx * dx) < 1e-16
+            return (lie.normalize_rotation(Rn), tn, i + 1, done)
 
-        R, t = jax.lax.fori_loop(0, iters_per_round, gn_iter, (R, t))
+        R, t, _, _ = jax.lax.while_loop(
+            lambda s: (s[2] < iters_per_round) & ~s[3],
+            gn_iter, (R, t, jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        )
 
         # re-classify in/outliers for the next round (outliers may return)
         chi2, thr, ok = chi2_points(R, t)
