@@ -86,6 +86,16 @@ def main(argv=None):
         cfg.sensor = "stereo"
 
     system = System(cam, cfg)
+    if args.settings:
+        # SparseMapping.reuseMap: start from the saved atlas (reference:
+        # System::LoadAtlas flow, src/System.cc:201-229)
+        import os as _os
+
+        if st.reuse_map and st.map_filename and _os.path.exists(
+                st.map_filename):
+            system.load_map(st.map_filename, freeze=st.freeze_map,
+                            force_relocalization=st.force_relocalization)
+            print(f"reusing sparse map {st.map_filename}")
     if args.localization:
         system.activate_localization_mode()
 
@@ -152,12 +162,17 @@ def main(argv=None):
     writer(args.out, system.trajectory)
     print(f"trajectory written to {args.out}")
 
-    if args.save_map:
+    save_map_path = args.save_map
+    if not save_map_path and args.settings and st.save_map and st.map_filename:
+        # SparseMapping.saveMap: persist on shutdown (reference:
+        # src/System.cc:829-844)
+        save_map_path = st.map_filename
+    if save_map_path:
         from plvs_tpu.io import serialization
 
         voc = system.kfdb.voc if system.kfdb else None
-        serialization.save_atlas(args.save_map, system.store, voc)
-        print(f"map saved to {args.save_map}")
+        serialization.save_atlas(save_map_path, system.store, voc)
+        print(f"map saved to {save_map_path}")
     if args.save_dense and system.dense_mapper is not None:
         from plvs_tpu.io import serialization
 

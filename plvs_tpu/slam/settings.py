@@ -88,6 +88,13 @@ class Settings:
     # reference: Settings::readIMU (IMU.NoiseGyro/NoiseAcc/GyroWalk/AccWalk)
     imu: Any = None               # ImuCalib when IMU.* keys are present
     imu_frequency: float = 200.0
+    # reference: SparseMapping.* atlas-reuse flow (src/System.cc:201-205,
+    # Settings/old/RGB-D-TUM1.yaml:137-145)
+    map_filename: str = ""
+    reuse_map: bool = False
+    freeze_map: bool = False
+    save_map: bool = False
+    force_relocalization: bool = True
     raw: dict | None = None
 
     @staticmethod
@@ -165,5 +172,12 @@ class Settings:
             th_depth=float(_get(d, "ThDepth", "Stereo.ThDepth",
                                 "RGBD.ThDepth", default=40.0)),
             sigma_z_factor=float(_get(d, "Depth.sigmaZfactor", default=6.0)),
+            map_filename=str(_get(d, "SparseMapping.filename", default="")),
+            reuse_map=bool(_get(d, "SparseMapping.reuseMap", default=False)),
+            freeze_map=bool(_get(d, "SparseMapping.freezeMap",
+                                 default=False)),
+            save_map=bool(_get(d, "SparseMapping.saveMap", default=False)),
+            force_relocalization=bool(_get(
+                d, "SparseMapping.forceRelocalization", default=True)),
             raw=d,
         )

@@ -49,6 +49,28 @@ RGBD.DepthMapFactor: 5000.0
         assert st.depth_map_factor == 5000.0
         assert st.fps == 30
 
+    def test_sparse_mapping_keys(self, tmp_path):
+        """SparseMapping.* drives the atlas-reuse flow (reference:
+        src/System.cc:201-205, Settings/old/RGB-D-TUM1.yaml:137-145)."""
+        yaml = """%YAML:1.0
+Camera.fx: 500.0
+SparseMapping.filename: "m.atlas"
+SparseMapping.reuseMap: 1
+SparseMapping.freezeMap: 1
+SparseMapping.saveMap: 1
+SparseMapping.forceRelocalization: 0
+"""
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml)
+        st = Settings.from_yaml(str(p))
+        assert st.map_filename == "m.atlas"
+        assert st.reuse_map and st.freeze_map and st.save_map
+        assert not st.force_relocalization
+        # defaults are all off
+        st2 = Settings.from_dict({"Camera.fx": 500.0})
+        assert not (st2.reuse_map or st2.freeze_map or st2.save_map)
+        assert st2.force_relocalization
+
     def test_fisheye_yaml(self, tmp_path):
         yaml = """Camera.type: "KannalaBrandt8"
 Camera1.fx: 190.9
