@@ -197,7 +197,7 @@ def bundle_adjust(
             c = c + line_weight * jnp.sum(jnp.minimum(lchi2, robust.CHI2_2D * 2.0) * lok)
         return c
 
-    def lm_step(carry, _):
+    def lm_step(carry):
         R, t, points, lXs, lXe, lam, cost_prev = carry
 
         # ---- linearize ----
@@ -316,8 +316,8 @@ def bundle_adjust(
         p0 = z0
         rz0 = dot(r0, z0)
 
-        def cg_body(_, state):
-            x, r, p, rz = state
+        def cg_body(state):
+            x, r, p, rz, i = state
             Ap = matvec(*p)
             pAp = dot(p, Ap)
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -327,9 +327,15 @@ def bundle_adjust(
             rz_new = dot(r, z)
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
             p = tuple(zi + beta * pi for zi, pi in zip(z, p))
-            return (x, r, p, rz_new)
+            return (x, r, p, rz_new, i + 1)
 
-        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, r0, p0, rz0))
+        # stop once the preconditioned residual has dropped 6 orders of
+        # magnitude — every CG iteration is a sequential launch-bound
+        # matvec on TPU, so converged iterations are pure latency
+        x, _, _, _, _ = jax.lax.while_loop(
+            lambda s: (s[4] < cg_iters) & (s[3] > 1e-12 * rz0),
+            cg_body, (x0, r0, p0, rz0, jnp.zeros((), jnp.int32)),
+        )
         dxc, dxp, dxl = x
 
         # ---- apply & accept/reject ----
@@ -349,14 +355,25 @@ def bundle_adjust(
             lXs = jnp.where(accept, lXsn, lXs)
             lXe = jnp.where(accept, lXen, lXe)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4))
+        # an accepted step with negligible relative improvement means LM has
+        # converged; a rejected step keeps iterating with raised damping
+        done = accept & (cost_prev - cost_new < 1e-6 * cost_prev)
         cost_prev = jnp.where(accept, cost_new, cost_prev)
-        return (R, t, points, lXs, lXe, lam, cost_prev), cost_prev
+        return R, t, points, lXs, lXe, lam, cost_prev, done
 
     cost0 = cost_fn(prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe)
     init = (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe,
-            jnp.asarray(lam0, prob.R.dtype), cost0)
-    (R, t, points, lXs, lXe, lam, cost), _ = jax.lax.scan(
-        lm_step, init, None, length=num_iters
+            jnp.asarray(lam0, prob.R.dtype), cost0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+
+    def lm_body(state):
+        R, t, points, lXs, lXe, lam, cost_prev, i, _ = state
+        out = lm_step((R, t, points, lXs, lXe, lam, cost_prev))
+        R, t, points, lXs, lXe, lam, cost_prev, done = out
+        return (R, t, points, lXs, lXe, lam, cost_prev, i + 1, done)
+
+    (R, t, points, lXs, lXe, lam, cost, _, _) = jax.lax.while_loop(
+        lambda s: (s[7] < num_iters) & ~s[8], lm_body, init,
     )
     info = {"cost0": cost0, "cost": cost, "lam": lam}
     return R, t, points, lXs, lXe, info

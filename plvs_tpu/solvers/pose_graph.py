@@ -107,7 +107,7 @@ def optimize(
         r = jax.vmap(lambda e: edge_res(R, t, s, e))(jnp.arange(E))
         return jnp.sum(jnp.sum(r * r, -1) * prob.edge_weight * prob.edge_mask)
 
-    def lm_step(carry, _):
+    def lm_step(carry):
         R, t, s, lam, cost_prev = carry
         r, Ji, Jj = linearize(R, t, s)
         w = prob.edge_weight * prob.edge_mask  # [E]
@@ -154,8 +154,8 @@ def optimize(
         p = z
         rz = jnp.vdot(rr, z)
 
-        def cg_body(_, st):
-            x, rr, p, rz = st
+        def cg_body(st):
+            x, rr, p, rz, i = st
             Ap = matvec(p)
             alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
             x = x + alpha * p
@@ -164,9 +164,15 @@ def optimize(
             rz_new = jnp.vdot(rr, z)
             beta = rz_new / jnp.maximum(rz, 1e-20)
             p = z + beta * p
-            return (x, rr, p, rz_new)
+            return (x, rr, p, rz_new, i + 1)
 
-        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, rr, p, rz))
+        # stop once the preconditioned residual has collapsed (sequential
+        # launch-bound matvecs — converged iterations are pure latency)
+        rz0 = rz
+        x, _, _, _, _ = jax.lax.while_loop(
+            lambda st: (st[4] < cg_iters) & (st[3] > 1e-12 * rz0),
+            cg_body, (x, rr, p, rz, jnp.zeros((), jnp.int32)),
+        )
         Rn, tn, sn = apply_delta(R, t, s, x)
         cost_new = cost_of(Rn, tn, sn)
         accept = cost_new < cost_prev
@@ -174,12 +180,20 @@ def optimize(
         t = jnp.where(accept, tn, t)
         s = jnp.where(accept, sn, s)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 4.0, 1e3))
+        done = accept & (cost_prev - cost_new < 1e-8 * cost_prev)
         cost_prev = jnp.where(accept, cost_new, cost_prev)
-        return (R, t, s, lam, cost_prev), cost_prev
+        return R, t, s, lam, cost_prev, done
 
     cost0 = cost_of(prob.R, prob.t, prob.s)
-    (R, t, s, lam, cost), _ = jax.lax.scan(
-        lm_step, (prob.R, prob.t, prob.s, jnp.asarray(lam0, prob.R.dtype), cost0),
-        None, length=num_iters,
+
+    def lm_body(state):
+        R, t, s, lam, cost_prev, i, _ = state
+        R, t, s, lam, cost_prev, done = lm_step((R, t, s, lam, cost_prev))
+        return (R, t, s, lam, cost_prev, i + 1, done)
+
+    (R, t, s, lam, cost, _, _) = jax.lax.while_loop(
+        lambda st: (st[5] < num_iters) & ~st[6], lm_body,
+        (prob.R, prob.t, prob.s, jnp.asarray(lam0, prob.R.dtype), cost0,
+         jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
     )
     return R, t, s, {"cost0": cost0, "cost": cost}

@@ -173,7 +173,7 @@ def vi_bundle_adjust(
 
     D = 15  # per-KF tangent dim
 
-    def lm_step(carry, _):
+    def lm_step(carry):
         R_wb, p_wb, v_w, bg, ba, points, lam, cost_prev = carry
         res, Jb, Jp, ok, row_w, is_st = visual_terms(R_wb, p_wb, points)
         chi2 = jnp.sum(res * res * row_w, -1) * prob.obs_inv_sigma2
@@ -309,8 +309,8 @@ def vi_bundle_adjust(
         p = z
         rz = sum(jnp.vdot(a, b) for a, b in zip(r, z))
 
-        def cg(_, st):
-            x, r, p, rz = st
+        def cg(st):
+            x, r, p, rz, i = st
             Ap = matvec(*p)
             pAp = sum(jnp.vdot(a, b) for a, b in zip(p, Ap))
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -320,9 +320,15 @@ def vi_bundle_adjust(
             rz_n = sum(jnp.vdot(a, b) for a, b in zip(r, z))
             beta = rz_n / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
             p = tuple(zi + beta * pi for zi, pi in zip(z, p))
-            return (x, r, p, rz_n)
+            return (x, r, p, rz_n, i + 1)
 
-        (dxc, dxp), _, _, _ = jax.lax.fori_loop(0, cg_iters, cg, (x, r, p, rz))
+        # converged CG iterations are pure launch latency on TPU — stop
+        # once the preconditioned residual has collapsed
+        rz0 = rz
+        (dxc, dxp), _, _, _, _ = jax.lax.while_loop(
+            lambda s: (s[4] < cg_iters) & (s[3] > 1e-12 * rz0),
+            cg, (x, r, p, rz, jnp.zeros((), jnp.int32)),
+        )
 
         # ---- state update: xi on T_bw for pose; additive for the rest ----
         xi = dxc[:, 0:6]
@@ -346,13 +352,21 @@ def vi_bundle_adjust(
         points = jnp.where(accept, pts_n, points)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
                         jnp.minimum(lam * 5.0, 1e4))
+        done = accept & (cost_prev - cost_new < 1e-6 * cost_prev)
         cost_prev = jnp.where(accept, cost_new, cost_prev)
-        return (R_wb, p_wb, v_w, bg, ba, points, lam, cost_prev), cost_prev
+        return R_wb, p_wb, v_w, bg, ba, points, lam, cost_prev, done
 
     cost0 = cost_fn(prob.R_wb, prob.p_wb, prob.v_w, prob.bg, prob.ba,
                     prob.points)
     init = (prob.R_wb, prob.p_wb, prob.v_w, prob.bg, prob.ba, prob.points,
-            jnp.asarray(lam0, prob.R_wb.dtype), cost0)
-    (R_wb, p_wb, v_w, bg, ba, points, lam, cost), _ = jax.lax.scan(
-        lm_step, init, None, length=num_iters)
+            jnp.asarray(lam0, prob.R_wb.dtype), cost0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+
+    def lm_body(state):
+        carry, i = state[:8], state[8]
+        out = lm_step(carry)
+        return (*out[:8], i + 1, out[8])
+
+    (R_wb, p_wb, v_w, bg, ba, points, lam, cost, _, _) = jax.lax.while_loop(
+        lambda s: (s[8] < num_iters) & ~s[9], lm_body, init)
     return R_wb, p_wb, v_w, bg, ba, points, {"cost0": cost0, "cost": cost}
