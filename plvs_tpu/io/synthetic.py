@@ -60,20 +60,21 @@ class SyntheticRGBD:
         self.wall_z = wall_z
         self.tex = make_texture(tex_size, np.random.default_rng(seed))
         self.tex_scale = tex_scale  # pixels per world unit on the wall
-        fx, fy = float(cam.params[0]), float(cam.params[1])
-        cx, cy = float(cam.params[2]), float(cam.params[3])
-        self.Kinv = np.array(
-            [[1 / fx, 0, -cx / fx], [0, 1 / fy, -cy / fy], [0, 0, 1]], np.float32
-        )
+        # camera-model-generic ray table (pinhole or KB8 fisheye): rays at
+        # z=1 so the plane-intersection scalar is the camera z-depth
+        h, w = cam.height, cam.width
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        import jax.numpy as jnp
+
+        uv = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
+        self._rays_c = np.asarray(cam_mod.unproject(cam, uv)).T  # [3, H*W]
 
     def render(self, R: np.ndarray, t: np.ndarray):
         """Returns (gray [H,W] f32, depth [H,W] f32 meters)."""
         from scipy.ndimage import map_coordinates
 
         h, w = self.cam.height, self.cam.width
-        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-        pix = np.stack([xs, ys, np.ones_like(xs)], axis=0).reshape(3, -1)
-        rays_c = self.Kinv @ pix  # camera-frame rays, z = 1
+        rays_c = self._rays_c  # camera-frame rays, z = 1
         Rwc = R.T
         C = -Rwc @ t
         rays_w = Rwc @ rays_c

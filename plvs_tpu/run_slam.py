@@ -85,7 +85,9 @@ def main(argv=None):
     elif args.euroc or args.kitti:
         cfg.sensor = "stereo"
 
-    system = System(cam, cfg)
+    system = System(cam, cfg,
+                    cam2=(st.camera2 if args.settings else None),
+                    T_c1_c2=(st.T_c1_c2 if args.settings else None))
     if args.settings:
         # SparseMapping.reuseMap: start from the saved atlas (reference:
         # System::LoadAtlas flow, src/System.cc:201-229)

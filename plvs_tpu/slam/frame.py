@@ -179,6 +179,151 @@ def build_frame_stereo(
     return Frame(kp_l, uvr, d, inv_s2, xyz)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam_l", "cam_r", "num_features", "n_levels",
+                              "scale")
+)
+def build_frame_stereo_rig(
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    cam_l: cam_mod.Camera,
+    cam_r: cam_mod.Camera,
+    R_lr: jnp.ndarray,
+    t_lr: jnp.ndarray,
+    num_features: int = 1024,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    epipolar_tol: float = 0.008,
+    reproj_tol: float = 2.0,
+) -> Frame:
+    """Non-rectified stereo rig (e.g. KB8 fisheye pair) -> Frame.
+
+    TPU re-derivation of the reference's general two-camera stereo
+    (reference: KannalaBrandt8::matchAndtriangulate used by the fisheye
+    Frame constructor, src/CameraModels/KannalaBrandt8.cpp; rig extrinsics
+    Stereo.T_c1_c2, src/Settings.cc:404-409): descriptor matching between
+    the two images gated by the epipolar-plane constraint on unprojected
+    bearings, then two-ray midpoint triangulation in the left camera
+    frame. (R_lr, t_lr) maps right-camera points into the left camera:
+    X_l = R_lr X_r + t_lr.
+
+    Depths land in Frame.depth/xyz_cam (like RGB-D); uR stays -1 so pose
+    residuals are monocular on the left camera.
+    """
+    from ..features import matching as matching_mod
+
+    kp_l = orb.extract(gray_l, num_features, n_levels, scale)
+    kp_r = orb.extract(gray_r, num_features, n_levels, scale)
+
+    dl = cam_mod.unproject(cam_l, kp_l.xy)           # [N, 3] z=1 rays
+    dr = cam_mod.unproject(cam_r, kp_r.xy)
+    dl = dl / jnp.linalg.norm(dl, axis=-1, keepdims=True)
+    dr = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+    dr_l = dr @ R_lr.T                               # right rays in left frame
+
+    # epipolar-plane gate: the left bearing must lie on the plane spanned
+    # by the baseline and the right bearing (angular distance)
+    n_plane = jnp.cross(jnp.broadcast_to(t_lr, dr_l.shape), dr_l)
+    n_plane = n_plane / jnp.maximum(
+        jnp.linalg.norm(n_plane, axis=-1, keepdims=True), 1e-9)
+    epi = jnp.abs(dl @ n_plane.T)                    # [N_l, N_r] |sin(angle)|
+    oct_ok = jnp.abs(kp_l.octave[:, None] - kp_r.octave[None, :]) <= 1
+    cand = ((epi <= epipolar_tol) & oct_ok
+            & kp_l.mask[:, None] & kp_r.mask[None, :])
+    dist = matching_mod.hamming(kp_l.desc, kp_r.desc)
+    best, second, idx = matching_mod._masked_best2(dist, cand)
+    ok = (best <= matching_mod.TH_LOW) & (
+        best.astype(jnp.float32) <= 0.8 * second.astype(jnp.float32))
+
+    # two-ray midpoint triangulation: O_l = 0, O_r = t_lr in the left frame
+    dm = dr_l[idx]                                   # matched right rays
+    d11 = jnp.sum(dl * dl, -1)                       # = 1
+    d12 = jnp.sum(dl * dm, -1)
+    d22 = jnp.sum(dm * dm, -1)
+    b1 = dl @ t_lr
+    b2 = dm @ t_lr
+    det = d11 * d22 - d12 * d12
+    det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)  # parallel rays
+    a = (b1 * d22 - b2 * d12) / det                  # depth along left ray
+    b = (b1 * d12 - b2 * d11) / det                  # depth along right ray
+    X = 0.5 * (a[:, None] * dl + (t_lr + b[:, None] * dm))
+
+    # cheirality + reprojection verification in both cameras
+    uv_l = cam_mod.project(cam_l, X)
+    X_r = (X - t_lr) @ R_lr                          # R_lr^T (X - t_lr)
+    uv_r = cam_mod.project(cam_r, X_r)
+    err_l = jnp.linalg.norm(uv_l - kp_l.xy, axis=-1)
+    err_r = jnp.linalg.norm(uv_r - kp_r.xy[idx], axis=-1)
+    tol = reproj_tol * (scale ** kp_l.octave.astype(jnp.float32))
+    ok = (ok & (a > 0.05) & (b > 0.05) & (X[:, 2] > 0.05)
+          & (err_l < tol) & (err_r < tol))
+
+    # subpixel refinement ALONG the epipolar curve: integer keypoint
+    # coordinates put ~0.5 px of noise on a few-pixel disparity, i.e. ~10%
+    # depth noise; a photometric parabola along the right image's epipolar
+    # tangent recovers most of it (the rectified path's 1D SAD scan,
+    # generalized to an arbitrary rig geometry)
+    uv_r2 = cam_mod.project(cam_r, ((1.05 * a)[:, None] * dl - t_lr) @ R_lr)
+    tang = uv_r2 - uv_r
+    tang = tang / jnp.maximum(jnp.linalg.norm(tang, axis=-1, keepdims=True),
+                              1e-6)
+    W = 4  # 9x9 SAD window
+
+    def bilinear(img, uv):
+        u = jnp.clip(uv[..., 0], 0.0, img.shape[1] - 1.001)
+        v = jnp.clip(uv[..., 1], 0.0, img.shape[0] - 1.001)
+        u0 = jnp.floor(u).astype(jnp.int32)
+        v0 = jnp.floor(v).astype(jnp.int32)
+        fu, fv = u - u0, v - v0
+        return ((img[v0, u0] * (1 - fu) + img[v0, u0 + 1] * fu) * (1 - fv)
+                + (img[v0 + 1, u0] * (1 - fu)
+                   + img[v0 + 1, u0 + 1] * fu) * fv)
+
+    oy, ox = jnp.mgrid[-W:W + 1, -W:W + 1]
+    win = jnp.stack([ox, oy], -1).reshape(-1, 2).astype(jnp.float32)
+    patch_l = bilinear(gray_l, kp_l.xy[:, None, :] + win[None])   # [N, 81]
+
+    deltas = jnp.linspace(-2.0, 2.0, 17)
+    sads = jnp.stack([
+        jnp.sum(jnp.abs(patch_l - bilinear(
+            gray_r,
+            (uv_r + s * tang)[:, None, :] + win[None])), axis=-1)
+        for s in deltas
+    ])                                                            # [17, N]
+    bidx = jnp.clip(jnp.argmin(sads, axis=0), 1, len(deltas) - 2)
+    c0 = jnp.take_along_axis(sads, (bidx - 1)[None], 0)[0]
+    c1 = jnp.take_along_axis(sads, bidx[None], 0)[0]
+    c2 = jnp.take_along_axis(sads, (bidx + 1)[None], 0)[0]
+    denom = c0 - 2 * c1 + c2
+    step = deltas[1] - deltas[0]
+    sub = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
+    shift = deltas[bidx] + jnp.clip(sub, -1.0, 1.0) * step
+    uv_r_ref = uv_r + shift[:, None] * tang
+
+    # re-triangulate with the refined right bearing
+    dr2 = cam_mod.unproject(cam_r, uv_r_ref)
+    dr2 = dr2 / jnp.linalg.norm(dr2, axis=-1, keepdims=True)
+    dm2 = dr2 @ R_lr.T
+    d12b = jnp.sum(dl * dm2, -1)
+    d22b = jnp.sum(dm2 * dm2, -1)
+    b2b = dm2 @ t_lr
+    detb = d11 * d22b - d12b * d12b
+    detb = jnp.where(jnp.abs(detb) < 1e-9, 1e-9, detb)
+    a2 = (b1 * d22b - b2b * d12b) / detb
+    bb2 = (b1 * d12b - b2b * d11) / detb
+    X2 = 0.5 * (a2[:, None] * dl + (t_lr + bb2[:, None] * dm2))
+    refine_ok = (a2 > 0.05) & (bb2 > 0.05) & (X2[:, 2] > 0.05) & (
+        jnp.abs(a2 - a) < 0.3 * jnp.maximum(a, 1e-3))
+    X = jnp.where(refine_ok[:, None], X2, X)
+
+    d = jnp.where(ok, X[:, 2], 0.0)
+    xyz = jnp.where(ok[:, None], X, 0.0)
+    uvr = jnp.concatenate(
+        [kp_l.xy, jnp.full((kp_l.xy.shape[0], 1), -1.0)], axis=-1)
+    inv_s2 = orb.inv_scale_sigma2(kp_l.octave, scale)
+    return Frame(kp_l, uvr, d, inv_s2, xyz)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "max_lines"))
 def build_frame_lines(
     gray: jnp.ndarray,

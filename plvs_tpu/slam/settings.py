@@ -45,8 +45,26 @@ def load_yaml_flat(path: str) -> dict:
     out: dict[str, Any] = {}
     stack: list[tuple[int, str]] = []
     with open(path) as f:
-        for raw in f:
-            line = raw.split("#", 1)[0].rstrip()
+        raw_lines = f.readlines()
+    # merge multi-line bracketed lists (cv matrices split `data:` across
+    # lines in the reference's settings files)
+    merged: list[str] = []
+    buf: str | None = None
+    for raw in raw_lines:
+        s = raw.split("#", 1)[0].rstrip()
+        if buf is not None:
+            buf += " " + s.strip()
+            if "]" in s:
+                merged.append(buf)
+                buf = None
+            continue
+        if "[" in s and "]" not in s:
+            buf = s
+            continue
+        merged.append(s)
+    if buf is not None:
+        merged.append(buf)
+    for line in merged:
             if not line or line.startswith("%YAML") or line.strip() == "---":
                 continue
             m = re.match(r"(\s*)([A-Za-z0-9_.]+)\s*:\s*(.*)$", line)
@@ -88,6 +106,11 @@ class Settings:
     # reference: Settings::readIMU (IMU.NoiseGyro/NoiseAcc/GyroWalk/AccWalk)
     imu: Any = None               # ImuCalib when IMU.* keys are present
     imu_frequency: float = 200.0
+    # reference: Settings::readCamera2 + Stereo.T_c1_c2 for non-rectified
+    # stereo rigs (src/Settings.cc:325,404-409) — camera2 is the right
+    # camera, T_c1_c2 the 4x4 right-to-left transform
+    camera2: Any = None
+    T_c1_c2: Any = None
     # reference: SparseMapping.* atlas-reuse flow (src/System.cc:201-205,
     # Settings/old/RGB-D-TUM1.yaml:137-145)
     map_filename: str = ""
@@ -133,6 +156,42 @@ class Settings:
             cam = cam_mod.pinhole(fx, fy, cx, cy, dist, width=width,
                                   height=height, bf=bf)
 
+        # -- second camera of a non-rectified rig ---------------------------
+        cam2 = None
+        T12 = None
+        if any(k.startswith("Camera2.") for k in d):
+            fx2 = float(_get(d, "Camera2.fx", default=fx))
+            fy2 = float(_get(d, "Camera2.fy", default=fx2))
+            cx2 = float(_get(d, "Camera2.cx", default=cx))
+            cy2 = float(_get(d, "Camera2.cy", default=cy))
+            if cam_type.lower() in ("kannalabrandt8", "fisheye"):
+                cam2 = cam_mod.kannala_brandt8(
+                    fx2, fy2, cx2, cy2,
+                    _get(d, "Camera2.k1", default=0.0),
+                    _get(d, "Camera2.k2", default=0.0),
+                    _get(d, "Camera2.k3", default=0.0),
+                    _get(d, "Camera2.k4", default=0.0),
+                    width=width, height=height, bf=bf,
+                )
+            else:
+                dist2 = [
+                    _get(d, "Camera2.k1", default=0.0),
+                    _get(d, "Camera2.k2", default=0.0),
+                    _get(d, "Camera2.p1", default=0.0),
+                    _get(d, "Camera2.p2", default=0.0),
+                    _get(d, "Camera2.k3", default=0.0),
+                ]
+                cam2 = cam_mod.pinhole(fx2, fy2, cx2, cy2, dist2,
+                                       width=width, height=height, bf=bf)
+            tdata = _get(d, "Stereo.T_c1_c2.data", "Stereo.T_c1_c2",
+                         default=None)
+            if tdata is not None and len(tdata) in (12, 16):
+                import numpy as np
+
+                T12 = np.eye(4, dtype=np.float32)
+                T12[: len(tdata) // 4] = np.asarray(
+                    tdata, np.float32).reshape(-1, 4)
+
         # -- pipeline config ------------------------------------------------
         cfg = SystemConfig(
             num_features=int(_get(d, "ORBextractor.nFeatures", default=1024)),
@@ -172,6 +231,8 @@ class Settings:
             th_depth=float(_get(d, "ThDepth", "Stereo.ThDepth",
                                 "RGBD.ThDepth", default=40.0)),
             sigma_z_factor=float(_get(d, "Depth.sigmaZfactor", default=6.0)),
+            camera2=cam2,
+            T_c1_c2=T12,
             map_filename=str(_get(d, "SparseMapping.filename", default="")),
             reuse_map=bool(_get(d, "SparseMapping.reuseMap", default=False)),
             freeze_map=bool(_get(d, "SparseMapping.freezeMap",

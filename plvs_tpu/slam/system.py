@@ -71,13 +71,26 @@ class System:
     """RGB-D SLAM system (monocular/stereo variants arrive in later
     milestones; the RGB-D path exercises the full stack)."""
 
-    def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None):
+    def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None,
+                 cam2: cam_mod.Camera | None = None, T_c1_c2=None):
+        """``cam2``/``T_c1_c2`` declare a non-rectified stereo rig (e.g.
+        a KB8 fisheye pair): T_c1_c2 is the 4x4 right-to-left transform
+        X_c1 = T X_c2 (reference: Settings::readCamera2 + Stereo.T_c1_c2,
+        src/Settings.cc:325,404-409)."""
         self._base_cam = cam
         self.config = config or SystemConfig()
         c = self.config
         if c.image_scale != 1.0:
             cam = cam_mod.scale_camera(cam, c.image_scale)
+            if cam2 is not None:
+                cam2 = cam_mod.scale_camera(cam2, c.image_scale)
         self.cam = cam
+        self.cam2 = cam2
+        self.R_lr = self.t_lr = None
+        if T_c1_c2 is not None:
+            T = np.asarray(T_c1_c2, np.float32)
+            self.R_lr = T[:3, :3].copy()
+            self.t_lr = T[:3, 3].copy()
         self.store = MapStore(max_kf=c.max_kf, max_pts=c.max_pts, n_kp=c.num_features)
         self.kfdb = KeyFrameDatabase(self.store)
         if c.vocabulary_path:
@@ -98,9 +111,21 @@ class System:
             new_map_after_lost=c.new_map_after_lost,
             fov_centers_kf=c.fov_centers_kf,
             max_fov_centers_distance=c.max_fov_centers_distance,
-            min_init_pts=max(100, int(round(300 * c.image_scale ** 2))),
+            min_init_pts=(
+                # a non-rectified rig triangulates fewer (but verified)
+                # matches than the rectified row scan; the reference's
+                # fisheye-stereo init likewise gates on total features,
+                # not stereo depths (src/Tracking.cc StereoInitialization)
+                max(80, int(round(120 * c.image_scale ** 2)))
+                if cam2 is not None
+                else max(100, int(round(300 * c.image_scale ** 2)))),
         )
         self.tracker.only_tracking = c.only_tracking
+        if self.cam2 is not None and self.t_lr is not None:
+            # rig cameras carry no rectified bf; the close/far depth gate is
+            # ThDepth x baseline like the reference (Stereo.ThDepth with
+            # b_ = Tlr.translation().norm(), src/Settings.cc:409)
+            self.tracker.max_depth = 40.0 * float(np.linalg.norm(self.t_lr))
         self.local_mapper = LocalMapper(
             cam, self.store, scale=c.scale, use_lines=c.use_lines,
             triangulate_new_points=(c.sensor == "mono"),
@@ -339,12 +364,24 @@ class System:
         gray_r = self._maybe_scale(gray_r)
         self._imu_pre_frame(timestamp, imu_samples)
         with self.stopwatch.scope("frame_build"):
-            fr = frame_mod.build_frame_stereo(
-                jnp.asarray(gray_l, jnp.float32),
-                jnp.asarray(gray_r, jnp.float32),
-                self.cam, self.config.num_features, self.config.n_levels,
-                self.config.scale,
-            )
+            if self.cam2 is not None and self.R_lr is not None:
+                # non-rectified rig (fisheye stereo): epipolar-gated
+                # matching + two-ray triangulation
+                fr = frame_mod.build_frame_stereo_rig(
+                    jnp.asarray(gray_l, jnp.float32),
+                    jnp.asarray(gray_r, jnp.float32),
+                    self.cam, self.cam2,
+                    jnp.asarray(self.R_lr), jnp.asarray(self.t_lr),
+                    self.config.num_features, self.config.n_levels,
+                    self.config.scale,
+                )
+            else:
+                fr = frame_mod.build_frame_stereo(
+                    jnp.asarray(gray_l, jnp.float32),
+                    jnp.asarray(gray_r, jnp.float32),
+                    self.cam, self.config.num_features, self.config.n_levels,
+                    self.config.scale,
+                )
             fl = None
             if self.config.use_lines:
                 # line endpoint depths from the dense disparity of sparse
