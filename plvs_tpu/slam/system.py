@@ -431,6 +431,42 @@ class System:
     def save_trajectory_tum(self, path: str):
         np.savetxt(path, self.trajectory_tum(), fmt="%.6f")
 
+    def save_trajectory_kitti(self, path: str):
+        """Flattened 3x4 [R_wc | t_wc] per frame (reference:
+        System::SaveTrajectoryKITTI, include/System.h:196)."""
+        from ..io import trajectory as traj_io
+
+        traj_io.write_kitti(path, self.trajectory)
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC csv trajectory (reference: System::SaveTrajectoryEuRoC,
+        include/System.h:188)."""
+        from ..io import trajectory as traj_io
+
+        traj_io.write_euroc(path, self.trajectory)
+
+    def keyframe_trajectory(self):
+        """(ts, R_cw, t_cw) tuples for the live keyframes, by timestamp."""
+        live = np.nonzero(self.store.kf_mask)[0]
+        order = live[np.argsort(self.store.kf_timestamp[live])]
+        return [(float(self.store.kf_timestamp[k]),
+                 self.store.kf_R[k].copy(), self.store.kf_t[k].copy())
+                for k in order]
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only trajectory (reference:
+        System::SaveKeyFrameTrajectoryTUM, include/System.h:184)."""
+        from ..io import trajectory as traj_io
+
+        traj_io.write_tum(path, self.keyframe_trajectory())
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """Keyframe-only EuRoC csv (reference:
+        System::SaveKeyFrameTrajectoryEuRoC, include/System.h:192)."""
+        from ..io import trajectory as traj_io
+
+        traj_io.write_euroc(path, self.keyframe_trajectory())
+
     def shutdown(self, save_map_path: str | None = None,
                  save_dense_path: str | None = None):
         """Finalize the session, optionally persisting the atlas and dense

@@ -312,6 +312,60 @@ Depth.sigmaZfactor: 9.0
         assert half.fx == 150.0 and half.bf == 12.0
 
 
+class TestEvaluation:
+    def _circle_traj(self, n=50, noise=0.0, seed=0):
+        rng = np.random.default_rng(seed)
+        ts = np.arange(n) * 0.05
+        th = ts * 0.3
+        xyz = np.stack([np.cos(th), np.sin(th), 0.1 * th], -1)
+        xyz = xyz + noise * rng.standard_normal(xyz.shape)
+        return ts, xyz
+
+    def test_associate_by_timestamp(self):
+        from plvs_tpu.io.evaluation import associate
+
+        est = np.array([0.0, 0.1, 0.2, 0.3])
+        gt = np.array([0.001, 0.102, 0.9])
+        ei, gi = associate(est, gt, max_difference=0.02)
+        np.testing.assert_array_equal(ei, [0, 1])
+        np.testing.assert_array_equal(gi, [0, 1])
+
+    def test_ate_timed_invariant_to_rigid_motion(self):
+        from plvs_tpu.io.evaluation import ate_rmse_timed
+
+        ts, xyz = self._circle_traj()
+        th = 0.7
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        moved = xyz @ R.T + np.array([1.0, -2.0, 0.5])
+        est = np.column_stack([ts + 0.002, moved])
+        gt = np.column_stack([ts, xyz])
+        assert ate_rmse_timed(est, gt) < 1e-9
+
+    def test_ate_timed_scale_alignment(self):
+        from plvs_tpu.io.evaluation import ate_rmse_timed
+
+        ts, xyz = self._circle_traj()
+        est = np.column_stack([ts, 3.0 * xyz])
+        gt = np.column_stack([ts, xyz])
+        # rigid-only alignment cannot remove the scale error
+        assert ate_rmse_timed(est, gt, with_scale=False) > 0.1
+        assert ate_rmse_timed(est, gt, with_scale=True) < 1e-9
+
+    def test_rpe_zero_on_identical_and_positive_on_drift(self):
+        from plvs_tpu.io.evaluation import rpe
+
+        ts, xyz = self._circle_traj()
+        q = np.tile([0.0, 0.0, 0.0, 1.0], (len(ts), 1))  # identity (x,y,z,w)
+        gt = np.column_stack([ts, xyz, q])
+        t0, r0 = rpe(gt, gt)
+        assert t0 < 1e-12 and r0 < 1e-6
+        drift = xyz + np.linspace(0, 0.5, len(ts))[:, None]
+        est = np.column_stack([ts, drift, q])
+        t1, _ = rpe(est, gt)
+        assert t1 > 1e-3
+
+
 class TestBenchmarkHarness:
     def test_gate_and_aggregation(self):
         from plvs_tpu.io import benchmark as bm

@@ -49,6 +49,29 @@ class TestE2E:
         assert stats["points"] > 300
         assert stats["frames"] == 40
 
+    def test_trajectory_export_formats(self, slam_run, tmp_path):
+        system, _, _ = slam_run
+        tum = tmp_path / "t.txt"
+        kitti = tmp_path / "k.txt"
+        euroc = tmp_path / "e.csv"
+        kf_tum = tmp_path / "kf.txt"
+        system.save_trajectory_tum(str(tum))
+        system.save_trajectory_kitti(str(kitti))
+        system.save_trajectory_euroc(str(euroc))
+        system.save_keyframe_trajectory_tum(str(kf_tum))
+        n = len(system.trajectory)
+        assert len(np.loadtxt(str(tum))) == n
+        k = np.loadtxt(str(kitti))
+        assert k.shape == (n, 12)
+        e = np.loadtxt(str(euroc), delimiter=",", skiprows=1)
+        assert e.shape == (n, 8)
+        kf = np.atleast_2d(np.loadtxt(str(kf_tum)))
+        assert kf.shape[0] == system.map_statistics()["keyframes"]
+        # keyframe positions are a subset of (close to) the frame trajectory
+        full = np.loadtxt(str(tum))
+        d = np.linalg.norm(kf[:, None, 1:4] - full[None, :, 1:4], axis=-1)
+        assert d.min(axis=1).max() < 0.05
+
 
 class TestEvaluation:
     def test_umeyama_recovers_transform(self, rng):
