@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--kitti", type=str, default=None,
                     help="KITTI sequence dir (stereo; reference: "
                          "Examples/Stereo/stereo_kitti.cc)")
+    ap.add_argument("--inertial", action="store_true",
+                    help="feed the dataset's IMU stream (EuRoC path; needs "
+                         "IMU.* keys in --settings)")
     ap.add_argument("--mono", action="store_true",
                     help="monocular mode: use only the left/rgb image")
     ap.add_argument("--localization", action="store_true",
@@ -84,10 +87,14 @@ def main(argv=None):
         cfg.sensor = "mono"
     elif args.euroc or args.kitti:
         cfg.sensor = "stereo"
+    if args.inertial:
+        cfg.use_imu = True
 
     system = System(cam, cfg,
                     cam2=(st.camera2 if args.settings else None),
-                    T_c1_c2=(st.T_c1_c2 if args.settings else None))
+                    T_c1_c2=(st.T_c1_c2 if args.settings else None),
+                    imu_calib=(st.imu if args.settings else None),
+                    imu_T_b_c=(st.imu_T_b_c if args.settings else None))
     if args.settings:
         # SparseMapping.reuseMap: start from the saved atlas (reference:
         # System::LoadAtlas flow, src/System.cc:201-229)
@@ -144,14 +151,31 @@ def main(argv=None):
             from plvs_tpu.io.datasets import KittiStereo
 
             ds = KittiStereo(args.kitti)
+        imu_rows = None
+        imu_pos = 0
+        if args.inertial:
+            if not hasattr(ds, "imu"):
+                ap.error("--inertial requires an IMU stream (EuRoC layout)")
+            imu_rows = ds.imu()
         n = 0
         t0 = time.perf_counter()
         for ts, left, right in ds.frames():
+            samples = None
+            if imu_rows is not None:
+                # samples in (prev frame, this frame] (reference:
+                # Stereo-Inertial mains collect vImuMeas between images)
+                end = imu_pos
+                while end < len(imu_rows) and imu_rows[end, 0] <= ts:
+                    end += 1
+                samples = [(r[0], r[1:4], r[4:7])
+                           for r in imu_rows[imu_pos:end]]
+                imu_pos = end
             with sw.scope("track"):
                 if args.mono:
                     system.track_monocular(left, ts)
                 else:
-                    system.track_stereo(left, right, ts)
+                    system.track_stereo(left, right, ts,
+                                        imu_samples=samples)
             n += 1
         dt = time.perf_counter() - t0
         print(json.dumps({"frames": n, "fps": round(n / dt, 2),

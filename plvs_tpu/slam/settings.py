@@ -106,6 +106,11 @@ class Settings:
     # reference: Settings::readIMU (IMU.NoiseGyro/NoiseAcc/GyroWalk/AccWalk)
     imu: Any = None               # ImuCalib when IMU.* keys are present
     imu_frequency: float = 200.0
+    # reference: IMU.T_b_c1 / legacy Tbc — camera pose in the body (IMU)
+    # frame, X_b = T X_c (Settings::readIMU, src/Settings.cc)
+    imu_T_b_c: Any = None
+    # reference: IMU.InsertKFsWhenLost (include/Tracking.h mInsertKFsLost)
+    imu_insert_kfs_when_lost: bool = True
     # reference: Settings::readCamera2 + Stereo.T_c1_c2 for non-rectified
     # stereo rigs (src/Settings.cc:325,404-409) — camera2 is the right
     # camera, T_c1_c2 the 4x4 right-to-left transform
@@ -212,6 +217,7 @@ class Settings:
             vocabulary_path=_get(d, "Vocabulary.path", default=None),
         )
         imu = None
+        imu_T_b_c = None
         if any(k.startswith("IMU.") for k in d):
             from ..imu.preintegration import ImuCalib
             imu = ImuCalib(
@@ -220,11 +226,22 @@ class Settings:
                 gyro_walk=float(_get(d, "IMU.GyroWalk", default=1.9e-5)),
                 acc_walk=float(_get(d, "IMU.AccWalk", default=3.0e-3)),
             )
+            tbc = _get(d, "IMU.T_b_c1.data", "IMU.T_b_c1", "Tbc.data", "Tbc",
+                       default=None)
+            if tbc is not None and len(tbc) in (12, 16):
+                import numpy as np
+
+                imu_T_b_c = np.eye(4, dtype=np.float32)
+                imu_T_b_c[: len(tbc) // 4] = np.asarray(
+                    tbc, np.float32).reshape(-1, 4)
         return Settings(
             camera=cam,
             config=cfg,
             imu=imu,
             imu_frequency=float(_get(d, "IMU.Frequency", default=200.0)),
+            imu_T_b_c=imu_T_b_c,
+            imu_insert_kfs_when_lost=bool(_get(
+                d, "IMU.InsertKFsWhenLost", default=True)),
             fps=float(_get(d, "Camera.fps", default=30.0)),
             depth_map_factor=float(_get(d, "DepthMapFactor",
                                         "RGBD.DepthMapFactor", default=1.0)),

@@ -72,11 +72,17 @@ class System:
     milestones; the RGB-D path exercises the full stack)."""
 
     def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None,
-                 cam2: cam_mod.Camera | None = None, T_c1_c2=None):
+                 cam2: cam_mod.Camera | None = None, T_c1_c2=None,
+                 imu_calib=None, imu_T_b_c=None):
         """``cam2``/``T_c1_c2`` declare a non-rectified stereo rig (e.g.
         a KB8 fisheye pair): T_c1_c2 is the 4x4 right-to-left transform
         X_c1 = T X_c2 (reference: Settings::readCamera2 + Stereo.T_c1_c2,
-        src/Settings.cc:325,404-409)."""
+        src/Settings.cc:325,404-409).
+
+        ``imu_calib`` (ImuCalib noise densities) and ``imu_T_b_c`` (4x4
+        camera-in-body extrinsic, X_b = T X_c; reference: IMU.T_b_c1,
+        Settings::readIMU) configure the inertial runtime when
+        ``config.use_imu`` is set."""
         self._base_cam = cam
         self.config = config or SystemConfig()
         c = self.config
@@ -149,7 +155,15 @@ class System:
         if c.use_imu:
             from .inertial import InertialRuntime
 
-            self.inertial = InertialRuntime()
+            kwargs = {}
+            if imu_calib is not None:
+                kwargs["calib"] = imu_calib
+            if imu_T_b_c is not None:
+                T = np.asarray(imu_T_b_c, np.float32)
+                R_bc, t_bc = T[:3, :3], T[:3, 3]
+                kwargs["R_cb"] = np.ascontiguousarray(R_bc.T)
+                kwargs["t_cb"] = (-R_bc.T @ t_bc).astype(np.float32)
+            self.inertial = InertialRuntime(**kwargs)
         self._last_frame_ts = None
         self._last_kf_ts = None
         self.loops_closed = []

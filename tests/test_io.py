@@ -303,6 +303,32 @@ Depth.sigmaZfactor: 9.0
         assert s.config.max_fov_centers_distance == 0.3
         assert s.sigma_z_factor == 9.0
 
+    def test_imu_extrinsic_parsed_and_wired(self):
+        from plvs_tpu.slam import settings
+
+        preset = os.path.join(os.path.dirname(__file__), "..", "Settings",
+                              "RGBD-Inertial-D435i.yaml")
+        s = settings.Settings.from_yaml(preset)
+        assert s.imu is not None
+        assert s.imu_insert_kfs_when_lost is False
+        T = s.imu_T_b_c
+        assert T is not None and T.shape == (4, 4)
+        # rotation block is orthonormal
+        np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3),
+                                   atol=1e-4)
+
+        from plvs_tpu.slam import System, SystemConfig
+
+        sys_ = System(s.camera, SystemConfig(use_imu=True, max_kf=8,
+                                             max_pts=1024),
+                      imu_calib=s.imu, imu_T_b_c=T)
+        rt = sys_.inertial
+        # R_cb maps body->camera: R_cb = R_bc^T, t_cb = -R_bc^T t_bc
+        np.testing.assert_allclose(rt.R_cb, T[:3, :3].T, atol=1e-6)
+        np.testing.assert_allclose(rt.t_cb, -T[:3, :3].T @ T[:3, 3],
+                                   atol=1e-6)
+        assert rt.calib.gyro_noise == pytest.approx(1e-2)
+
     def test_camera_scaling_helper(self):
         from plvs_tpu.geometry import cameras
         cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0,
