@@ -122,15 +122,23 @@ def detect_lines(
     ys = ys.reshape(-1).astype(jnp.float32)
     n_seg = h * w + 1
     ones = jnp.where(flat < h * w, 1.0, 0.0)
+    # gradient-magnitude-weighted moments: the support band is 2-3 px wide
+    # (no NMS), so an unweighted centroid wobbles with the rasterization of
+    # the edge; weighting by |∇I| concentrates the fit on the true edge and
+    # stabilizes (theta, d) to sub-pixel across viewpoints — the line
+    # residuals feed pose solves, so their noise floor matters as much as
+    # the corner detector's
+    wgt = ones * mag.reshape(-1)
     cnt = jax.ops.segment_sum(ones, flat, num_segments=n_seg)
-    sx_ = jax.ops.segment_sum(xs * ones, flat, num_segments=n_seg)
-    sy_ = jax.ops.segment_sum(ys * ones, flat, num_segments=n_seg)
-    sxx = jax.ops.segment_sum(xs * xs * ones, flat, num_segments=n_seg)
-    syy = jax.ops.segment_sum(ys * ys * ones, flat, num_segments=n_seg)
-    sxy = jax.ops.segment_sum(xs * ys * ones, flat, num_segments=n_seg)
+    wsum = jax.ops.segment_sum(wgt, flat, num_segments=n_seg)
+    sx_ = jax.ops.segment_sum(xs * wgt, flat, num_segments=n_seg)
+    sy_ = jax.ops.segment_sum(ys * wgt, flat, num_segments=n_seg)
+    sxx = jax.ops.segment_sum(xs * xs * wgt, flat, num_segments=n_seg)
+    syy = jax.ops.segment_sum(ys * ys * wgt, flat, num_segments=n_seg)
+    sxy = jax.ops.segment_sum(xs * ys * wgt, flat, num_segments=n_seg)
 
     top_cnt, top_lab = jax.lax.top_k(cnt[: h * w], max_lines)
-    c = jnp.maximum(top_cnt, 1.0)
+    c = jnp.maximum(wsum[top_lab], 1e-6)
     cx = sx_[top_lab] / c
     cy = sy_[top_lab] / c
     vxx = sxx[top_lab] / c - cx * cx

@@ -29,6 +29,41 @@ def make_texture(size: int = 1024, rng: np.random.Generator | None = None) -> np
     return np.clip(tex, 0, 255)
 
 
+def make_line_texture(size: int = 1024,
+                      rng: np.random.Generator | None = None,
+                      n_bars: int = 26, n_blobs: int = 40) -> np.ndarray:
+    """Low-corner-density texture dominated by long straight bars.
+
+    Exercises the line pipeline: point-only tracking survives on the few
+    blobs but drifts; line landmarks along the bars should tighten the pose
+    solves (the PLVS motivation — low-texture man-made scenes,
+    reference README.md:14)."""
+    rng = rng or np.random.default_rng(3)
+    tex = np.full((size, size), 55.0, np.float32)
+    for _ in range(n_bars):
+        # long bar through a random anchor at a random angle
+        ang = rng.uniform(0, np.pi)
+        cx, cy = rng.uniform(0, size, 2)
+        width = float(rng.integers(3, 9))
+        val = float(rng.uniform(140, 250))
+        L = size * 1.5
+        n_samp = int(L)
+        ts = np.linspace(-L / 2, L / 2, n_samp)
+        dx, dy = np.cos(ang), np.sin(ang)
+        for off in np.arange(-width / 2, width / 2 + 0.5, 0.5):
+            xs = (cx + ts * dx - off * dy).astype(int) % size
+            ys = (cy + ts * dy + off * dx).astype(int) % size
+            tex[ys, xs] = val
+    # sparse weak blobs so the point tracker stays alive
+    xs = rng.integers(8, size - 16, n_blobs)
+    ys = rng.integers(8, size - 16, n_blobs)
+    for x, y in zip(xs, ys):
+        w = int(rng.integers(5, 10))
+        tex[y : y + w, x : x + w] = rng.uniform(90, 200)
+    tex += rng.normal(size=tex.shape).astype(np.float32) * 1.5
+    return np.clip(tex, 0, 255)
+
+
 def default_trajectory(n_frames: int = 60) -> list[tuple[np.ndarray, np.ndarray]]:
     """World-to-camera poses: lateral sweep + mild yaw/depth changes."""
     from ..geometry import lie
@@ -55,10 +90,11 @@ class SyntheticRGBD:
 
     def __init__(self, cam: cam_mod.Camera, wall_z: float = 3.0,
                  tex_size: int = 1024, tex_scale: float = 220.0,
-                 seed: int = 0):
+                 seed: int = 0, texture: np.ndarray | None = None):
         self.cam = cam
         self.wall_z = wall_z
-        self.tex = make_texture(tex_size, np.random.default_rng(seed))
+        self.tex = (texture if texture is not None
+                    else make_texture(tex_size, np.random.default_rng(seed)))
         self.tex_scale = tex_scale  # pixels per world unit on the wall
         # camera-model-generic ray table (pinhole or KB8 fisheye): rays at
         # z=1 so the plane-intersection scalar is the camera z-depth

@@ -349,6 +349,79 @@ def build_frame_lines(
     return FrameLines(kl, nld, ds, de, Xs, Xe)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "max_lines"))
+def build_frame_lines_stereo(
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    cam: cam_mod.Camera,
+    max_lines: int = 128,
+    max_disp: float = 128.0,
+    theta_tol: float = 0.08,
+    max_hamming: int = 80,
+) -> FrameLines:
+    """Line extraction with endpoint depths from left-right line matching on
+    a rectified stereo pair.
+
+    TPU re-derivation of the reference's stereo line depth path (reference:
+    LineMatcher::SearchStereoMatchesByKnn + the endpoint disparity
+    computation in Frame's stereo line setup): a 3D segment projects to a
+    line in each rectified image; once the left keyline is matched to its
+    right-image counterpart, the disparity at a left endpoint (u, v) is
+    u - u_r(v) where u_r(v) solves the right line's equation at the same
+    row. Near-horizontal lines (parallel to the epipolar rows) are
+    degenerate and get no depth.
+    """
+    from ..features import lines as lines_mod
+    from ..features.matching import hamming, _masked_best2
+
+    kl_l = lines_mod.extract_lines(gray_l, max_lines=max_lines)
+    kl_r = lines_mod.extract_lines(gray_r, max_lines=max_lines)
+    nld_l = lines_mod.line_nld(kl_l.sp, kl_l.ep)
+    nld_r = lines_mod.line_nld(kl_r.sp, kl_r.ep)
+
+    th_l, _dl = lines_mod.line_theta_d(kl_l.sp, kl_l.ep)
+    th_r, _dr = lines_mod.line_theta_d(kl_r.sp, kl_r.ep)
+    dth = jnp.abs(th_l[:, None] - th_r[None, :])
+    dth = jnp.minimum(dth, jnp.pi - dth)
+    # vertical-extent overlap (rows are epipolar lines)
+    v_lo_l = jnp.minimum(kl_l.sp[:, 1], kl_l.ep[:, 1])
+    v_hi_l = jnp.maximum(kl_l.sp[:, 1], kl_l.ep[:, 1])
+    v_lo_r = jnp.minimum(kl_r.sp[:, 1], kl_r.ep[:, 1])
+    v_hi_r = jnp.maximum(kl_r.sp[:, 1], kl_r.ep[:, 1])
+    v_overlap = (jnp.minimum(v_hi_l[:, None], v_hi_r[None, :])
+                 - jnp.maximum(v_lo_l[:, None], v_lo_r[None, :]))
+    cand = ((dth < theta_tol) & (v_overlap > 5.0)
+            & kl_l.mask[:, None] & kl_r.mask[None, :])
+    dist = hamming(kl_l.desc, kl_r.desc)
+    best, second, idx = _masked_best2(dist, cand)
+    ok = (best <= max_hamming) & (
+        best.astype(jnp.float32) <= 0.9 * second.astype(jnp.float32))
+
+    # disparity from the matched right line's equation nx u + ny v + d = 0
+    nr = nld_r[idx]                     # [L, 3] matched right line
+    nx, ny, dd = nr[:, 0], nr[:, 1], nr[:, 2]
+    # epipolar degeneracy: horizontal lines have |nx| ~ 0
+    nx_ok = jnp.abs(nx) > 0.15
+    nx_safe = jnp.where(nx_ok, nx, 1.0)
+
+    def endpoint_depth(xy):
+        u_r = -(ny * xy[:, 1] + dd) / nx_safe
+        disp = xy[:, 0] - u_r
+        good = ok & nx_ok & (disp > 0.3) & (disp < max_disp) & kl_l.mask
+        return jnp.where(good, cam.bf / jnp.maximum(disp, 0.3), 0.0)
+
+    ds = endpoint_depth(kl_l.sp)
+    de = endpoint_depth(kl_l.ep)
+    # endpoint-depth consistency (reference: skLineStereoMaxDist gate)
+    consistent = (ds > 0) & (de > 0) & (
+        jnp.abs(ds - de) < 0.5 * jnp.maximum(ds, de))
+    ds = jnp.where(consistent, ds, 0.0)
+    de = jnp.where(consistent, de, 0.0)
+    Xs = cam_mod.backproject(cam, kl_l.sp, ds)
+    Xe = cam_mod.backproject(cam, kl_l.ep, de)
+    return FrameLines(kl_l, nld_l, ds, de, Xs, Xe)
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def project_points(cam: cam_mod.Camera, R, t, xyz, margin: float = 8.0):
     """Project world points into a frame. Returns (uv [M,2], z [M], valid)."""

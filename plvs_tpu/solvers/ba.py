@@ -59,13 +59,20 @@ class BAProblem(NamedTuple):
     lobs_nld: jnp.ndarray     # [Ml, 3] normalized image line (nx, ny, d)
     lobs_inv_sigma2: jnp.ndarray  # [Ml]
     lobs_mask: jnp.ndarray    # [Ml] bool
+    # measured endpoint depths (<=0 none): anchors the endpoints along the
+    # viewing ray — without them the infinite-line rows leave each endpoint
+    # 1-2 underdetermined directions and repeated window solves let the
+    # landmarks drift (reference: the stereo line edge's depth rows,
+    # include/g2o/types_six_dof_expmap2.h:178-388)
+    lobs_depth: jnp.ndarray   # [Ml, 2] (z_s, z_e)
 
 
 def make_problem(R, t, fixed_cam, points, obs_cam, obs_pt, obs_uvr,
                  obs_inv_sigma2, obs_mask, cam_mask=None, point_mask=None,
                  lines_Xs=None, lines_Xe=None, line_mask=None,
                  lobs_cam=None, lobs_line=None, lobs_nld=None,
-                 lobs_inv_sigma2=None, lobs_mask=None) -> BAProblem:
+                 lobs_inv_sigma2=None, lobs_mask=None,
+                 lobs_depth=None) -> BAProblem:
     K = R.shape[0]
     P = points.shape[0]
     if cam_mask is None:
@@ -81,10 +88,13 @@ def make_problem(R, t, fixed_cam, points, obs_cam, obs_pt, obs_uvr,
         lobs_nld = jnp.zeros((0, 3), R.dtype)
         lobs_inv_sigma2 = jnp.zeros((0,), R.dtype)
         lobs_mask = jnp.zeros((0,), bool)
+    if lobs_depth is None:
+        lobs_depth = jnp.zeros(lobs_nld.shape[:1] + (2,), R.dtype)
     return BAProblem(R, t, fixed_cam, cam_mask, points, point_mask,
                      obs_cam, obs_pt, obs_uvr, obs_inv_sigma2, obs_mask,
                      lines_Xs, lines_Xe, line_mask,
-                     lobs_cam, lobs_line, lobs_nld, lobs_inv_sigma2, lobs_mask)
+                     lobs_cam, lobs_line, lobs_nld, lobs_inv_sigma2,
+                     lobs_mask, lobs_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -122,13 +132,21 @@ def _point_terms(cam, R, t, points, prob: BAProblem):
 
 
 def _line_terms(cam, R, t, lines_Xs, lines_Xe, prob: BAProblem):
-    """Residual [Ml,2], Jc [Ml,2,6], Jl [Ml,2,6] (endpoint deltas), valid."""
+    """Residual [Ml,4], Jc [Ml,4,6], Jl [Ml,4,6] (endpoint deltas), valid,
+    row weights [Ml,4].
+
+    Rows 0-1: signed point-to-infinite-line distance of the projected
+    endpoints. Rows 2-3: endpoint disparity residuals bf/z_pred - bf/z_meas
+    (pixel units, active only where a measured depth exists) — the
+    reference's 4D stereo line edge
+    (include/g2o/types_six_dof_expmap2.h:178-388)."""
     Rm = R[prob.lobs_cam]
     tm = t[prob.lobs_cam]
     n = prob.lobs_nld[..., :2]
     d = prob.lobs_nld[..., 2]
+    bf = cam.bf if cam.bf > 0 else float(cam.params[0]) * 0.1
 
-    def endpoint(Xw):
+    def endpoint(Xw, z_meas):
         # residual r = n . project(Xc) + d (signed point-to-line distance);
         # Jacobians are d(r)/d(cam tangent) and d(r)/d(endpoint).
         Xc = lie.se3_apply(Rm, tm, Xw)
@@ -140,19 +158,39 @@ def _line_terms(cam, R, t, lines_Xs, lines_Xe, prob: BAProblem):
         dr_dXc = jnp.einsum("...k,...kj->...j", n, Jproj)  # [Ml,3]
         Jc = jnp.einsum("...k,...kj->...j", dr_dXc, JXc_cam)  # [Ml,6]
         Jx = jnp.einsum("...k,...kj->...j", dr_dXc, Rm)       # [Ml,3]
-        return r, Jc, Jx, Xc[..., 2] > 0.05
+        # depth row (disparity units): rd = bf/z_meas - bf/z
+        z = Xc[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        has_d = z_meas > 0
+        zm_safe = jnp.where(has_d, z_meas, 1.0)
+        rd = jnp.where(has_d, bf / zm_safe - bf / z_safe, 0.0)
+        # d(rd)/dXc = (bf/z^2) * dz/dXc = (bf/z^2) * e_z
+        drd_dXc = jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), bf / (z_safe * z_safe)],
+            axis=-1)
+        Jcd = jnp.einsum("...k,...kj->...j", drd_dXc, JXc_cam)
+        Jxd = jnp.einsum("...k,...kj->...j", drd_dXc, Rm)
+        return r, Jc, Jx, rd, Jcd, Jxd, z > 0.05, has_d
 
-    rs, Jcs, Jxs, oks = endpoint(lines_Xs[prob.lobs_line])
-    re, Jce, Jxe, oke = endpoint(lines_Xe[prob.lobs_line])
-    res = jnp.stack([rs, re], axis=-1)           # [Ml,2]
-    Jc = jnp.stack([Jcs, Jce], axis=-2)          # [Ml,2,6]
+    rs, Jcs, Jxs, rds, Jcds, Jxds, oks, hds = endpoint(
+        lines_Xs[prob.lobs_line], prob.lobs_depth[..., 0])
+    re, Jce, Jxe, rde, Jcde, Jxde, oke, hde = endpoint(
+        lines_Xe[prob.lobs_line], prob.lobs_depth[..., 1])
+    res = jnp.stack([rs, re, rds, rde], axis=-1)           # [Ml,4]
+    Jc = jnp.stack([Jcs, Jce, Jcds, Jcde], axis=-2)        # [Ml,4,6]
     z = jnp.zeros_like(Jxs)
     Jl = jnp.stack(
-        [jnp.concatenate([Jxs, z], axis=-1), jnp.concatenate([z, Jxe], axis=-1)],
+        [jnp.concatenate([Jxs, z], axis=-1),
+         jnp.concatenate([z, Jxe], axis=-1),
+         jnp.concatenate([Jxds, z], axis=-1),
+         jnp.concatenate([z, Jxde], axis=-1)],
         axis=-2,
-    )  # [Ml,2,6] w.r.t. (dXs, dXe)
+    )  # [Ml,4,6] w.r.t. (dXs, dXe)
     ok = prob.lobs_mask & oks & oke
-    return res, Jc, Jl, ok
+    one = jnp.ones_like(rs)
+    row_w = jnp.stack([one, one, hds.astype(rs.dtype), hde.astype(rs.dtype)],
+                      axis=-1)
+    return res, Jc, Jl, ok, row_w
 
 
 # ---------------------------------------------------------------------------
@@ -192,9 +230,10 @@ def bundle_adjust(
         rw, chi2 = robust_w(res * jnp.sqrt(row_w), prob.obs_inv_sigma2, is_st)
         c = jnp.sum(jnp.minimum(chi2, jnp.where(is_st, robust.CHI2_3D, robust.CHI2_2D) * 2.0) * ok)
         if has_lines:
-            lres, _, _, lok = _line_terms(cam, R, t, lXs, lXe, prob)
-            _, lchi2 = robust_w(lres, prob.lobs_inv_sigma2)
-            c = c + line_weight * jnp.sum(jnp.minimum(lchi2, robust.CHI2_2D * 2.0) * lok)
+            lres, _, _, lok, lrow = _line_terms(cam, R, t, lXs, lXe, prob)
+            _, lchi2 = robust_w(lres * jnp.sqrt(lrow), prob.lobs_inv_sigma2)
+            lthr = jnp.where(jnp.sum(lrow, -1) > 2.5, 9.488, robust.CHI2_2D)
+            c = c + line_weight * jnp.sum(jnp.minimum(lchi2, lthr * 2.0) * lok)
         return c
 
     def lm_step(carry):
@@ -207,9 +246,10 @@ def bundle_adjust(
         wr = w[:, None] * row_w            # [M,3] per-row weights
 
         if has_lines:
-            lres, lJc, lJl, lok = _line_terms(cam, R, t, lXs, lXe, prob)
-            lrw, _ = robust_w(lres, prob.lobs_inv_sigma2)
+            lres, lJc, lJl, lok, lrow = _line_terms(cam, R, t, lXs, lXe, prob)
+            lrw, _ = robust_w(lres * jnp.sqrt(lrow), prob.lobs_inv_sigma2)
             lw = line_weight * prob.lobs_inv_sigma2 * lrw * lok  # [Ml]
+            lwr = lw[:, None] * lrow                             # [Ml,4]
 
         # ---- gradient ----
         # b = -J^T W r  (we solve H dx = b)
@@ -221,10 +261,10 @@ def bundle_adjust(
         )
         if has_lines:
             bc = bc + -jax.ops.segment_sum(
-                jnp.einsum("mri,m,mr->mi", lJc, lw, lres), prob.lobs_cam, num_segments=K
+                jnp.einsum("mri,mr->mi", lJc, lwr * lres), prob.lobs_cam, num_segments=K
             )
             bl = -jax.ops.segment_sum(
-                jnp.einsum("mri,m,mr->mi", lJl, lw, lres), prob.lobs_line, num_segments=L
+                jnp.einsum("mri,mr->mi", lJl, lwr * lres), prob.lobs_line, num_segments=L
             )
         else:
             bl = jnp.zeros((L, 6), R.dtype)
@@ -241,10 +281,10 @@ def bundle_adjust(
         )
         if has_lines:
             Hcc = Hcc + jax.ops.segment_sum(
-                jnp.einsum("mri,m,mrj->mij", lJc, lw, lJc), prob.lobs_cam, num_segments=K
+                jnp.einsum("mri,mr,mrj->mij", lJc, lwr, lJc), prob.lobs_cam, num_segments=K
             )
             Hll = jax.ops.segment_sum(
-                jnp.einsum("mri,m,mrj->mij", lJl, lw, lJl), prob.lobs_line, num_segments=L
+                jnp.einsum("mri,mr,mrj->mij", lJl, lwr, lJl), prob.lobs_line, num_segments=L
             )
         else:
             Hll = jnp.zeros((L, 6, 6), R.dtype)
@@ -283,7 +323,7 @@ def bundle_adjust(
                 ul = jnp.einsum("mri,mi->mr", lJc, xc[prob.lobs_cam]) + jnp.einsum(
                     "mri,mi->mr", lJl, xl_m[prob.lobs_line]
                 )
-                ul = ul * lw[:, None]
+                ul = ul * lwr
                 yc = yc + jax.ops.segment_sum(
                     jnp.einsum("mri,mr->mi", lJc, ul), prob.lobs_cam, num_segments=K
                 )

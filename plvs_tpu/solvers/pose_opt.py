@@ -110,7 +110,12 @@ def _line_residual_jac(cam: cam_mod.Camera, R, t, obs: PoseObs):
         I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
         JX = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)
         Juv = Jproj @ JX  # [L,2,6]
-        Jr = jnp.einsum("...k,...kj->...j", n, Juv)  # [L,6]
+        # SIGN: the GN update in pose_optimize is dx = H^-1 J^T W r with the
+        # point convention J = d(pred)/dx and r = obs - pred, i.e.
+        # J = -d(r)/dx. The line residual r = n.uv + d is "prediction-side",
+        # so its Jacobian must be NEGATED to match — without this the line
+        # edges push the pose away from the minimum.
+        Jr = -jnp.einsum("...k,...kj->...j", n, Juv)  # [L,6]
         return r, Jr, Xc[..., 2] > 0.05
 
     rs, Js, oks = one(obs.line_Xs)

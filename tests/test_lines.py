@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from plvs_tpu.features import lines as ln
 
@@ -95,6 +96,7 @@ class TestLBD:
         np.testing.assert_array_equal(np.asarray(k1.desc), np.asarray(k2.desc))
 
 
+@pytest.mark.slow
 class TestLinesInSLAM:
     def test_rgbd_slam_with_lines(self):
         """Full system with use_lines: line landmarks are created, observed
