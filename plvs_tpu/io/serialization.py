@@ -33,12 +33,14 @@ _STORE_FIELDS = [
     "kf_kp_xy", "kf_kp_uvr", "kf_kp_desc", "kf_kp_octave", "kf_kp_angle",
     "kf_kp_mask", "kf_kp_pt",
     "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist", "pt_max_dist",
+    "pt_angle",
     "pt_mask", "pt_ref_kf", "pt_first_kf", "pt_n_obs", "pt_visible",
     "pt_found",
     "obs_kf", "obs_pt", "obs_kp", "obs_mask",
     "ln_Xs", "ln_Xe", "ln_desc", "ln_mask", "ln_ref_kf", "ln_first_kf",
     "ln_n_obs", "ln_visible", "ln_found",
     "kf_kl_sp", "kf_kl_ep", "kf_kl_desc", "kf_kl_mask", "kf_kl_line",
+    "kf_kl_depth",
     "lobs_kf", "lobs_line", "lobs_kl", "lobs_mask",
 ]
 _COUNTERS = ["_n_kf", "_n_pt", "_n_ln", "_obs_top", "_lobs_top"]

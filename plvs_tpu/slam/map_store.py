@@ -19,6 +19,41 @@ import dataclasses
 import numpy as np
 
 
+_DISTINCTIVE_JIT = None
+
+
+def _distinctive_rows(desc, mask):
+    """[P, M, 8] uint32 descriptors + [P, M] validity -> [P] index of the
+    row with minimum median Hamming distance to the other valid rows
+    (reference: MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc).
+    Jitted once (lazy import keeps the module importable without jax work
+    at load time); the whole batch is one popcount/sort pass."""
+    global _DISTINCTIVE_JIT
+    if _DISTINCTIVE_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def run(desc, mask):
+            x = jnp.bitwise_xor(desc[:, :, None, :], desc[:, None, :, :])
+            d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+            M = desc.shape[1]
+            pair_ok = mask[:, :, None] & mask[:, None, :]
+            # exclude self-distance from the median
+            eye = jnp.eye(M, dtype=bool)[None]
+            valid = pair_ok & ~eye
+            BIG = jnp.int32(4096)
+            d = jnp.where(valid, d, BIG)
+            d_sorted = jnp.sort(d, axis=-1)
+            cnt = jnp.sum(valid, axis=-1)  # [P, M] valid distances per row
+            mid = jnp.clip((cnt - 1) // 2, 0, M - 1)
+            med = jnp.take_along_axis(d_sorted, mid[..., None], axis=-1)[..., 0]
+            med = jnp.where(mask & (cnt > 0), med, BIG)
+            return jnp.argmin(med, axis=-1)
+
+        _DISTINCTIVE_JIT = jax.jit(run)
+    return _DISTINCTIVE_JIT(desc, mask)
+
+
 @dataclasses.dataclass
 class MapStore:
     max_kf: int = 512
@@ -59,6 +94,9 @@ class MapStore:
         self.pt_normal = np.zeros((P, 3), np.float32)
         self.pt_min_dist = np.zeros((P,), np.float32)
         self.pt_max_dist = np.zeros((P,), np.float32)
+        # orientation of the keypoint backing pt_desc (for the rotation-
+        # consistency histogram in guided matching)
+        self.pt_angle = np.zeros((P,), np.float32)
         self.pt_mask = np.zeros((P,), bool)
         self.pt_ref_kf = np.full((P,), -1, np.int64)
         self.pt_first_kf = np.full((P,), -1, np.int64)
@@ -87,6 +125,10 @@ class MapStore:
         self.kf_kl_desc = np.zeros((K, Nl, 8), np.uint32)
         self.kf_kl_mask = np.zeros((K, Nl), bool)
         self.kf_kl_line = np.full((K, Nl), -1, np.int64)
+        # measured endpoint depths (<=0 none) — feed the stereo/RGB-D line
+        # BA residual's depth rows (reference: the 4D stereo line edge,
+        # include/g2o/types_six_dof_expmap2.h:178-388)
+        self.kf_kl_depth = np.zeros((K, Nl, 2), np.float32)
         # line observation table
         self.lobs_kf = np.zeros((Ol,), np.int64)
         self.lobs_line = np.zeros((Ol,), np.int64)
@@ -97,8 +139,61 @@ class MapStore:
         self._n_ln = 0
         self._obs_top = 0  # append watermark (holes compacted lazily)
         self._lobs_top = 0
+        # coarse store lock for the async runtime: the tracking thread and
+        # the mapper actor both touch the SoA arrays; mutating stages and
+        # candidate gathers take this (device solves run OUTSIDE it) —
+        # the TPU analogue of the reference's per-object mutexes
+        # (include/LocalMapping.h:93 etc.)
+        import threading
+
+        self.lock = threading.RLock()
 
     # -- allocation ---------------------------------------------------------
+
+    @staticmethod
+    def _grown(arr: np.ndarray, new_cap: int, fill=None) -> np.ndarray:
+        shape = (new_cap,) + arr.shape[1:]
+        if fill is None:
+            out = np.zeros(shape, arr.dtype)
+        else:
+            out = np.full(shape, fill, arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    def _grow_kfs(self):
+        """Double the keyframe capacity (long sequences must survive;
+        fixed-capacity hard failure was a v1 limitation — device kernels see
+        padded slices, so host-side growth is free of recompiles)."""
+        new = self.max_kf * 2
+        for name in ("kf_R", "kf_t", "kf_mask", "kf_fixed", "kf_timestamp",
+                     "kf_frame_id", "kf_map", "kf_kp_xy", "kf_kp_desc",
+                     "kf_kp_octave", "kf_kp_angle", "kf_kp_mask",
+                     "kf_kl_sp", "kf_kl_ep", "kf_kl_desc", "kf_kl_mask",
+                     "kf_kl_depth"):
+            setattr(self, name, self._grown(getattr(self, name), new))
+        self.kf_kp_uvr = self._grown(self.kf_kp_uvr, new, fill=-1.0)
+        self.kf_kp_pt = self._grown(self.kf_kp_pt, new, fill=-1)
+        self.kf_kl_line = self._grown(self.kf_kl_line, new, fill=-1)
+        self.max_kf = new
+
+    def _grow_points(self):
+        new = self.max_pts * 2
+        for name in ("pt_xyz", "pt_desc", "pt_normal", "pt_min_dist",
+                     "pt_max_dist", "pt_angle", "pt_mask", "pt_n_obs",
+                     "pt_visible", "pt_found"):
+            setattr(self, name, self._grown(getattr(self, name), new))
+        self.pt_ref_kf = self._grown(self.pt_ref_kf, new, fill=-1)
+        self.pt_first_kf = self._grown(self.pt_first_kf, new, fill=-1)
+        self.max_pts = new
+
+    def _grow_lines(self):
+        new = self.max_lines * 2
+        for name in ("ln_Xs", "ln_Xe", "ln_desc", "ln_mask", "ln_n_obs",
+                     "ln_visible", "ln_found"):
+            setattr(self, name, self._grown(getattr(self, name), new))
+        self.ln_ref_kf = self._grown(self.ln_ref_kf, new, fill=-1)
+        self.ln_first_kf = self._grown(self.ln_first_kf, new, fill=-1)
+        self.max_lines = new
 
     def alloc_kf(self) -> int:
         free = np.nonzero(~self.kf_mask[: self._n_kf])[0]
@@ -106,7 +201,7 @@ class MapStore:
             k = int(free[0])
         else:
             if self._n_kf >= self.max_kf:
-                raise RuntimeError("MapStore: keyframe capacity exhausted")
+                self._grow_kfs()
             k = self._n_kf
             self._n_kf += 1
         self.kf_map[k] = self.active_map
@@ -167,8 +262,8 @@ class MapStore:
         free = np.nonzero(~self.pt_mask[: self._n_pt])[0][:n]
         need = n - len(free)
         if need > 0:
-            if self._n_pt + need > self.max_pts:
-                raise RuntimeError("MapStore: point capacity exhausted")
+            while self._n_pt + need > self.max_pts:
+                self._grow_points()
             fresh = np.arange(self._n_pt, self._n_pt + need)
             self._n_pt += need
             return np.concatenate([free, fresh])
@@ -180,8 +275,11 @@ class MapStore:
             return
         if self._obs_top + n > self.max_obs:
             self.compact_observations()
-            if self._obs_top + n > self.max_obs:
-                raise RuntimeError("MapStore: observation capacity exhausted")
+            while self._obs_top + n > self.max_obs:
+                new = self.max_obs * 2
+                for name in ("obs_kf", "obs_pt", "obs_kp", "obs_mask"):
+                    setattr(self, name, self._grown(getattr(self, name), new))
+                self.max_obs = new
         sl = slice(self._obs_top, self._obs_top + n)
         self.obs_kf[sl] = kf
         self.obs_pt[sl] = pt_ids
@@ -204,8 +302,8 @@ class MapStore:
         free = np.nonzero(~self.ln_mask[: self._n_ln])[0][:n]
         need = n - len(free)
         if need > 0:
-            if self._n_ln + need > self.max_lines:
-                raise RuntimeError("MapStore: line capacity exhausted")
+            while self._n_ln + need > self.max_lines:
+                self._grow_lines()
             fresh = np.arange(self._n_ln, self._n_ln + need)
             self._n_ln += need
             return np.concatenate([free, fresh])
@@ -218,8 +316,11 @@ class MapStore:
             return
         if self._lobs_top + n > self.max_lobs:
             self.compact_line_observations()
-            if self._lobs_top + n > self.max_lobs:
-                raise RuntimeError("MapStore: line obs capacity exhausted")
+            while self._lobs_top + n > self.max_lobs:
+                new = self.max_lobs * 2
+                for name in ("lobs_kf", "lobs_line", "lobs_kl", "lobs_mask"):
+                    setattr(self, name, self._grown(getattr(self, name), new))
+                self.max_lobs = new
         sl = slice(self._lobs_top, self._lobs_top + n)
         self.lobs_kf[sl] = kf
         self.lobs_line[sl] = line_ids
@@ -313,6 +414,39 @@ class MapStore:
         self.obs_mask[: self._obs_top][sel] = False
         np.add.at(self.pt_n_obs, pts, -1)
         self.kf_kp_pt[kf] = -1
+        # line observations of the removed KF go with it (reference:
+        # KeyFrame::SetBadFlag erases line observations too)
+        lsel = (self.lobs_kf[: self._lobs_top] == kf) \
+            & self.lobs_mask[: self._lobs_top]
+        lns = self.lobs_line[: self._lobs_top][lsel]
+        self.lobs_mask[: self._lobs_top][lsel] = False
+        np.add.at(self.ln_n_obs, lns, -1)
+        self.kf_kl_line[kf] = -1
+
+    def replace_line(self, loser: int, winner: int):
+        """Merge line landmark ``loser`` into ``winner`` (reference:
+        MapLine::Replace — mirrors MapPoint::Replace)."""
+        if loser == winner:
+            return
+        top = self._lobs_top
+        lrows = np.nonzero((self.lobs_line[:top] == loser)
+                           & self.lobs_mask[:top])[0]
+        wkfs = set(self.lobs_kf[:top][(self.lobs_line[:top] == winner)
+                                      & self.lobs_mask[:top]].tolist())
+        for r in lrows:
+            kf, kl = self.lobs_kf[r], self.lobs_kl[r]
+            if int(kf) in wkfs:
+                self.lobs_mask[r] = False
+                self.kf_kl_line[kf, kl] = -1
+            else:
+                self.lobs_line[r] = winner
+                self.kf_kl_line[kf, kl] = winner
+                self.ln_n_obs[winner] += 1
+                wkfs.add(int(kf))
+        self.ln_mask[loser] = False
+        self.ln_n_obs[loser] = 0
+        self.ln_visible[winner] += self.ln_visible[loser]
+        self.ln_found[winner] += self.ln_found[loser]
 
     # -- derived structures -------------------------------------------------
 
@@ -353,6 +487,89 @@ class MapStore:
         okf, opt, _ = self.live_obs()
         sel = np.isin(okf, kf_ids)
         return np.unique(opt[sel])
+
+    # -- landmark maintenance ------------------------------------------------
+
+    def update_point_maintenance(self, pt_ids: np.ndarray,
+                                 scale: float = 1.2, n_levels: int = 8,
+                                 max_obs: int = 12):
+        """Distinctive-descriptor recompute + normal/scale-range update for
+        the given landmarks.
+
+        Reference: MapPoint::ComputeDistinctiveDescriptors picks the
+        observation descriptor with minimum median Hamming distance to the
+        others, and MapPoint::UpdateNormalAndDepth sets the mean viewing
+        direction and the scale-invariance distance range from the reference
+        keyframe's observation octave (src/MapPoint.cc). Here both run as
+        ONE batched pass over every requested landmark: observations are
+        padded to ``max_obs`` slots, the median-Hamming vote is a [P, M, M]
+        popcount reduction on the device.
+        """
+        import jax.numpy as jnp
+        from ..features.matching import hamming_pairs  # noqa: F401
+
+        pt_ids = np.asarray(pt_ids)
+        pt_ids = pt_ids[self.pt_mask[pt_ids]]
+        if len(pt_ids) == 0:
+            return
+        okf, opt, okp = self.live_obs()
+        sel = np.isin(opt, pt_ids)
+        o_kf, o_pt, o_kp = okf[sel], opt[sel], okp[sel]
+        if len(o_pt) == 0:
+            return
+        order = np.argsort(o_pt, kind="stable")
+        o_kf, o_pt, o_kp = o_kf[order], o_pt[order], o_kp[order]
+        uniq, start, counts = np.unique(o_pt, return_index=True,
+                                        return_counts=True)
+        slot = np.arange(len(o_pt)) - np.repeat(start, counts)
+        keep = slot < max_obs
+        P = len(uniq)
+        row = np.searchsorted(uniq, o_pt)
+
+        # --- normal & scale range (numpy; cheap) --------------------------
+        Cw_all = -np.einsum("kji,kj->ki", self.kf_R[o_kf], self.kf_t[o_kf])
+        dirs = self.pt_xyz[o_pt] - Cw_all
+        dn = np.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs = dirs / np.maximum(dn, 1e-9)
+        nsum = np.zeros((P, 3), np.float32)
+        np.add.at(nsum, row, dirs.astype(np.float32))
+        nn = np.linalg.norm(nsum, axis=-1, keepdims=True)
+        self.pt_normal[uniq] = nsum / np.maximum(nn, 1e-9)
+
+        ref = self.pt_ref_kf[uniq]
+        is_ref = o_kf == ref[row]
+        # distance and octave at the reference observation (fallback: first)
+        dist_ref = np.zeros((P,), np.float32)
+        octv_ref = np.zeros((P,), np.int32)
+        dist_ref[row[is_ref]] = dn[is_ref, 0]
+        octv_ref[row[is_ref]] = self.kf_kp_octave[o_kf[is_ref], o_kp[is_ref]]
+        no_ref = dist_ref == 0
+        first = start  # first observation row per point
+        dist_ref[no_ref] = dn[first, 0][no_ref]
+        octv_ref[no_ref] = self.kf_kp_octave[o_kf[first], o_kp[first]][no_ref]
+        max_d = dist_ref * (scale ** octv_ref)
+        self.pt_max_dist[uniq] = max_d
+        self.pt_min_dist[uniq] = max_d / (scale ** (n_levels - 1))
+
+        # --- distinctive descriptor (device; batched median Hamming) ------
+        desc = np.zeros((P, max_obs, 8), np.uint32)
+        dmask = np.zeros((P, max_obs), bool)
+        angs = np.zeros((P, max_obs), np.float32)
+        desc[row[keep], slot[keep]] = self.kf_kp_desc[o_kf[keep], o_kp[keep]]
+        angs[row[keep], slot[keep]] = self.kf_kp_angle[o_kf[keep], o_kp[keep]]
+        dmask[row[keep], slot[keep]] = True
+
+        Pb = 256
+        while Pb < P:
+            Pb *= 2
+        desc_p = np.zeros((Pb, max_obs, 8), np.uint32)
+        mask_p = np.zeros((Pb, max_obs), bool)
+        desc_p[:P] = desc
+        mask_p[:P] = dmask
+        best = np.asarray(_distinctive_rows(
+            jnp.asarray(desc_p), jnp.asarray(mask_p)))[:P]
+        self.pt_desc[uniq] = desc[np.arange(P), best]
+        self.pt_angle[uniq] = angs[np.arange(P), best]
 
     @property
     def num_keyframes(self):

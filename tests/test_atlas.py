@@ -170,8 +170,12 @@ class TestAtlasTracking:
         st.pt_ref_kf[p1] = kf2
         kf3 = add_kf((-drift + np.array([0.04, 0, 0])).astype(np.float32), p1)
 
+        # single-shot detection: this test exercises the merge mechanics,
+        # not the multi-keyframe coincidence gate (tested in test_loop /
+        # test_place_recognition)
         closer = LoopCloser(st, kfdb=KeyFrameDatabase(
-            st, min_train_descs=128, vocab_train_descs=512))
+            st, min_train_descs=128, vocab_train_descs=512),
+            required_coincidences=1)
         for k in (kf0, 1, kf2):
             closer.kfdb.add(k)
         info = closer.process_keyframe(kf3)
