@@ -191,14 +191,18 @@ class InvertedIndex:
     def remove(self, kf: int):
         self._lib.invindex_remove(self._h, kf)
 
-    def query(self, words: np.ndarray, weights: np.ndarray):
-        """L1 similarity + shared-word count vs every indexed keyframe."""
+    def query(self, words: np.ndarray, weights: np.ndarray,
+              max_kf: int | None = None):
+        """L1 similarity + shared-word count vs every indexed keyframe.
+        ``max_kf`` may exceed the construction-time value (the map store
+        grows its keyframe capacity on demand)."""
         words = np.ascontiguousarray(words, np.int32)
         weights = np.ascontiguousarray(weights, np.float32)
-        scores = np.zeros((self.max_kf,), np.float32)
-        shared = np.zeros((self.max_kf,), np.int32)
+        mk = int(max_kf if max_kf is not None else self.max_kf)
+        scores = np.zeros((mk,), np.float32)
+        shared = np.zeros((mk,), np.int32)
         self._lib.invindex_query(self._h, words, weights, len(words),
-                                 self.max_kf, scores, shared)
+                                 mk, scores, shared)
         return scores, shared
 
     def close(self):

@@ -1,17 +1,27 @@
-"""Keyframe database: BoW vectors per keyframe + place-recognition queries.
+"""Keyframe database: sparse BoW vectors + inverted-file place recognition.
 
 TPU-native replacement for the reference's KeyFrameDatabase
 (reference: src/KeyFrameDatabase.cc — inverted file mvInvertedFile
 include/KeyFrameDatabase.h:106 with DetectNBestCandidates :91 for
-loop/merge and DetectRelocalizationCandidates :94). The inverted index is
-replaced by dense [K, W] BoW vectors scored with one batched L1 reduction;
-the vocabulary is trained lazily from the first keyframes' descriptors
-(see plvs_tpu.vocab.bow).
+loop/merge and DetectRelocalizationCandidates :94).
+
+Product path: per-keyframe descriptors are quantized through the vocabulary
+tree on the device (one batched descent), the resulting SPARSE tf-idf word
+lists feed the native C++ inverted index (plvs_tpu.native.InvertedIndex),
+and queries return L1 similarity + shared-word counts with the reference's
+0.8·max-common-words prefilter. A dense [K, W] numpy fallback keeps the
+module working when the native toolchain is unavailable.
+
+The default vocabulary is the shipped 10k-word tree
+(plvs_tpu/vocab/data/voc_10k.npz, built by scripts/train_vocab.py — the
+reference ships a pre-trained ~1M-leaf ORBvoc, src/System.cc:158-196);
+lazy in-session training remains the last-resort fallback.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,21 +29,33 @@ import numpy as np
 from ..vocab import bow
 from .map_store import MapStore
 
+_DEFAULT_VOCAB = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "vocab", "data",
+    "voc_10k.npz")
+
 
 @dataclasses.dataclass
 class KeyFrameDatabase:
     store: MapStore
-    voc: bow.Vocabulary | None = None
+    voc: object | None = None
     vocab_train_descs: int = 4096
     min_train_descs: int = 1024
+    use_default_vocab: bool = True
 
     def __post_init__(self):
-        self.kf_bow: np.ndarray | None = None
+        self.kf_bow: np.ndarray | None = None     # dense fallback [K, W]
+        self._kf_words: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._inv = None
+        self._native_ok: bool | None = None
 
     # ------------------------------------------------------------------
     def ensure_vocab(self) -> bool:
         if self.voc is not None:
             return True
+        if self.use_default_vocab and os.path.exists(_DEFAULT_VOCAB):
+            self.voc = bow.Vocabulary.load(_DEFAULT_VOCAB)
+            return True
+        # last resort: train from the session's own keyframes
         st = self.store
         live = np.nonzero(st.kf_mask)[0]
         if len(live) == 0:
@@ -47,62 +69,173 @@ class KeyFrameDatabase:
         self.voc = bow.train(descs[sel], k=8, depth=3, seed=0)
         return True
 
+    # ------------------------------------------------------------------
+    def _ensure_index(self) -> bool:
+        """True when the native inverted index is up."""
+        if self._native_ok is False:
+            return False
+        if self._inv is not None:
+            return True
+        from .. import native
+
+        if not native.available():
+            self._native_ok = False
+            return False
+        self._inv = native.InvertedIndex(self.voc.n_words, self.store.max_kf)
+        self._native_ok = True
+        return True
+
+    # ------------------------------------------------------------------
+    def sparse_bow(self, desc: np.ndarray, mask: np.ndarray):
+        """Quantize descriptors -> sparse L1-normalized tf-idf word list
+        (word_ids [S] int32, weights [S] float32)."""
+        words = np.asarray(bow.quantize(self.voc, jnp.asarray(desc)))
+        words = words[np.asarray(mask) & (words >= 0)]
+        if len(words) == 0:
+            return (np.zeros((0,), np.int32), np.zeros((0,), np.float32))
+        uniq, counts = np.unique(words, return_counts=True)
+        idf = np.asarray(self.voc.word_weights)[uniq]
+        w = counts.astype(np.float32) * idf
+        s = w.sum()
+        if s > 0:
+            w = w / s
+        return uniq.astype(np.int32), w.astype(np.float32)
+
     def bow_of_desc(self, desc: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Dense BoW vector (fallback path / tests)."""
         words = bow.quantize(self.voc, jnp.asarray(desc))
         return np.asarray(bow.bow_vector(self.voc, words, jnp.asarray(mask)))
 
     # ------------------------------------------------------------------
     def add(self, kf_id: int) -> bool:
-        """Compute and store the BoW vector of a keyframe."""
+        """Quantize and index a keyframe."""
         if not self.ensure_vocab():
             return False
+        st = self.store
+        words, weights = self.sparse_bow(
+            st.kf_kp_desc[kf_id], st.kf_kp_mask[kf_id])
+        self._kf_words[kf_id] = (words, weights)
+        if self._ensure_index():
+            self._inv.remove(kf_id)   # id reuse after culling
+            self._inv.add(kf_id, words, weights)
+        else:
+            self._dense_add(kf_id, words, weights)
+        return True
+
+    def _dense_add(self, kf_id, words, weights):
         st = self.store
         if self.kf_bow is None:
             self.kf_bow = np.zeros((st.max_kf, self.voc.n_words), np.float32)
-            for k in np.nonzero(st.kf_mask)[0]:
-                if k != kf_id:
-                    self.kf_bow[k] = self.bow_of_desc(
-                        st.kf_kp_desc[k], st.kf_kp_mask[k])
-        self.kf_bow[kf_id] = self.bow_of_desc(
-            st.kf_kp_desc[kf_id], st.kf_kp_mask[kf_id])
-        return True
+        if self.kf_bow.shape[0] < st.max_kf:
+            grown = np.zeros((st.max_kf, self.kf_bow.shape[1]), np.float32)
+            grown[: self.kf_bow.shape[0]] = self.kf_bow
+            self.kf_bow = grown
+        self.kf_bow[kf_id] = 0.0
+        self.kf_bow[kf_id, words] = weights
+
+    def remove(self, kf_id: int):
+        self._kf_words.pop(kf_id, None)
+        if self._inv is not None:
+            self._inv.remove(kf_id)
+        if self.kf_bow is not None:
+            self.kf_bow[kf_id] = 0.0
 
     def rebuild(self):
-        """Recompute BoW vectors for every live keyframe (used after an
-        atlas load, where only descriptors are persisted — reference:
-        System::LoadAtlas recomputes BoW in KeyFrame::PostLoad)."""
+        """Re-index every live keyframe (used after an atlas load — the
+        reference recomputes BoW in KeyFrame::PostLoad)."""
         if not self.ensure_vocab():
             return False
         st = self.store
-        self.kf_bow = np.zeros((st.max_kf, self.voc.n_words), np.float32)
+        self._kf_words.clear()
+        if self._inv is not None:
+            self._inv.close()
+            self._inv = None
+        self.kf_bow = None
         for k in np.nonzero(st.kf_mask)[0]:
-            self.kf_bow[k] = self.bow_of_desc(
-                st.kf_kp_desc[k], st.kf_kp_mask[k])
+            self.add(int(k))
         return True
 
     # ------------------------------------------------------------------
+    def query_sparse(self, words: np.ndarray, weights: np.ndarray,
+                     exclude: set[int] = frozenset(), top_n: int = 5,
+                     min_score: float = 0.015,
+                     shared_word_filter: bool = True):
+        """Score a sparse query against every indexed keyframe.
+
+        Returns [(kf_id, score)] sorted desc, after the reference's
+        common-words prefilter (candidates must share >= 0.8x the maximum
+        shared-word count, KeyFrameDatabase::DetectNBestCandidates)."""
+        st = self.store
+        if self._inv is not None:
+            scores, shared = self._inv.query(words, weights,
+                                             max_kf=st.max_kf)
+        elif self.kf_bow is not None:
+            q = np.zeros((self.kf_bow.shape[1],), np.float32)
+            q[words] = weights
+            K = self.kf_bow.shape[0]
+            scores = 1.0 - 0.5 * np.abs(self.kf_bow - q[None]).sum(-1)
+            shared = ((self.kf_bow > 0) & (q[None] > 0)).sum(-1)
+            scores = np.where(self.kf_bow.any(-1), scores, 0.0)
+            if K < st.max_kf:
+                scores = np.pad(scores, (0, st.max_kf - K))
+                shared = np.pad(shared, (0, st.max_kf - K))
+        else:
+            return []
+        live = np.zeros((st.max_kf,), bool)
+        idx = [k for k in self._kf_words if k < st.max_kf]
+        live[idx] = True
+        live &= st.kf_mask
+        for e in exclude:
+            if 0 <= e < st.max_kf:
+                live[e] = False
+        cand = np.nonzero(live & (scores > min_score))[0]
+        if len(cand) == 0:
+            return []
+        if shared_word_filter:
+            max_common = shared[cand].max()
+            cand = cand[shared[cand] >= 0.8 * max_common]
+        order = np.argsort(-scores[cand], kind="stable")
+        return [(int(k), float(scores[k])) for k in cand[order][:top_n]]
+
     def query(self, vec: np.ndarray, exclude: set[int] = frozenset(),
               top_n: int = 5, min_score: float = 0.015):
-        """Score against all live keyframes; return [(kf_id, score)] desc."""
-        if self.kf_bow is None:
+        """Dense-vector query (compatibility API): converts to sparse."""
+        words = np.nonzero(vec > 0)[0].astype(np.int32)
+        return self.query_sparse(words, vec[words].astype(np.float32),
+                                 exclude=exclude, top_n=top_n,
+                                 min_score=min_score,
+                                 shared_word_filter=False)
+
+    def query_keyframe(self, kf_id: int, top_n: int = 5,
+                       min_score: float = 0.015,
+                       exclude: set[int] = frozenset()):
+        """Loop/merge candidates for an indexed keyframe."""
+        if kf_id not in self._kf_words:
             return []
-        st = self.store
-        live = np.nonzero(st.kf_mask)[0]
-        if len(live) == 0:
-            return []
-        scores = 1.0 - 0.5 * np.abs(self.kf_bow[live] - vec[None]).sum(-1)
-        out = [
-            (int(k), float(s)) for k, s in zip(live, scores)
-            if k not in exclude and s > min_score
-        ]
-        out.sort(key=lambda x: -x[1])
-        return out[:top_n]
+        words, weights = self._kf_words[kf_id]
+        return self.query_sparse(words, weights,
+                                 exclude=exclude | {kf_id}, top_n=top_n,
+                                 min_score=min_score)
+
+    def score_pair(self, kf_a: int, kf_b: int) -> float:
+        """L1 similarity between two indexed keyframes."""
+        if kf_a not in self._kf_words or kf_b not in self._kf_words:
+            return 0.0
+        wa, va = self._kf_words[kf_a]
+        wb, vb = self._kf_words[kf_b]
+        ia = np.isin(wa, wb)
+        if not ia.any():
+            return 0.0
+        ib = np.searchsorted(wb, wa[ia])
+        a, b = va[ia], vb[ib]
+        return float(0.5 * np.sum(np.abs(a) + np.abs(b) - np.abs(a - b)))
 
     def relocalization_candidates(self, desc: np.ndarray, mask: np.ndarray,
                                   top_n: int = 5):
         """Candidates for a lost frame (reference:
-        DetectRelocalizationCandidates)."""
-        if not self.ensure_vocab() or self.kf_bow is None:
+        DetectRelocalizationCandidates — no covisibility gate, looser
+        shared-word filter)."""
+        if not self.ensure_vocab():
             return []
-        vec = self.bow_of_desc(desc, mask)
-        return self.query(vec, top_n=top_n)
+        words, weights = self.sparse_bow(np.asarray(desc), np.asarray(mask))
+        return self.query_sparse(words, weights, top_n=top_n)

@@ -37,16 +37,25 @@ class LoopCloser:
     fix_scale: bool = True        # RGB-D / stereo
     # consecutive-coincidence gate (reference: NewDetectCommonRegions
     # requires mnLoopNumCoincidences successive keyframes confirming the
-    # same region, src/LoopClosing.cc:377-459). Default 1: each detection
-    # here is already a full 3D-3D RANSAC with >= min_inliers, a stronger
-    # per-keyframe test than the reference's BoW stage; raise to 2-3 for
-    # the reference's multi-keyframe confirmation on self-similar scenes.
-    required_coincidences: int = 1
+    # same region, src/LoopClosing.cc:377-459). Each detection here is a
+    # full 3D-3D RANSAC with >= min_inliers; requiring 2 consecutive
+    # agreeing detections adds the reference's multi-keyframe confirmation
+    # against repeated-texture false positives.
+    required_coincidences: int = 2
     # drift-consistency tolerances for counting a later keyframe as a
     # coincidence of a pending detection (reference:
     # DetectAndReffineSim3FromLastKF re-verifies from the predicted Sim3)
     coincidence_rot_tol: float = 0.17   # rad (~10 deg)
     coincidence_trans_tol: float = 0.5  # meters
+    # world gravity vector once the IMU is initialized: switches the
+    # essential-graph correction to the 4-DoF (yaw+translation) form so the
+    # loop cannot bend the gravity-observable roll/pitch (reference:
+    # OptimizeEssentialGraph4DoF dispatched for inertial maps,
+    # src/LoopClosing.cc:1631-1637)
+    gravity_w: np.ndarray | None = None
+    # planar objects corrected with the map at loop closure (reference:
+    # SearchAndFuse also updates MapObjects, src/LoopClosing.cc:1584)
+    object_store: object | None = None
 
     def __post_init__(self):
         if self.kfdb is None:
@@ -57,10 +66,6 @@ class LoopCloser:
         # dict(cand, kf, count, G_R, G_t) where (G_R, G_t) is the implied
         # world-drift transform of the active map
         self._pending = None
-
-    @property
-    def kf_bow(self):
-        return self.kfdb.kf_bow
 
     # ------------------------------------------------------------------
     def _drift_transform(self, kf_id: int, cand: int, R_rel, t_rel):
@@ -163,31 +168,25 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _detect(self, kf_id: int):
-        """BoW candidate selection (reference: KeyFrameDatabase::
-        DetectNBestCandidates — score gate from the covisible neighbours)."""
+        """Inverted-file candidate selection (reference: KeyFrameDatabase::
+        DetectNBestCandidates — shared-word prefilter + L1 scoring, score
+        gate from the minimum covisible-neighbour similarity)."""
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=5)
-        live = np.nonzero(st.kf_mask)[0]
-        scores = 1.0 - 0.5 * np.abs(
-            self.kf_bow[live] - self.kf_bow[kf_id][None]
-        ).sum(-1)
-        by_id = dict(zip(live.tolist(), scores.tolist()))
         # minimum score among covisible keyframes defines the gate
-        cov_scores = [by_id[c] for c in covis.tolist() if c in by_id]
+        cov_scores = [self.kfdb.score_pair(kf_id, int(c))
+                      for c in covis[:10]]
         min_score = min(cov_scores) if cov_scores else 0.05
-        excluded = set(covis.tolist()) | {kf_id}
-        # temporal exclusion window
+        live = np.nonzero(st.kf_mask)[0]
         recent = set(
             live[np.abs(st.kf_frame_id[live] - st.kf_frame_id[kf_id]) <
                  self.min_kf_gap].tolist()
         )
-        best, best_score = None, max(self.min_score_ratio * min_score, 0.015)
-        for k, s in zip(live.tolist(), scores.tolist()):
-            if k in excluded or k in recent:
-                continue
-            if s > best_score:
-                best, best_score = k, s
-        return best
+        excluded = set(covis.tolist()) | {kf_id} | recent
+        cands = self.kfdb.query_keyframe(
+            kf_id, top_n=3, exclude=excluded,
+            min_score=max(self.min_score_ratio * min_score, 0.015))
+        return cands[0][0] if cands else None
 
     # ------------------------------------------------------------------
     def _verify(self, kf_id: int, cand: int):
@@ -298,6 +297,8 @@ class LoopCloser:
         live = np.sort(st.kfs_of_map(int(st.kf_map[kf_id])))
         K = len(live)
         loc = {int(k): i for i, k in enumerate(live)}
+        R_before = st.kf_R[live].copy()
+        t_before = st.kf_t[live].copy()
         R = jnp.asarray(st.kf_R[live])
         t = jnp.asarray(st.kf_t[live])
         s = jnp.ones((K,), jnp.float32)
@@ -341,8 +342,16 @@ class LoopCloser:
             R, t, s, jnp.asarray(fixed), edge_i, edge_j, edge_R, edge_t,
             edge_s, ew, jnp.ones((E,), bool),
         )
+        dof4_axis = None
+        if self.gravity_w is not None:
+            g = np.asarray(self.gravity_w, np.float32)
+            g = g / max(np.linalg.norm(g), 1e-9)
+            # camera-frame gravity axis per vertex: a_k = R_k g_w
+            dof4_axis = jnp.asarray(
+                np.einsum("kij,j->ki", st.kf_R[live], g))
         Rn, tn, sn, info = pose_graph.optimize(
-            prob, num_iters=12, fix_scale=self.fix_scale
+            prob, num_iters=12, fix_scale=self.fix_scale,
+            dof4_axis=dof4_axis,
         )
         Rn, tn = np.asarray(Rn), np.asarray(tn)
 
@@ -363,8 +372,49 @@ class LoopCloser:
         Xw = np.einsum("nji,nj->ni", R_new, Xc - t_new)
         st.pt_xyz[p_sel] = Xw
 
+        # line landmarks move with their reference keyframe exactly like
+        # points (reference: CorrectLoop transforms MapLines' endpoints,
+        # src/LoopClosing.cc:1260-1584)
+        lns = np.nonzero(st.ln_mask)[0]
+        if len(lns):
+            lref = st.ln_ref_kf[lns]
+            lref_loc = np.asarray([loc.get(int(r), -1) for r in lref])
+            lok = lref_loc >= 0
+            l_sel = lns[lok]
+            rl2 = lref_loc[lok]
+            R_o = st.kf_R[live[rl2]]
+            t_o = st.kf_t[live[rl2]]
+            R_n2 = Rn[rl2]
+            t_n2 = tn[rl2]
+            for arr in (st.ln_Xs, st.ln_Xe):
+                Xc2 = np.einsum("nij,nj->ni", R_o, arr[l_sel]) + t_o
+                arr[l_sel] = np.einsum("nji,nj->ni", R_n2, Xc2 - t_n2)
+
         st.kf_R[live] = Rn
         st.kf_t[live] = tn
+
+        # map objects move with their best-observing keyframe (reference:
+        # object update in CorrectLoop/SearchAndFuse)
+        if self.object_store is not None:
+            for rec in self.object_store.objects:
+                if not rec.detected or not rec.obs:
+                    continue
+                anchor = max((k for k in rec.obs if k in loc),
+                             default=None)
+                if anchor is None:
+                    continue
+                i = loc[anchor]
+                # T_wo' = T_new^-1 T_old T_wo  (same update as landmarks)
+                R_rel2 = Rn[i].T @ R_before[i]
+                t_rel2 = Rn[i].T @ (t_before[i] - tn[i])
+                rec.R_wo = (R_rel2 @ rec.R_wo).astype(np.float32)
+                rec.t_wo = (R_rel2 @ rec.t_wo + t_rel2).astype(np.float32)
+
+        # fuse duplicate LINE landmarks across the weld: corrected lines of
+        # the current side that now coincide with loop-side lines (endpoint
+        # proximity + LBD distance) are replaced (reference: the line part
+        # of SearchAndFuse, src/LoopClosing.cc:1584 / LineMatcher::Fuse)
+        n_lines_fused = self._fuse_loop_lines(kf_id, cand)
 
         # fuse the verified duplicate landmarks: the loop (older) side wins
         # (reference: SearchAndFuse replaces current-side points with the
@@ -377,4 +427,45 @@ class LoopCloser:
                     st.replace_point(int(p_src), int(p_dst))
                     n_fused += 1
         return {"cost0": float(info["cost0"]), "cost": float(info["cost"]),
-                "n_kf": K, "n_fused": n_fused}
+                "n_kf": K, "n_fused": n_fused,
+                "n_lines_fused": n_lines_fused}
+
+    # ------------------------------------------------------------------
+    def _fuse_loop_lines(self, kf_id: int, cand: int,
+                         endpoint_tol: float = 0.15,
+                         max_hamming: int = 80) -> int:
+        """Merge line-landmark duplicates between the current KF's window
+        and the loop candidate's window after correction."""
+        st = self.store
+        if st.num_lines == 0:
+            return 0
+        covis_c, _ = st.covisibility(cand, min_weight=5)
+        win_c = np.concatenate([[cand], covis_c[:5]]).astype(np.int64)
+        covis_k, _ = st.covisibility(kf_id, min_weight=5)
+        win_k = np.concatenate([[kf_id], covis_k[:5]]).astype(np.int64)
+        src = st.lines_in_kfs(win_k)
+        src = src[st.ln_mask[src]]
+        dst = st.lines_in_kfs(win_c)
+        dst = dst[st.ln_mask[dst]]
+        dst = dst[~np.isin(dst, src)]
+        if len(src) == 0 or len(dst) == 0:
+            return 0
+        d2s = ((st.ln_Xs[src][:, None] - st.ln_Xs[dst][None]) ** 2).sum(-1)
+        d2e = ((st.ln_Xe[src][:, None] - st.ln_Xe[dst][None]) ** 2).sum(-1)
+        # endpoint order of independent detections can flip
+        d2s_f = ((st.ln_Xs[src][:, None] - st.ln_Xe[dst][None]) ** 2).sum(-1)
+        d2e_f = ((st.ln_Xe[src][:, None] - st.ln_Xs[dst][None]) ** 2).sum(-1)
+        close = np.minimum(np.maximum(d2s, d2e), np.maximum(d2s_f, d2e_f))
+        ham = np.asarray(matching.hamming(
+            jnp.asarray(st.ln_desc[src]), jnp.asarray(st.ln_desc[dst])))
+        cost = np.where((close < endpoint_tol ** 2) & (ham <= max_hamming),
+                        ham.astype(np.float32), np.inf)
+        best = cost.argmin(axis=1)
+        ok = np.isfinite(cost[np.arange(len(src)), best])
+        n = 0
+        for s, b in zip(src[ok].tolist(), best[ok].tolist()):
+            d = int(dst[b])
+            if st.ln_mask[s] and st.ln_mask[d]:
+                st.replace_line(int(s), d)
+                n += 1
+        return n

@@ -1,0 +1,93 @@
+"""Train and ship the default 10k-word ORB vocabulary.
+
+The reference ships a ~1M-leaf ORBvoc trained offline on real imagery
+(reference: src/System.cc:158-196 loads Vocabulary/ORBvoc.bin|txt). This
+framework ships a k=10, depth=4 (10,000-word) vocabulary trained on ORB
+descriptors extracted from a few hundred procedurally generated scenes
+(blob, line, mixed and multi-scale textures) — large enough that BoW scores
+discriminate viewpoints, small enough to live in the repo (~0.5 MB npz).
+
+Run:  JAX_PLATFORMS=cpu python scripts/train_vocab.py
+Out:  plvs_tpu/vocab/data/voc_10k.npz
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def gather_descriptors(n_images: int = 160, feats: int = 1024) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from plvs_tpu.features import orb
+    from plvs_tpu.geometry import cameras
+    from plvs_tpu.io import synthetic
+
+    cam = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320, height=240,
+                          bf=24.0)
+    out = []
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        seed = int(rng.integers(1 << 30))
+        r = np.random.default_rng(seed)
+        kind = i % 4
+        if kind == 0:
+            tex = synthetic.make_texture(1024, r)
+        elif kind == 1:
+            tex = synthetic.make_line_texture(1024, r)
+        elif kind == 2:
+            # mixed: lines over blobs
+            tex = 0.5 * synthetic.make_texture(1024, r) \
+                + 0.5 * synthetic.make_line_texture(1024, r)
+        else:
+            # band-limited noise (natural-image-like 1/f spectrum)
+            white = r.normal(size=(1024, 1024)).astype(np.float32)
+            f = np.fft.rfft2(white)
+            fy = np.fft.fftfreq(1024)[:, None]
+            fx = np.fft.rfftfreq(1024)[None, :]
+            f = f / np.maximum(np.hypot(fy, fx), 1e-3)
+            tex = np.fft.irfft2(f)
+            tex = 127 + 80 * tex / np.abs(tex).max()
+        scene = synthetic.SyntheticRGBD(cam, wall_z=float(r.uniform(2, 5)),
+                                        texture=np.clip(tex, 0, 255),
+                                        tex_scale=float(r.uniform(150, 400)))
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([r.uniform(-0.3, 0.3), r.uniform(-0.3, 0.3), 0],
+                     np.float32)
+        gray, _ = scene.render(R, t)
+        kp = orb.extract(jnp.asarray(gray, jnp.float32), feats, 4, 1.2)
+        desc = np.asarray(kp.desc)[np.asarray(kp.mask)]
+        out.append(desc.astype(np.uint32))
+        if (i + 1) % 20 == 0:
+            print(f"  {i + 1}/{n_images} images, "
+                  f"{sum(len(d) for d in out)} descriptors", flush=True)
+    return np.concatenate(out)
+
+
+def main():
+    from plvs_tpu.vocab import bow
+
+    t0 = time.time()
+    print("extracting descriptors ...", flush=True)
+    desc = gather_descriptors()
+    print(f"{len(desc)} descriptors in {time.time() - t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    print("training k=10 depth=4 vocabulary ...", flush=True)
+    voc = bow.train(desc, k=10, depth=4, seed=0)
+    print(f"trained in {time.time() - t0:.0f}s; {voc.n_words} words",
+          flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "..", "plvs_tpu", "vocab",
+                       "data", "voc_10k.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    voc.save(out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()
