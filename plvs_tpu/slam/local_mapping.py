@@ -34,21 +34,144 @@ class LocalMapper:
     window_size: int = 8
     fixed_cap: int = 8
     scale: float = 1.2
+    n_levels: int = 8
 
     use_lines: bool = False
     kf_culling: bool = True
     triangulate_new_points: bool = False  # mono map growth (and far points)
+    kfdb: object | None = None  # keyframe database to notify on culls
+    # async runtime: polled between local-BA chunks; True aborts the solve
+    # (reference: mbAbortBA / LocalMapping::InterruptBA,
+    # src/LocalMapping.cc:139)
+    abort_check: object | None = None
+    ba_chunk_iters: int = 3
 
     def process_keyframe(self, kf_id: int):
-        self.cull_points(kf_id)
-        if self.use_lines:
-            self.cull_lines(kf_id)
+        lock = self.store.lock
+        with lock:
+            self.cull_points(kf_id)
+            if self.use_lines:
+                self.cull_lines(kf_id)
         if self.triangulate_new_points:
-            self.create_new_points(kf_id)
-        self.fuse_neighbors(kf_id)
+            with lock:
+                self.create_new_points(kf_id)
+        if self.use_lines:
+            with lock:
+                self.create_new_lines(kf_id)
+        with lock:
+            self.fuse_neighbors(kf_id)
+            # landmark maintenance after the observation set settled
+            # (reference: ProcessNewKeyFrame + SearchInNeighbors both re-run
+            # ComputeDistinctiveDescriptors / UpdateNormalAndDepth)
+            pts = self.store.kf_kp_pt[kf_id]
+            self.store.update_point_maintenance(
+                np.unique(pts[pts >= 0]), scale=self.scale,
+                n_levels=self.n_levels)
         self.local_ba(kf_id)
         if self.kf_culling:
-            self.cull_keyframes(kf_id)
+            with lock:
+                self.cull_keyframes(kf_id)
+
+    # ------------------------------------------------------------------
+    def create_new_lines(self, kf_id: int, max_neighbors: int = 3,
+                         reproj_thresh: float = 3.0):
+        """Triangulate new line landmarks between the new KF and covisible
+        neighbours by plane-plane intersection (reference:
+        LocalMapping::CreateNewMapFeatures line path,
+        src/LocalMapping.cc:957-1288 — LineMatcher::SearchForTriangulation,
+        back-projected plane intersection, parallel-normal degeneracy check,
+        endpoint reprojection + positive-depth verification)."""
+        import jax.numpy as _j
+
+        from ..features import lines as lines_mod
+        from ..features.matching import match_nn_ratio
+        from ..geometry import cameras as _cm
+        from ..geometry import lie as _lie
+        from ..geometry import triangulation as _tri
+
+        st = self.store
+        covis, _ = st.covisibility(kf_id, min_weight=10)
+        if len(covis) == 0:
+            return
+        m1 = st.kf_kl_mask[kf_id] & (st.kf_kl_line[kf_id] < 0)
+        if m1.sum() < 2:
+            return
+        R1, t1 = st.kf_R[kf_id], st.kf_t[kf_id]
+        rays_s1 = _cm.unproject(self.cam, _j.asarray(st.kf_kl_sp[kf_id]))
+        rays_e1 = _cm.unproject(self.cam, _j.asarray(st.kf_kl_ep[kf_id]))
+        th1, d1_ = lines_mod.line_theta_d(
+            _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]))
+        for nb in covis[:max_neighbors]:
+            nb = int(nb)
+            C1 = -R1.T @ t1
+            C2 = -st.kf_R[nb].T @ st.kf_t[nb]
+            if np.linalg.norm(C1 - C2) < 0.01:
+                continue  # no baseline: planes coincide, triangulation is
+                # degenerate (reference's baseline/median-depth gate)
+            m2 = st.kf_kl_mask[nb] & (st.kf_kl_line[nb] < 0)
+            if m2.sum() < 2:
+                continue
+            idx, _d = match_nn_ratio(
+                _j.asarray(st.kf_kl_desc[kf_id]), _j.asarray(st.kf_kl_desc[nb]),
+                _j.asarray(m1), _j.asarray(m2), max_dist=90, ratio=0.85,
+            )
+            idx = np.asarray(idx)
+            sel = np.nonzero(idx >= 0)[0]
+            if len(sel) == 0:
+                continue
+            n = len(sel)
+            rays_s2 = _cm.unproject(
+                self.cam, _j.asarray(st.kf_kl_sp[nb][idx[sel]]))
+            rays_e2 = _cm.unproject(
+                self.cam, _j.asarray(st.kf_kl_ep[nb][idx[sel]]))
+            Xs, Xe, valid, deg = _tri.triangulate_line_planes(
+                _j.asarray(np.tile(R1, (n, 1, 1))),
+                _j.asarray(np.tile(t1, (n, 1))),
+                _j.asarray(np.tile(st.kf_R[nb], (n, 1, 1))),
+                _j.asarray(np.tile(st.kf_t[nb], (n, 1))),
+                rays_s1[sel], rays_e1[sel], rays_s2, rays_e2,
+            )
+            # endpoint reprojection onto the measured infinite line in the
+            # NEIGHBOUR view (the camera-1 residual is zero by construction)
+            nld2 = lines_mod.line_nld(
+                _j.asarray(st.kf_kl_sp[nb][idx[sel]]),
+                _j.asarray(st.kf_kl_ep[nb][idx[sel]]))
+            Xc2s = _lie.se3_apply(_j.asarray(st.kf_R[nb]),
+                                  _j.asarray(st.kf_t[nb]), Xs)
+            Xc2e = _lie.se3_apply(_j.asarray(st.kf_R[nb]),
+                                  _j.asarray(st.kf_t[nb]), Xe)
+            uv2s = _cm.project(self.cam, Xc2s)
+            uv2e = _cm.project(self.cam, Xc2e)
+            r2s = np.abs(np.sum(np.asarray(nld2[:, :2]) * np.asarray(uv2s), -1)
+                         + np.asarray(nld2[:, 2]))
+            r2e = np.abs(np.sum(np.asarray(nld2[:, :2]) * np.asarray(uv2e), -1)
+                         + np.asarray(nld2[:, 2]))
+            # 3D length sanity: endpoints at sensible depth, segment not
+            # stretched to infinity by a shallow plane intersection
+            seg_len = np.linalg.norm(np.asarray(Xe) - np.asarray(Xs), axis=-1)
+            z1s = np.asarray(_lie.se3_apply(
+                _j.asarray(R1), _j.asarray(t1), Xs))[:, 2]
+            ok = (
+                np.asarray(valid) & (np.asarray(deg) < 0.995)
+                & (r2s < reproj_thresh) & (r2e < reproj_thresh)
+                & (seg_len > 0.02) & (seg_len < 10.0 * np.maximum(z1s, 0.1))
+            )
+            good = np.nonzero(ok)[0]
+            if len(good) == 0:
+                continue
+            ln_ids = st.alloc_lines(len(good))
+            st.ln_Xs[ln_ids] = np.asarray(Xs)[good]
+            st.ln_Xe[ln_ids] = np.asarray(Xe)[good]
+            st.ln_desc[ln_ids] = st.kf_kl_desc[kf_id][sel[good]]
+            st.ln_mask[ln_ids] = True
+            st.ln_ref_kf[ln_ids] = kf_id
+            st.ln_first_kf[ln_ids] = kf_id
+            st.ln_n_obs[ln_ids] = 0
+            st.ln_visible[ln_ids] = 1
+            st.ln_found[ln_ids] = 1
+            st.add_line_observations(kf_id, ln_ids, sel[good])
+            st.add_line_observations(nb, ln_ids, idx[sel[good]])
+            m1 = st.kf_kl_mask[kf_id] & (st.kf_kl_line[kf_id] < 0)
 
     # ------------------------------------------------------------------
     def create_new_points(self, kf_id: int, max_neighbors: int = 5):
@@ -198,6 +321,8 @@ class LocalMapper:
             redundant = (st.pt_n_obs[pts] >= 4).mean()
             if redundant > 0.9:
                 st.remove_keyframe(kc)
+                if self.kfdb is not None:
+                    self.kfdb.remove(kc)
 
     # ------------------------------------------------------------------
     def cull_lines(self, kf_id: int):
@@ -254,9 +379,51 @@ class LocalMapper:
 
     def _window_ba(self, window: np.ndarray, num_iters: int = 6,
                    cg_iters: int = 30):
+        with self.store.lock:
+            packed = self._gather_ba(window)
+        if packed is None:
+            return
+        prob, cams, pts, lns, fixed_mask, K = packed
+
+        # chunked LM with abort polling between chunks: a freshly queued
+        # keyframe interrupts the solve after the current chunk (reference:
+        # mbAbortBA checked between g2o iterations)
+        done = 0
+        info = {"cost": np.inf}
+        while done < num_iters:
+            it = min(self.ba_chunk_iters, num_iters - done)
+            Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust(
+                self.cam, prob, num_iters=it, cg_iters=cg_iters)
+            prob = prob._replace(R=Rn, t=tn, points=pn,
+                                 lines_Xs=lXsn, lines_Xe=lXen)
+            done += it
+            if self.abort_check is not None and self.abort_check():
+                break
+        if not np.isfinite(float(info["cost"])):
+            return
+        with self.store.lock:
+            self._apply_ba(prob, cams, pts, lns, fixed_mask, K)
+
+    def _apply_ba(self, prob, cams, pts, lns, fixed_mask, K):
+        st = self.store
+        Rn, tn, pn = (np.asarray(prob.R), np.asarray(prob.t),
+                      np.asarray(prob.points))
+        free = ~fixed_mask
+        st.kf_R[cams[free]] = Rn[:K][free]
+        st.kf_t[cams[free]] = tn[:K][free]
+        alive = st.pt_mask[pts]
+        st.pt_xyz[pts[alive]] = pn[: len(pts)][alive]
+        if len(lns):
+            lalive = st.ln_mask[lns]
+            st.ln_Xs[lns[lalive]] = np.asarray(prob.lines_Xs)[: len(lns)][lalive]
+            st.ln_Xe[lns[lalive]] = np.asarray(prob.lines_Xe)[: len(lns)][lalive]
+
+    def _gather_ba(self, window: np.ndarray):
+        """Snapshot the window problem (held lock); returns
+        (prob, cams, pts, lns, fixed_mask, K) or None."""
         st = self.store
         if len(window) < 2:
-            return
+            return None
         pts = st.points_in_kfs(window)
         pts = pts[st.pt_mask[pts]]
         if len(pts) < 20:
@@ -328,6 +495,11 @@ class LocalMapper:
 
             lns = st.lines_in_kfs(window)
             lns = lns[st.ln_mask[lns]]
+            # single-observation lines stay at their creation geometry: BA
+            # rows from one view cannot determine 6 endpoint dofs and would
+            # only let them drift (the reference likewise optimizes lines
+            # with >= 2 observations)
+            lns = lns[st.ln_n_obs[lns] >= 2]
             lkf, lln, lkl = st.live_line_obs()
             lsel = np.isin(lln, lns) & np.isin(lkf, cams)
             lo_kf, lo_ln, lo_kl = lkf[lsel], lln[lsel], lkl[lsel]
@@ -356,7 +528,13 @@ class LocalMapper:
                 ep = st.kf_kl_ep[lo_kf, lo_kl]
                 lobs_nld[:Ml] = np.asarray(
                     lines_mod.line_nld(_jnp.asarray(sp), _jnp.asarray(ep)))
+                # length-scaled information (short segments carry more
+                # angular noise on the inferred infinite line)
+                mlen = np.linalg.norm(ep - sp, axis=-1)
+                lobs_is2[:Ml] = np.clip((mlen / 40.0) ** 2, 0.1, 4.0)
                 lobs_m[:Ml] = True
+                lobs_z = np.zeros((Mlb, 2), np.float32)
+                lobs_z[:Ml] = st.kf_kl_depth[lo_kf, lo_kl]
                 line_kw = dict(
                     lines_Xs=jnp.asarray(lXs), lines_Xe=jnp.asarray(lXe),
                     line_mask=jnp.asarray(lmask),
@@ -365,6 +543,7 @@ class LocalMapper:
                     lobs_nld=jnp.asarray(lobs_nld),
                     lobs_inv_sigma2=jnp.asarray(lobs_is2),
                     lobs_mask=jnp.asarray(lobs_m),
+                    lobs_depth=jnp.asarray(lobs_z),
                 )
             else:
                 lns = np.zeros((0,), np.int64)
@@ -377,16 +556,4 @@ class LocalMapper:
             cam_mask=jnp.asarray(cam_mask), point_mask=jnp.asarray(pt_mask),
             **line_kw,
         )
-        Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust(
-            self.cam, prob, num_iters=num_iters, cg_iters=cg_iters
-        )
-        if not np.isfinite(float(info["cost"])):
-            return
-        Rn, tn, pn = np.asarray(Rn), np.asarray(tn), np.asarray(pn)
-        free = ~fixed_mask
-        st.kf_R[cams[free]] = Rn[:K][free]
-        st.kf_t[cams[free]] = tn[:K][free]
-        st.pt_xyz[pts] = pn[: len(pts)]
-        if len(lns):
-            st.ln_Xs[lns] = np.asarray(lXsn)[: len(lns)]
-            st.ln_Xe[lns] = np.asarray(lXen)[: len(lns)]
+        return prob, cams, pts, lns, fixed_mask, K

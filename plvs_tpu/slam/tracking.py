@@ -40,7 +40,39 @@ RELOCALIZE_IN_LOADED_MAP = 4
 RECENTLY_LOST = 5
 
 
-@functools.partial(jax.jit, static_argnames=("cam",))
+def _point_view_gates(cam, R_pred, t_pred, pts_xyz, pts_normal,
+                      pts_min_dist, pts_max_dist, pts_octave,
+                      scale: float, n_levels: int = 8):
+    """Scale-invariance distance + viewing-angle gates and predicted octave
+    (reference: the mnTrackScaleLevel / viewing-cos checks of
+    Frame::isInVisible + SearchByProjection, src/ORBmatcher.cc — map points
+    are only matched when the camera sits inside the landmark's scale
+    distance band and views it within 60 degrees of its normal).
+
+    Points without maintained stats (max_dist == 0) pass through ungated.
+    Returns (gate_ok [M], pred_octave [M])."""
+    C = -jnp.einsum("ji,j->i", R_pred, t_pred)
+    dvec = pts_xyz - C
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    dist_safe = jnp.maximum(dist, 1e-6)
+    has_range = pts_max_dist > 1e-6
+    dist_ok = (~has_range) | ((dist >= 0.8 * pts_min_dist)
+                              & (dist <= 1.2 * pts_max_dist))
+    nn = jnp.linalg.norm(pts_normal, axis=-1)
+    has_norm = nn > 0.5
+    view_cos = jnp.sum(dvec * pts_normal, axis=-1) / dist_safe
+    view_ok = (~has_norm) | (view_cos > 0.5)
+    ratio = jnp.maximum(pts_max_dist, 1e-6) / dist_safe
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6)) / jnp.log(scale))
+    pred_oct = jnp.where(
+        has_range,
+        jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32),
+        pts_octave,
+    )
+    return dist_ok & view_ok, pred_oct
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
 def _match_and_optimize(
     cam,
     R_pred,
@@ -52,17 +84,27 @@ def _match_and_optimize(
     kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
     radius: float,
     scale: float = 1.2,
+    pts_normal=None, pts_min_dist=None, pts_max_dist=None,
+    pts_angle=None, kp_angle=None, check_rotation: bool = False,
 ):
     """Project candidates into predicted pose, guided-match, pose-optimize.
 
     Returns (R, t, match_idx [M] (-1=none), n_inliers, kp_inlier [N]).
     """
     uv, z, vis = frame_mod.project_points(cam, R_pred, t_pred, pts_xyz)
+    if pts_max_dist is not None:
+        gate_ok, pred_oct = _point_view_gates(
+            cam, R_pred, t_pred, pts_xyz, pts_normal, pts_min_dist,
+            pts_max_dist, pts_octave, scale)
+        vis = vis & gate_ok
+        pts_octave = pred_oct
     r = radius * (scale ** pts_octave.astype(jnp.float32))
     idx, dist = matching.search_by_projection(
         uv, vis & pts_valid, pts_desc, pts_octave,
         kp_xy, kp_desc, kp_octave, kp_mask,
         radius=r,
+        kp_angle=kp_angle, map_angle=pts_angle,
+        check_rotation=check_rotation,
     )
     matched = idx >= 0
     # per-keypoint association: scatter map-point row index into keypoint
@@ -81,6 +123,133 @@ def _match_and_optimize(
     )
     R, t, inl, _, n_inl = pose_opt.pose_optimize(cam, R_pred, t_pred, obs)
     return R, t, idx, n_inl, inl & obs_mask, kp_pt
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+def _match_and_optimize_pl(
+    cam,
+    R_pred,
+    t_pred,
+    pts_xyz, pts_desc, pts_octave, pts_valid,
+    ln_Xs, ln_Xe, ln_desc, ln_valid,
+    kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
+    kl_sp, kl_ep, kl_desc, kl_mask,
+    radius: float,
+    scale: float = 1.2,
+    line_weight: float = 1.0,
+    theta_tol: float = 0.08,
+    d_tol: float = 20.0,
+    pts_normal=None, pts_min_dist=None, pts_max_dist=None,
+    pts_angle=None, kp_angle=None, check_rotation: bool = False,
+):
+    """Joint point+line guided matching and pose optimization.
+
+    The reference's TrackLocalMap runs SearchLocalPoints AND
+    SearchLocalLines before ONE PoseOptimization whose graph carries both
+    point and line unary edges (reference: src/Tracking.cc:3761-3797,
+    src/Optimizer.cc:2375 with line edges from
+    include/OptimizableLineTypes.h:58-244). Here both association passes
+    and the joint solve are a single jitted program.
+
+    Returns (R, t, n_inliers, kp_pt_local [N], kl_ln_local [Nl]) where the
+    association arrays hold candidate-row indices (-1 = none) already
+    pruned to pose-solve inliers.
+    """
+    from ..features import lines as lines_mod
+    from ..features.matching import hamming, _masked_best2
+
+    # -- point association (identical gating to _match_and_optimize) -------
+    uv, z, vis = frame_mod.project_points(cam, R_pred, t_pred, pts_xyz)
+    if pts_max_dist is not None:
+        gate_ok, pred_oct = _point_view_gates(
+            cam, R_pred, t_pred, pts_xyz, pts_normal, pts_min_dist,
+            pts_max_dist, pts_octave, scale)
+        vis = vis & gate_ok
+        pts_octave = pred_oct
+    r = radius * (scale ** pts_octave.astype(jnp.float32))
+    idx, dist = matching.search_by_projection(
+        uv, vis & pts_valid, pts_desc, pts_octave,
+        kp_xy, kp_desc, kp_octave, kp_mask,
+        radius=r,
+        kp_angle=kp_angle, map_angle=pts_angle,
+        check_rotation=check_rotation,
+    )
+    matched = idx >= 0
+    n_kp = kp_xy.shape[0]
+    kp_pt = jnp.full((n_kp,), -1, jnp.int32)
+    src = jnp.arange(idx.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(matched, idx, n_kp)
+    kp_pt = kp_pt.at[tgt].set(src, mode="drop")
+
+    # -- line association ((theta, d) window like _match_lines) ------------
+    Xs_c = lie.se3_apply(R_pred, t_pred, ln_Xs)
+    Xe_c = lie.se3_apply(R_pred, t_pred, ln_Xe)
+    uv_s = cam_mod.project(cam, Xs_c)
+    uv_e = cam_mod.project(cam, Xe_c)
+    front = (Xs_c[..., 2] > 0.05) & (Xe_c[..., 2] > 0.05)
+    in_img = (cam_mod.in_image(cam, uv_s, -40.0)
+              | cam_mod.in_image(cam, uv_e, -40.0))
+    th_p, d_p = lines_mod.line_theta_d(uv_s, uv_e)
+    th_m, d_m = lines_mod.line_theta_d(kl_sp, kl_ep)
+    dth = jnp.abs(th_p[:, None] - th_m[None, :])
+    dth = jnp.minimum(dth, jnp.pi - dth)
+    dd = jnp.abs(d_p[:, None] - d_m[None, :])
+    # extent overlap along the measured segment's direction: a measured
+    # (theta, d) only describes the infinite line near the detected pixels;
+    # matching a landmark whose projection lies elsewhere along that line
+    # extrapolates the theta noise over a long lever arm (reference:
+    # LineProjection clipping, include/LineProjection.h)
+    mdir = kl_ep - kl_sp
+    mlen = jnp.linalg.norm(mdir, axis=-1)
+    mdirn = mdir / jnp.maximum(mlen, 1e-6)[..., None]
+    t_ms = jnp.sum(mdirn * kl_sp, -1)
+    t_me = jnp.sum(mdirn * kl_ep, -1)
+    m_lo = jnp.minimum(t_ms, t_me)
+    m_hi = jnp.maximum(t_ms, t_me)
+    t_ps = jnp.einsum("md,pd->pm", mdirn, uv_s)
+    t_pe = jnp.einsum("md,pd->pm", mdirn, uv_e)
+    p_lo = jnp.minimum(t_ps, t_pe)
+    p_hi = jnp.maximum(t_ps, t_pe)
+    overlap = (jnp.minimum(p_hi, m_hi[None]) - jnp.maximum(p_lo, m_lo[None]))
+    ov_ok = overlap > jnp.maximum(8.0, 0.3 * mlen[None])
+    lcand = (
+        (dth < theta_tol) & (dd < d_tol) & ov_ok
+        & (ln_valid & front & in_img)[:, None] & kl_mask[None, :]
+    )
+    # descriptor gate + ratio test: repeated parallel structure (the common
+    # failure mode of line SLAM) is ambiguous and must be dropped, not
+    # force-matched (reference: LineMatcher's nn-ratio checks)
+    ldist = hamming(ln_desc, kl_desc)
+    lbest, lsecond, lidx = _masked_best2(ldist, lcand)
+    lok = (lbest <= 100) & (
+        lbest.astype(jnp.float32) <= 0.85 * lsecond.astype(jnp.float32))
+    n_kl = kl_sp.shape[0]
+    kl_ln = jnp.full((n_kl,), -1, jnp.int32)
+    lsrc = jnp.arange(lidx.shape[0], dtype=jnp.int32)
+    ltgt = jnp.where(lok, lidx, n_kl)
+    kl_ln = kl_ln.at[ltgt].set(lsrc, mode="drop")
+
+    # -- joint pose optimization -------------------------------------------
+    obs_mask = kp_pt >= 0
+    Xw = pts_xyz[jnp.clip(kp_pt, 0, pts_xyz.shape[0] - 1)]
+    l_mask = kl_ln >= 0
+    l_safe = jnp.clip(kl_ln, 0, ln_Xs.shape[0] - 1)
+    nld = lines_mod.line_nld(kl_sp, kl_ep)
+    # information scales with measured segment length: the infinite-line
+    # estimate's angular noise grows as the support shrinks (reference
+    # weights line edges by length via the pyramid sigma of the keyline)
+    l_is2 = jnp.clip((mlen / 40.0) ** 2, 0.1, 4.0)
+    obs = pose_opt.make_pose_obs(
+        Xw, kp_uvr, kp_inv_sigma2, obs_mask & kp_mask,
+        line_Xs=ln_Xs[l_safe], line_Xe=ln_Xe[l_safe], line_nld=nld,
+        line_inv_sigma2=l_is2,
+        line_mask=l_mask & kl_mask,
+    )
+    R, t, inl, l_inl, n_inl = pose_opt.pose_optimize(
+        cam, R_pred, t_pred, obs, line_weight=line_weight)
+    kp_pt = jnp.where(inl & obs_mask, kp_pt, -1)
+    kl_ln = jnp.where(l_inl & l_mask, kl_ln, -1)
+    return R, t, n_inl, kp_pt, kl_ln
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -151,7 +320,8 @@ class Tracker:
                  new_map_after_lost: int = 0,
                  fov_centers_kf: bool = False,
                  max_fov_centers_distance: float = 0.4,
-                 min_init_pts: int = 300):
+                 min_init_pts: int = 300,
+                 line_track_weight: float = 2.0):
         self.cam = cam
         self.store = store
         self.num_features = num_features
@@ -161,12 +331,24 @@ class Tracker:
         self.max_kf_interval = max_kf_interval
         self.use_lines = use_lines
         self.local_lines_cap = local_lines_cap
+        # weight of line edges in the tracking pose solve (reference:
+        # Tracking::sknLineTrackWeigth, include/Tracking.h:94)
+        self.line_track_weight = line_track_weight
+        # rotation-consistency histogram in guided matching (reference:
+        # ORBmatcher mbCheckOrientation, on by default)
+        self.check_rotation = True
+        # pyramid geometry for scale-invariance distance bands
+        self.scale = 1.2
+        self.n_levels = 8
         self.kfdb = kfdb  # KeyFrameDatabase, for relocalization
         self.sensor = sensor
         self._init_frame = None  # monocular initializer reference frame
         self._reloc_key = jax.random.PRNGKey(7)
         # reference: ThDepth * baseline gate for close/far points
         self.max_depth = max_depth_factor * (cam.bf / float(cam.params[0]))
+        # line endpoints tolerate larger depths (reference:
+        # Tracking::skLineStereoMaxDist, include/Tracking.h:95, default 20m)
+        self.line_max_depth = max(20.0, 2.0 * self.max_depth)
         self.state = NO_IMAGES_YET
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
@@ -441,11 +623,16 @@ class Tracker:
     # ------------------------------------------------------------------
     def _initialize_depth(self, fr: frame_mod.Frame, timestamp: float,
                           fl=None) -> TrackResult:
-        """RGB-D/stereo initialization: first frame with enough depth points
-        becomes the map origin (reference: Tracking::StereoInitialization,
-        src/Tracking.cc:2231, needs >= 500 features)."""
+        """RGB-D/stereo initialization: first frame with enough features and
+        depth points becomes the map origin (reference:
+        Tracking::StereoInitialization, src/Tracking.cc:2231 — the gate is
+        on FEATURE count (>= 500 at 640x480); valid stereo depths can be a
+        small subset on low-texture scenes and the map still initializes)."""
+        n_feat = int(np.asarray(fr.kp.mask.sum()))
         n_depth = int(np.asarray((fr.depth > 0).sum()))
-        if n_depth < self.min_init_pts:
+        enough = (n_depth >= self.min_init_pts
+                  or (n_feat >= self.min_init_pts and n_depth >= 50))
+        if not enough:
             return TrackResult(self.state, self.R, self.t, 0, np.full((fr.kp.xy.shape[0],), -1))
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
@@ -485,8 +672,19 @@ class Tracker:
                 R1, t1, n1, kp_pt1 = Rr, tr, nr, kp_ptr
 
         # --- step 2: track local map --------------------------------------
+        # with lines on, line landmarks are associated alongside the local
+        # points and constrain the SAME pose solve (reference:
+        # TrackLocalMap's PoseOptimization carries both edge families,
+        # src/Optimizer.cc:2375)
         local_pts = self._local_points()
-        R2, t2, n2, kp_pt2 = self._match_step(fr, R1, t1, local_pts, radius=4.0)
+        kl_ln_id = None
+        if self.use_lines and fl is not None:
+            local_lns = self._local_lines()
+            R2, t2, n2, kp_pt2, kl_ln_id = self._match_step_pl(
+                fr, fl, R1, t1, local_pts, local_lns, radius=4.0)
+        else:
+            R2, t2, n2, kp_pt2 = self._match_step(
+                fr, R1, t1, local_pts, radius=4.0)
         if n2 < 10:
             # a mature map earns a grace period with coasting + per-frame
             # relocalization attempts (reference: state -> RECENTLY_LOST
@@ -498,12 +696,6 @@ class Tracker:
             else:
                 self.state = LOST
             return TrackResult(self.state, self.R, self.t, int(n2), kp_pt2)
-
-        # --- step 3: line association (reference: SearchLocalLines,
-        # src/Tracking.cc:4505) -------------------------------------------
-        kl_ln_id = None
-        if self.use_lines and fl is not None:
-            kl_ln_id = self._line_step(fl, R2, t2)
 
         # motion model update
         R_last, t_last = self.R, self.t
@@ -619,6 +811,37 @@ class Tracker:
         self._kf_fov_center.clear()
 
     # ------------------------------------------------------------------
+    def _gather_point_block(self, cand_ids: np.ndarray, cap: int):
+        """Pad the candidate landmarks' SoA columns to ``cap`` device-ready
+        rows (positions, descriptors, maintenance stats). Holds the store
+        lock so the async mapper cannot mutate mid-gather; the copies are
+        then raced-free device inputs."""
+        st = self.store
+        with st.lock:
+            return self._gather_point_block_locked(cand_ids, cap)
+
+    def _gather_point_block_locked(self, cand_ids: np.ndarray, cap: int):
+        st = self.store
+        m = len(cand_ids)
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        octv = np.zeros((cap,), np.int32)
+        valid = np.zeros((cap,), bool)
+        normal = np.zeros((cap, 3), np.float32)
+        min_d = np.zeros((cap,), np.float32)
+        max_d = np.zeros((cap,), np.float32)
+        angle = np.zeros((cap,), np.float32)
+        xyz[:m] = st.pt_xyz[cand_ids]
+        desc[:m] = st.pt_desc[cand_ids]
+        valid[:m] = st.pt_mask[cand_ids]
+        normal[:m] = st.pt_normal[cand_ids]
+        min_d[:m] = st.pt_min_dist[cand_ids]
+        max_d[:m] = st.pt_max_dist[cand_ids]
+        angle[:m] = st.pt_angle[cand_ids]
+        return (jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(octv),
+                jnp.asarray(valid), jnp.asarray(normal), jnp.asarray(min_d),
+                jnp.asarray(max_d), jnp.asarray(angle))
+
     def _match_step(self, fr, R_pred, t_pred, cand_ids: np.ndarray, radius: float):
         st = self.store
         cap = self.local_pts_cap
@@ -629,19 +852,17 @@ class Tracker:
         if m > cap:
             cand_ids = cand_ids[:cap]
             m = cap
-        xyz = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        octv = np.zeros((cap,), np.int32)
-        valid = np.zeros((cap,), bool)
-        xyz[:m] = st.pt_xyz[cand_ids]
-        desc[:m] = st.pt_desc[cand_ids]
-        valid[:m] = st.pt_mask[cand_ids]
+        (xyz, desc, octv, valid, normal, min_d, max_d,
+         angle) = self._gather_point_block(cand_ids, cap)
 
         R, t, idx, n_inl, kp_inl, kp_pt_local = _match_and_optimize(
             self.cam, jnp.asarray(R_pred), jnp.asarray(t_pred),
-            jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(octv), jnp.asarray(valid),
+            xyz, desc, octv, valid,
             fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr, fr.inv_sigma2,
             radius,
+            pts_normal=normal, pts_min_dist=min_d, pts_max_dist=max_d,
+            pts_angle=angle, kp_angle=fr.kp.angle,
+            check_rotation=self.check_rotation,
         )
         kp_pt_local = np.asarray(kp_pt_local)
         kp_inl = np.asarray(kp_inl)
@@ -651,27 +872,108 @@ class Tracker:
         return np.asarray(R), np.asarray(t), int(n_inl), kp_pt_id
 
     # ------------------------------------------------------------------
-    def _local_points(self) -> np.ndarray:
-        """Map points of the covisible neighbourhood of the reference KF
-        (reference: Tracking::UpdateLocalKeyFrames/UpdateLocalPoints)."""
+    def _match_step_pl(self, fr, fl, R_pred, t_pred, cand_ids: np.ndarray,
+                       cand_lines: np.ndarray, radius: float):
+        """Joint point+line local-map step: both association passes feed ONE
+        pose optimization (reference: TrackLocalMap, src/Tracking.cc:3761-3797
+        — the line edges constrain the same solve as the point edges)."""
+        st = self.store
+        cap = self.local_pts_cap
+        m = min(len(cand_ids), cap)
+        if m == 0:
+            return (np.asarray(R_pred), np.asarray(t_pred), 0,
+                    np.full((fr.kp.xy.shape[0],), -1, np.int64),
+                    np.full((fl.kl.sp.shape[0],), -1, np.int64))
+        cand_ids = cand_ids[:m]
+        (xyz, desc, octv, valid, normal, min_d, max_d,
+         angle) = self._gather_point_block(cand_ids, cap)
+
+        lcap = self.local_lines_cap
+        ml = min(len(cand_lines), lcap)
+        cand_lines = cand_lines[:ml]
+        Xs = np.zeros((lcap, 3), np.float32)
+        Xe = np.zeros((lcap, 3), np.float32)
+        ldesc = np.zeros((lcap, 8), np.uint32)
+        lvalid = np.zeros((lcap,), bool)
+        if ml:
+            Xs[:ml] = st.ln_Xs[cand_lines]
+            Xe[:ml] = st.ln_Xe[cand_lines]
+            ldesc[:ml] = st.ln_desc[cand_lines]
+            lvalid[:ml] = st.ln_mask[cand_lines]
+
+        R, t, n_inl, kp_pt_local, kl_ln_local = _match_and_optimize_pl(
+            self.cam, jnp.asarray(R_pred), jnp.asarray(t_pred),
+            xyz, desc, octv, valid,
+            jnp.asarray(Xs), jnp.asarray(Xe), jnp.asarray(ldesc),
+            jnp.asarray(lvalid),
+            fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+            fr.inv_sigma2,
+            fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
+            radius, line_weight=self.line_track_weight,
+            pts_normal=normal, pts_min_dist=min_d, pts_max_dist=max_d,
+            pts_angle=angle, kp_angle=fr.kp.angle,
+            check_rotation=self.check_rotation,
+        )
+        kp_pt_local = np.asarray(kp_pt_local)
+        kl_ln_local = np.asarray(kl_ln_local)
+        kp_pt_id = np.full((fr.kp.xy.shape[0],), -1, np.int64)
+        ok = (kp_pt_local >= 0) & (kp_pt_local < m)
+        kp_pt_id[ok] = cand_ids[kp_pt_local[ok]]
+        kl_ln_id = np.full((fl.kl.sp.shape[0],), -1, np.int64)
+        okl = (kl_ln_local >= 0) & (kl_ln_local < ml)
+        kl_ln_id[okl] = cand_lines[kl_ln_local[okl]]
+        # visibility counters (reference: IncreaseVisible/Found for lines)
+        if not self.only_tracking and ml:
+            seen = np.unique(kl_ln_id[kl_ln_id >= 0])
+            st.ln_found[seen] += 1
+            st.ln_visible[cand_lines] += 1
+        return np.asarray(R), np.asarray(t), int(n_inl), kp_pt_id, kl_ln_id
+
+    # ------------------------------------------------------------------
+    def _local_window(self, max_k1: int = 10, max_k2: int = 3) -> np.ndarray:
+        """Two-hop covisible keyframe neighbourhood K1 ∪ K2 of the reference
+        KF (reference: Tracking::UpdateLocalKeyFrames gathers the covisible
+        set K1 AND each K1 member's best covisible neighbours K2 + spanning
+        children, src/Tracking.cc:4582-4671)."""
         st = self.store
         if self.ref_kf < 0:
             return np.zeros((0,), np.int64)
         covis, _ = st.covisibility(self.ref_kf, min_weight=5)
-        window = np.concatenate([[self.ref_kf], covis[:10]])
+        k1 = covis[:max_k1]
+        window = [np.asarray([self.ref_kf]), k1]
+        for nb in k1[:5]:
+            covis2, _ = st.covisibility(int(nb), min_weight=5)
+            window.append(covis2[:max_k2])
+        return np.unique(np.concatenate(window))
+
+    def _local_points(self) -> np.ndarray:
+        """Map points of the covisible neighbourhood of the reference KF
+        (reference: Tracking::UpdateLocalKeyFrames/UpdateLocalPoints)."""
+        st = self.store
+        window = self._local_window()
+        if len(window) == 0:
+            return np.zeros((0,), np.int64)
         pts = st.points_in_kfs(window)
         return pts[st.pt_mask[pts]]
 
     # ------------------------------------------------------------------
-    def _line_step(self, fl, R, t) -> np.ndarray:
-        """Associate the frame's keylines with local line landmarks."""
+    def _local_lines(self) -> np.ndarray:
+        """Line landmarks of the covisible neighbourhood (reference:
+        Tracking::UpdateLocalLines)."""
         st = self.store
-        if self.ref_kf < 0:
-            return np.full((fl.kl.sp.shape[0],), -1, np.int64)
-        covis, _ = st.covisibility(self.ref_kf, min_weight=5)
-        window = np.concatenate([[self.ref_kf], covis[:10]])
+        window = self._local_window()
+        if len(window) == 0:
+            return np.zeros((0,), np.int64)
         cand = st.lines_in_kfs(window)
-        cand = cand[st.ln_mask[cand]]
+        return cand[st.ln_mask[cand]]
+
+    # ------------------------------------------------------------------
+    def _line_step(self, fl, R, t) -> np.ndarray:
+        """Associate the frame's keylines with local line landmarks
+        (association-only fallback; the tracking hot path uses the joint
+        point+line solve in _match_step_pl)."""
+        st = self.store
+        cand = self._local_lines()
         cap = self.local_lines_cap
         m = min(len(cand), cap)
         if m == 0:
@@ -705,6 +1007,12 @@ class Tracker:
         """Snapshot the frame as a keyframe; create new map points from depth
         for unmatched keypoints (reference: Tracking::CreateNewKeyFrame
         close-point creation, src/Tracking.cc:4182)."""
+        with self.store.lock:
+            return self._create_keyframe_locked(fr, timestamp, kp_pt_id, fl,
+                                                kl_ln_id)
+
+    def _create_keyframe_locked(self, fr: frame_mod.Frame, timestamp: float,
+                                kp_pt_id: np.ndarray, fl=None, kl_ln_id=None):
         st = self.store
         kf = st.alloc_kf()
         N = fr.kp.xy.shape[0]
@@ -729,12 +1037,19 @@ class Tracker:
         if len(exist):
             st.add_observations(kf, kp_pt_id[exist], exist)
 
-        # new map points from valid-depth unmatched keypoints
+        # new map points from valid-depth unmatched keypoints: all close
+        # points, topped up with the closest far ones to >= 100 (reference:
+        # Tracking::CreateNewKeyFrame creates the 100 closest when there are
+        # fewer than 100 close points, src/Tracking.cc:4182)
         depth = np.asarray(fr.depth)
         mask = np.asarray(fr.kp.mask)
-        new_sel = np.nonzero(
-            (kp_pt_id < 0) & mask & (depth > 0) & (depth < self.max_depth)
-        )[0]
+        valid = (kp_pt_id < 0) & mask & (depth > 0)
+        close = valid & (depth < self.max_depth)
+        new_sel = np.nonzero(close)[0]
+        if len(new_sel) < 100:
+            far = np.nonzero(valid & ~close)[0]
+            far = far[np.argsort(depth[far])][: 100 - len(new_sel)]
+            new_sel = np.concatenate([new_sel, far])
         pt_ids = np.zeros((0,), np.int64)
         if len(new_sel):
             Rwc = self.R.T
@@ -751,7 +1066,16 @@ class Tracker:
             st.pt_visible[pt_ids] = 1
             st.pt_found[pt_ids] = 1
             dirs = xyz_w - twc
-            st.pt_normal[pt_ids] = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-9)
+            dist = np.linalg.norm(dirs, axis=-1)
+            st.pt_normal[pt_ids] = dirs / (dist[:, None] + 1e-9)
+            # initial scale-invariance band + descriptor orientation
+            # (reference: MapPoint ctor calls UpdateNormalAndDepth)
+            octv = np.asarray(fr.kp.octave)[new_sel]
+            max_d = dist * (self.scale ** octv)
+            st.pt_max_dist[pt_ids] = max_d
+            st.pt_min_dist[pt_ids] = max_d / (
+                self.scale ** (self.n_levels - 1))
+            st.pt_angle[pt_ids] = np.asarray(fr.kp.angle)[new_sel]
             st.add_observations(kf, pt_ids, new_sel)
 
         # -- lines: snapshot keylines; create line landmarks from endpoint
@@ -764,6 +1088,8 @@ class Tracker:
             st.kf_kl_ep[kf, :n_fl] = np.asarray(fl.kl.ep)[:n_fl]
             st.kf_kl_desc[kf, :n_fl] = np.asarray(fl.kl.desc)[:n_fl]
             st.kf_kl_mask[kf, :n_fl] = np.asarray(fl.kl.mask)[:n_fl]
+            st.kf_kl_depth[kf, :n_fl, 0] = np.asarray(fl.depth_s)[:n_fl]
+            st.kf_kl_depth[kf, :n_fl, 1] = np.asarray(fl.depth_e)[:n_fl]
             st.kf_kl_line[kf] = -1
             if kl_ln_id is None:
                 kl_ln_id = np.full((int(fl.kl.sp.shape[0]),), -1, np.int64)
@@ -775,8 +1101,8 @@ class Tracker:
             klm = np.asarray(fl.kl.mask)[:n_fl]
             new_l = np.nonzero(
                 (kl_ln_id[:n_fl] < 0) & klm
-                & (ds > 0) & (ds < self.max_depth)
-                & (de > 0) & (de < self.max_depth)
+                & (ds > 0) & (ds < self.line_max_depth)
+                & (de > 0) & (de < self.line_max_depth)
                 # endpoint depth consistency (reference: skLineStereoMaxDist)
                 & (np.abs(ds - de) < 0.5 * np.maximum(ds, de))
             )[0]
