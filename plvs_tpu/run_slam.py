@@ -51,6 +51,9 @@ def main(argv=None):
                     help="render the final map to a PNG (headless viewer)")
     ap.add_argument("--dense", action="store_true")
     ap.add_argument("--lines", action="store_true")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run local mapping/loop closing/dense on the "
+                         "mapper actor thread (realtime mode)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     ap.add_argument("--timing", action="store_true")
@@ -83,6 +86,8 @@ def main(argv=None):
         cfg.dense_mapping = True
     if args.lines:
         cfg.use_lines = True
+    if args.async_mapping:
+        cfg.async_mapping = True
     if args.mono:
         cfg.sensor = "mono"
     elif args.euroc or args.kitti:

@@ -215,6 +215,10 @@ class Settings:
             max_fov_centers_distance=float(_get(
                 d, "KeyFrame.maxFovCentersDistance", default=0.4)),
             vocabulary_path=_get(d, "Vocabulary.path", default=None),
+            # async mapper actor (reference: the always-on thread fabric;
+            # here opt-in for deterministic offline runs)
+            async_mapping=bool(_get(d, "System.asyncMapping",
+                                    default=False)),
         )
         imu = None
         imu_T_b_c = None

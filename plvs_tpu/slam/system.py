@@ -65,6 +65,12 @@ class SystemConfig:
     # run full-map bundle adjustment after each closed loop (reference:
     # LoopClosing::RunGlobalBundleAdjustment, src/LoopClosing.cc:1652-1663)
     global_ba_on_loop: bool = True
+    # asynchronous mapper actor: local mapping / loop closing / dense
+    # integration run on their own host thread, overlapped with tracking
+    # (reference: the LocalMapping + LoopClosing + dense threads spawned in
+    # System::System, src/System.cc:315-398). Off by default for
+    # deterministic tests; the realtime entry points enable it.
+    async_mapping: bool = False
 
 
 class System:
@@ -127,13 +133,16 @@ class System:
                 else max(100, int(round(300 * c.image_scale ** 2)))),
         )
         self.tracker.only_tracking = c.only_tracking
+        self.tracker.scale = c.scale
+        self.tracker.n_levels = c.n_levels
         if self.cam2 is not None and self.t_lr is not None:
             # rig cameras carry no rectified bf; the close/far depth gate is
             # ThDepth x baseline like the reference (Stereo.ThDepth with
             # b_ = Tlr.translation().norm(), src/Settings.cc:409)
             self.tracker.max_depth = 40.0 * float(np.linalg.norm(self.t_lr))
         self.local_mapper = LocalMapper(
-            cam, self.store, scale=c.scale, use_lines=c.use_lines,
+            cam, self.store, scale=c.scale, n_levels=c.n_levels,
+            use_lines=c.use_lines, kfdb=self.kfdb,
             triangulate_new_points=(c.sensor == "mono"),
             # culling frees KF slots whose ids would be reused, corrupting
             # the temporal preintegration chain (the reference likewise
@@ -164,6 +173,14 @@ class System:
                 kwargs["R_cb"] = np.ascontiguousarray(R_bc.T)
                 kwargs["t_cb"] = (-R_bc.T @ t_bc).astype(np.float32)
             self.inertial = InertialRuntime(**kwargs)
+        # planar map objects (reference: MapObject.* yaml enables detection
+        # in Tracking + Sim3 refinement in local BA, src/Tracking.cc:1510-1544)
+        self.object_store = None
+        self.actor = None
+        if c.async_mapping:
+            from .async_runtime import MapperActor
+
+            self.actor = MapperActor(self)
         self._last_frame_ts = None
         self._last_kf_ts = None
         self.loops_closed = []
@@ -266,6 +283,115 @@ class System:
             # an initialized IMU earns predicted-pose coasting through
             # RECENTLY_LOST (reference: PredictStateIMU src/Tracking.cc:2318)
             self.tracker.imu_coast = True
+            # gravity is now observable: loop corrections switch to the
+            # 4-DoF essential graph (reference: src/LoopClosing.cc:1631-1637)
+            if self.loop_closer is not None:
+                self.loop_closer.gravity_w = self.inertial.gravity
+
+    # -- planar map objects (reference: src/MapObject.cc) ------------------
+    def add_map_object(self, gray: np.ndarray, metric_width: float) -> int:
+        """Register a planar object template; it will be detected at every
+        new keyframe and its Sim3 pose refined against its observations
+        (reference: MapObject.* yaml + Tracking detection,
+        src/Tracking.cc:1510-1544; Sim3 refinement src/Optimizer.cc:1115)."""
+        from .map_objects import ObjectStore, ObjectTemplate
+
+        if self.object_store is None:
+            self.object_store = ObjectStore(self.cam)
+            if self.loop_closer is not None:
+                self.loop_closer.object_store = self.object_store
+        tpl = ObjectTemplate.from_image(
+            np.asarray(gray, np.float32), metric_width,
+            object_id=len(self.object_store.objects))
+        return self.object_store.add_template(tpl)
+
+    def _detect_objects(self, kf_id: int):
+        st = self.store
+        self.object_store.detect_in_frame(
+            st.kf_kp_xy[kf_id], st.kf_kp_desc[kf_id], st.kf_kp_mask[kf_id],
+            st.kf_R[kf_id], st.kf_t[kf_id], kf_id=kf_id)
+
+    # -- per-keyframe backend (reference: the LocalMapping + LoopClosing +
+    # dense-thread work dispatched per new keyframe) -----------------------
+    def _backend_keyframe(self, kf_id: int, dense_payload=None):
+        """Everything downstream of keyframe creation. Runs inline in
+        synchronous mode, on the MapperActor thread in async mode."""
+        if self.config.local_ba:
+            with self.stopwatch.scope("local_mapping"):
+                self.local_mapper.process_keyframe(kf_id)
+        if self.object_store is not None:
+            # Sim3 refinement against the observing keyframes (reference:
+            # object vertices in local BA, src/Optimizer.cc:1115-1196)
+            with self.stopwatch.scope("map_objects"):
+                self.object_store.refine(self.store)
+        if self.dense_mapper is not None and dense_payload is not None:
+            kind = dense_payload[0]
+            with self.stopwatch.scope("dense_mapping"):
+                if kind == "rgbd":
+                    _, gray, depth = dense_payload
+                    color = np.repeat(
+                        np.asarray(gray, np.float32)[..., None], 3, -1)
+                    self.dense_mapper.insert_keyframe_rgbd(
+                        kf_id, color, np.asarray(depth, np.float32),
+                        self.store.kf_R[kf_id], self.store.kf_t[kf_id])
+                else:
+                    _, gl, gr = dense_payload
+                    self.dense_mapper.insert_keyframe_stereo(
+                        kf_id, np.asarray(gl, np.float32),
+                        np.asarray(gr, np.float32),
+                        self.store.kf_R[kf_id], self.store.kf_t[kf_id])
+        if self.loop_closer is None:
+            self.kfdb.add(kf_id)
+            return None
+        with self.stopwatch.scope("loop_closing"):
+            info = self.loop_closer.process_keyframe(kf_id)
+        if info is not None:
+            self.loops_closed.append((kf_id, info))
+            if (info.get("merge") and self.inertial is not None
+                    and self.inertial.initialized):
+                # refine the welded region with inertial factors over an
+                # enlarged temporal window (reference: MergeInertialBA,
+                # src/LoopClosing.cc:2380+)
+                self.inertial.vi_local_ba(self.cam, self.store, kf_id,
+                                          window=16)
+            if self.config.global_ba_on_loop and self.config.local_ba:
+                # full BA refines the pose-graph solution (reference:
+                # RunGlobalBundleAdjustment after CorrectLoop)
+                with self.stopwatch.scope("global_ba"):
+                    self.local_mapper.global_ba()
+            if self.dense_mapper is not None:
+                # loop closure moved keyframes: rebuild the dense map with
+                # corrected poses (reference: RebuildMap signal,
+                # src/System.cc:434-437)
+                st = self.store
+                self.dense_mapper.rebuild(
+                    lambda k: (st.kf_R[k], st.kf_t[k])
+                    if st.kf_mask[k] else (None, None)
+                )
+        return info
+
+    def _post_track(self, res, timestamp: float, dense_payload=None):
+        """Common tail of every Track* entry point."""
+        if res.is_keyframe and res.kf_id >= 0:
+            if self.object_store is not None:
+                # detection runs in the tracking thread at KF creation
+                # (reference: Tracking's object detection pass,
+                # src/Tracking.cc:1510-1544)
+                self._detect_objects(res.kf_id)
+            if self.actor is not None:
+                self.actor.insert_keyframe(res.kf_id, dense_payload)
+                self._imu_post_kf(res.kf_id, timestamp)
+            else:
+                self._backend_keyframe(res.kf_id, dense_payload)
+                self._imu_post_kf(res.kf_id, timestamp)
+                # keep the tracker's pose consistent with the (possibly
+                # loop-corrected / VI-refined) adjusted KF
+                self.tracker.R = self.store.kf_R[res.kf_id].copy()
+                self.tracker.t = self.store.kf_t[res.kf_id].copy()
+        self._imu_post_frame(res.state, timestamp)
+        self._last_frame_ts = timestamp
+        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
+        return res.state, res.R, res.t
 
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float,
                    imu_samples=None):
@@ -273,6 +399,8 @@ class System:
         gray = self._maybe_scale(gray)
         depth = self._maybe_scale(depth, nearest=True)
         self._imu_pre_frame(timestamp, imu_samples)
+        if self.actor is not None:
+            self.actor.apply_pending_correction()
         with self.stopwatch.scope("frame_build"):
             fr = frame_mod.build_frame_rgbd(
                 jnp.asarray(gray, jnp.float32),
@@ -289,49 +417,8 @@ class System:
                 )
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp, fl)
-        if res.is_keyframe and res.kf_id >= 0:
-            if self.config.local_ba:
-                with self.stopwatch.scope("local_mapping"):
-                    self.local_mapper.process_keyframe(res.kf_id)
-            if self.dense_mapper is not None:
-                # reference pushes RGB+depth to the dense thread at KF
-                # creation (src/Tracking.cc:4401-4423)
-                color = np.repeat(np.asarray(gray, np.float32)[..., None], 3, -1)
-                with self.stopwatch.scope("dense_mapping"):
-                    self.dense_mapper.insert_keyframe_rgbd(
-                        res.kf_id, color, np.asarray(depth, np.float32),
-                        self.store.kf_R[res.kf_id],
-                        self.store.kf_t[res.kf_id],
-                    )
-            if self.loop_closer is None:
-                self.kfdb.add(res.kf_id)
-            if self.loop_closer is not None:
-                with self.stopwatch.scope("loop_closing"):
-                    info = self.loop_closer.process_keyframe(res.kf_id)
-                if info is not None:
-                    self.loops_closed.append((res.kf_id, info))
-                    if self.config.global_ba_on_loop and self.config.local_ba:
-                        # full BA refines the pose-graph solution (reference:
-                        # RunGlobalBundleAdjustment after CorrectLoop)
-                        self.local_mapper.global_ba()
-                    if self.dense_mapper is not None:
-                        # loop closure moved keyframes: rebuild the dense map
-                        # with corrected poses (reference: RebuildMap signal,
-                        # src/System.cc:434-437)
-                        st = self.store
-                        self.dense_mapper.rebuild(
-                            lambda k: (st.kf_R[k], st.kf_t[k])
-                            if st.kf_mask[k] else (None, None)
-                        )
-            self._imu_post_kf(res.kf_id, timestamp)
-            # keep the tracker's pose consistent with the (possibly loop-
-            # corrected / VI-refined) adjusted KF
-            self.tracker.R = self.store.kf_R[res.kf_id].copy()
-            self.tracker.t = self.store.kf_t[res.kf_id].copy()
-        self._imu_post_frame(res.state, timestamp)
-        self._last_frame_ts = timestamp
-        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
-        return res.state, res.R, res.t
+        payload = ("rgbd", gray, depth) if self.dense_mapper else None
+        return self._post_track(res, timestamp, payload)
 
     def track_monocular(self, gray: np.ndarray, timestamp: float,
                         imu_samples=None):
@@ -342,6 +429,8 @@ class System:
         resolves it."""
         gray = self._maybe_scale(gray)
         self._imu_pre_frame(timestamp, imu_samples)
+        if self.actor is not None:
+            self.actor.apply_pending_correction()
         with self.stopwatch.scope("frame_build"):
             fr = frame_mod.build_frame_mono(
                 jnp.asarray(gray, jnp.float32), self.cam,
@@ -350,24 +439,7 @@ class System:
             )
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp)
-        if res.is_keyframe and res.kf_id >= 0:
-            if self.config.local_ba:
-                self.local_mapper.process_keyframe(res.kf_id)
-            if self.loop_closer is None:
-                self.kfdb.add(res.kf_id)
-            else:
-                info = self.loop_closer.process_keyframe(res.kf_id)
-                if info is not None:
-                    self.loops_closed.append((res.kf_id, info))
-                    if self.config.global_ba_on_loop and self.config.local_ba:
-                        self.local_mapper.global_ba()
-            self._imu_post_kf(res.kf_id, timestamp)
-            self.tracker.R = self.store.kf_R[res.kf_id].copy()
-            self.tracker.t = self.store.kf_t[res.kf_id].copy()
-        self._imu_post_frame(res.state, timestamp)
-        self._last_frame_ts = timestamp
-        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
-        return res.state, res.R, res.t
+        return self._post_track(res, timestamp)
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
                      timestamp: float, imu_samples=None):
@@ -377,6 +449,8 @@ class System:
         gray_l = self._maybe_scale(gray_l)
         gray_r = self._maybe_scale(gray_r)
         self._imu_pre_frame(timestamp, imu_samples)
+        if self.actor is not None:
+            self.actor.apply_pending_correction()
         with self.stopwatch.scope("frame_build"):
             if self.cam2 is not None and self.R_lr is not None:
                 # non-rectified rig (fisheye stereo): epipolar-gated
@@ -398,38 +472,17 @@ class System:
                 )
             fl = None
             if self.config.use_lines:
-                # line endpoint depths from the dense disparity of sparse
-                # stereo are unreliable; lines still participate via
-                # triangulated obs
-                fl = frame_mod.build_frame_lines(
+                # endpoint depths from left-right line matching (reference:
+                # LineMatcher::SearchStereoMatchesByKnn + line disparity)
+                fl = frame_mod.build_frame_lines_stereo(
                     jnp.asarray(gray_l, jnp.float32),
-                    jnp.zeros_like(jnp.asarray(gray_l, jnp.float32)),
+                    jnp.asarray(gray_r, jnp.float32),
                     self.cam, self.config.max_lines,
                 )
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp, fl)
-        if res.is_keyframe and res.kf_id >= 0:
-            if self.config.local_ba:
-                self.local_mapper.process_keyframe(res.kf_id)
-            if self.dense_mapper is not None:
-                self.dense_mapper.insert_keyframe_stereo(
-                    res.kf_id, np.asarray(gray_l, np.float32),
-                    np.asarray(gray_r, np.float32),
-                    self.store.kf_R[res.kf_id], self.store.kf_t[res.kf_id],
-                )
-            if self.loop_closer is None:
-                self.kfdb.add(res.kf_id)
-            if self.loop_closer is not None:
-                info = self.loop_closer.process_keyframe(res.kf_id)
-                if info is not None:
-                    self.loops_closed.append((res.kf_id, info))
-            self._imu_post_kf(res.kf_id, timestamp)
-            self.tracker.R = self.store.kf_R[res.kf_id].copy()
-            self.tracker.t = self.store.kf_t[res.kf_id].copy()
-        self._imu_post_frame(res.state, timestamp)
-        self._last_frame_ts = timestamp
-        self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
-        return res.state, res.R, res.t
+        payload = ("stereo", gray_l, gray_r) if self.dense_mapper else None
+        return self._post_track(res, timestamp, payload)
 
     # -- trajectory export (reference: System::SaveTrajectoryTUM) ----------
     def trajectory_tum(self) -> np.ndarray:
@@ -486,6 +539,8 @@ class System:
         """Finalize the session, optionally persisting the atlas and dense
         map (reference: System::Shutdown + SparseMapping.saveOnShutdown,
         src/System.cc:829-844)."""
+        if self.actor is not None:
+            self.actor.shutdown()
         if save_map_path:
             from ..io import serialization
 
