@@ -256,6 +256,32 @@ class InertialRuntime:
         fixed[0] = True
         from ..imu.initialization import stack_preints
 
+        # line observations of the window: pose-constraining VI line edges
+        # (reference: EdgeLineMono in LocalInertialBA, src/G2oLineTypes.cc)
+        line_kw = {}
+        if store.num_lines > 0:
+            from ..features import lines as lines_mod
+
+            lkf, lln, lkl = store.live_line_obs()
+            lsel = np.isin(lkf, kfs) & store.ln_mask[
+                np.clip(lln, 0, store.max_lines - 1)]
+            if lsel.sum() >= 4:
+                lo_kf = np.asarray([kf_local[k] for k in lkf[lsel]], np.int32)
+                sp = store.kf_kl_sp[lkf[lsel], lkl[lsel]]
+                ep = store.kf_kl_ep[lkf[lsel], lkl[lsel]]
+                nld = np.asarray(lines_mod.line_nld(
+                    jnp.asarray(sp), jnp.asarray(ep)))
+                mlen = np.linalg.norm(ep - sp, axis=-1)
+                line_kw = dict(
+                    lobs_kf=jnp.asarray(lo_kf),
+                    lobs_Xs=jnp.asarray(store.ln_Xs[lln[lsel]], jnp.float32),
+                    lobs_Xe=jnp.asarray(store.ln_Xe[lln[lsel]], jnp.float32),
+                    lobs_nld=jnp.asarray(nld, jnp.float32),
+                    lobs_inv_sigma2=jnp.asarray(
+                        np.clip((mlen / 40.0) ** 2, 0.1, 4.0), jnp.float32),
+                    lobs_mask=jnp.ones((int(lsel.sum()),), bool),
+                )
+
         prob = vi_ba.VIProblem(
             jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(v_w),
             jnp.asarray(np.tile(self.bias_gyro, (K, 1))),
@@ -267,6 +293,7 @@ class InertialRuntime:
             jnp.ones((M,), jnp.float32), jnp.ones((M,), bool),
             stack_preints(pres), jnp.asarray(pmask),
             jnp.asarray(self.gravity),
+            **line_kw,
         )
         Rn, pn, vn, bgn, ban, ptsn, info = vi_ba.vi_bundle_adjust(
             cam, prob, num_iters=6, cg_iters=30)

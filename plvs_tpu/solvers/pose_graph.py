@@ -63,15 +63,32 @@ def optimize(
     cg_iters: int = 50,
     fix_scale: bool = False,
     lam0: float = 1e-4,
+    dof4_axis: jnp.ndarray | None = None,
 ):
-    """LM over vertex Sim3 tangents. Returns (R, t, s, info)."""
+    """LM over vertex Sim3 tangents. Returns (R, t, s, info).
+
+    ``dof4_axis`` [K,3]: camera-frame gravity direction per vertex. When
+    given, each vertex's rotation update is constrained to a rotation about
+    that axis (and scale pinned), i.e. yaw + translation only — the
+    reference's 4-DoF essential graph for visual-inertial maps where
+    roll/pitch are observable from gravity and must not be bent by the loop
+    (reference: Optimizer::OptimizeEssentialGraph4DoF,
+    src/Optimizer.cc:10934; VertexPose4DoF/Edge4DoF, include/G2oTypes.h:854).
+    """
     K = prob.R.shape[0]
     free = ~prob.fixed
 
-    def apply_delta(R, t, s, dx):
+    def apply_delta(R, t, s, dx, axis=None):
         # left-multiplicative: S <- exp(dx) * S
-        if fix_scale:
+        if fix_scale or dof4_axis is not None:
             dx = dx.at[..., 6].set(0.0)
+        if axis is not None:
+            # project the rotation update onto the per-vertex gravity axis:
+            # exp(a α) R  ==  R exp((Rᵀa) α) — a rotation about the world
+            # gravity direction, leaving roll/pitch intact
+            w = dx[..., 3:6]
+            alpha = jnp.sum(w * axis, axis=-1, keepdims=True)
+            dx = dx.at[..., 3:6].set(alpha * axis)
         dR, dt, ds = lie.sim3_exp(dx)
         Rn, tn, sn = lie.sim3_compose(dR, dt, ds, R, t, s)
         return lie.normalize_rotation(Rn), tn, sn
@@ -87,9 +104,12 @@ def optimize(
         """Residuals [E,7] + Jacobians w.r.t. the two endpoint tangents."""
 
         def one(e):
+            ax_i = None if dof4_axis is None else dof4_axis[prob.edge_i[e]]
+            ax_j = None if dof4_axis is None else dof4_axis[prob.edge_j[e]]
+
             def f(dxi, dxj):
-                Ri, ti, si = apply_delta(R[prob.edge_i[e]], t[prob.edge_i[e]], s[prob.edge_i[e]], dxi)
-                Rj, tj, sj = apply_delta(R[prob.edge_j[e]], t[prob.edge_j[e]], s[prob.edge_j[e]], dxj)
+                Ri, ti, si = apply_delta(R[prob.edge_i[e]], t[prob.edge_i[e]], s[prob.edge_i[e]], dxi, ax_i)
+                Rj, tj, sj = apply_delta(R[prob.edge_j[e]], t[prob.edge_j[e]], s[prob.edge_j[e]], dxj, ax_j)
                 return _edge_residual(Ri, ti, si, Rj, tj, sj,
                                       prob.edge_R[e], prob.edge_t[e], prob.edge_s[e])
 
@@ -173,7 +193,7 @@ def optimize(
             lambda st: (st[4] < cg_iters) & (st[3] > 1e-12 * rz0),
             cg_body, (x, rr, p, rz, jnp.zeros((), jnp.int32)),
         )
-        Rn, tn, sn = apply_delta(R, t, s, x)
+        Rn, tn, sn = apply_delta(R, t, s, x, dof4_axis)
         cost_new = cost_of(Rn, tn, sn)
         accept = cost_new < cost_prev
         R = jnp.where(accept, Rn, R)

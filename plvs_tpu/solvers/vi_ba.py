@@ -54,6 +54,19 @@ class VIProblem(NamedTuple):
     pre_stack: pre.Preintegrated  # leaves with leading [K-1]
     pre_mask: jnp.ndarray   # [K-1] bool (valid preintegration)
     gravity: jnp.ndarray    # [3]
+    # line observations (optional; zero-capacity when unused): pose-
+    # constraining point-to-infinite-line residuals of the two landmark
+    # endpoints, the VI-BA line edges of the reference (reference:
+    # EdgeLineMono/EdgeLineStereo vs VertexPose, include/G2oLineTypes.h:
+    # 37-297, used by LocalInertialBA). Line geometry is held fixed here
+    # (it is refined by the visual local BA); endpoints are pre-gathered
+    # per observation.
+    lobs_kf: jnp.ndarray = jnp.zeros((0,), jnp.int32)     # [Ml]
+    lobs_Xs: jnp.ndarray = jnp.zeros((0, 3), jnp.float32)  # [Ml,3] world
+    lobs_Xe: jnp.ndarray = jnp.zeros((0, 3), jnp.float32)
+    lobs_nld: jnp.ndarray = jnp.zeros((0, 3), jnp.float32)
+    lobs_inv_sigma2: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    lobs_mask: jnp.ndarray = jnp.zeros((0,), bool)
 
 
 def _body_to_cam(prob: VIProblem, R_wb, p_wb):
@@ -111,6 +124,39 @@ def vi_bundle_adjust(
         return res, Jc_body, Jp, ok, row_w, is_stereo
 
     # ------------------------------------------------------------------
+    has_lines = prob.lobs_kf.shape[0] > 0
+
+    def line_terms(R_wb, p_wb):
+        """Pose-constraining line residuals [Ml,2] + body-tangent Jacobians
+        [Ml,2,6] (reference: EdgeLineMonoOnlyPose-style unary edges in the
+        inertial window, include/G2oLineTypes.h)."""
+        R_cw, t_cw = _body_to_cam(prob, R_wb, p_wb)
+        Rm = R_cw[prob.lobs_kf]
+        tm = t_cw[prob.lobs_kf]
+        n = prob.lobs_nld[..., :2]
+        d = prob.lobs_nld[..., 2]
+
+        def endpoint(Xw):
+            Xc = lie.se3_apply(Rm, tm, Xw)
+            uv = cam_mod.project(cam, Xc)
+            r = jnp.sum(n * uv, axis=-1) + d
+            Jproj = cam_mod.project_jac(cam, Xc)
+            I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype),
+                                 Xc.shape[:-1] + (3, 3))
+            JXc = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)
+            dr_dXc = jnp.einsum("...k,...kj->...j", n, Jproj)
+            Jc_cam = jnp.einsum("...k,...kj->...j", dr_dXc, JXc)
+            Jc_body = Jc_cam @ AdTcb
+            return r, Jc_body, Xc[..., 2] > 0.05
+
+        rs, Js, oks = endpoint(prob.lobs_Xs)
+        re, Je, oke = endpoint(prob.lobs_Xe)
+        res = jnp.stack([rs, re], axis=-1)
+        J = jnp.stack([Js, Je], axis=-2)
+        ok = prob.lobs_mask & oks & oke
+        return res, J, ok
+
+    # ------------------------------------------------------------------
     def inertial_residual_e(e, R_wb, p_wb, v_w, bg, ba, dx=None):
         """9D preintegration residual of edge e; dx optionally perturbs the
         two endpoint states (for jacfwd)."""
@@ -163,6 +209,10 @@ def vi_bundle_adjust(
         chi2 = jnp.sum(res * res * row_w, -1) * prob.obs_inv_sigma2
         thr = jnp.where(is_st, robust.CHI2_3D, robust.CHI2_2D)
         c = jnp.sum(jnp.minimum(chi2, 2 * thr) * ok)
+        if has_lines:
+            lres, _, lok = line_terms(R_wb, p_wb)
+            lchi2 = jnp.sum(lres * lres, -1) * prob.lobs_inv_sigma2
+            c = c + jnp.sum(jnp.minimum(lchi2, 2 * robust.CHI2_2D) * lok)
         ri, _ = inertial_terms(R_wb, p_wb, v_w, bg, ba)
         c = c + jnp.sum(ri * ri)
         # bias random walk between consecutive KFs
@@ -181,6 +231,12 @@ def vi_bundle_adjust(
         rw = robust.huber_weight(chi2, thr)
         w = prob.obs_inv_sigma2 * rw * ok
         wr = w[:, None] * row_w
+
+        if has_lines:
+            lres, lJ, lok = line_terms(R_wb, p_wb)
+            lchi2 = jnp.sum(lres * lres, -1) * prob.lobs_inv_sigma2
+            lrw = robust.huber_weight(lchi2, robust.CHI2_2D)
+            lw = prob.lobs_inv_sigma2 * lrw * lok
 
         # map the 6-dim visual body jacobian (rho=dp? NOTE ordering) into
         # the 15-dim state: visual Jc_body is wrt (rho, theta) left tangent
@@ -239,6 +295,9 @@ def vi_bundle_adjust(
             num_segments=P) * prob.point_mask[:, None]
         bc = jnp.zeros((K, D), prob.R_wb.dtype)
         bc = bc.at[:, 0:6].add(bc_vis)
+        if has_lines:
+            bc = bc.at[:, 0:6].add(-seg_c(
+                jnp.einsum("mri,m,mr->mi", lJ, lw, lres), prob.lobs_kf))
         idx_e = jnp.arange(E)
         bc = bc.at[idx_e].add(-jnp.einsum("eri,er->ei", Ji_i, ri))
         bc = bc.at[idx_e + 1].add(-jnp.einsum("eri,er->ei", Ji_j, ri))
@@ -256,6 +315,10 @@ def vi_bundle_adjust(
         Hcc = jnp.zeros((K, D, D), prob.R_wb.dtype)
         Hcc = Hcc.at[:, 0:6, 0:6].add(
             seg_c(jnp.einsum("mri,mr,mrj->mij", Jb, wr, Jb), prob.obs_kf))
+        if has_lines:
+            Hcc = Hcc.at[:, 0:6, 0:6].add(
+                seg_c(jnp.einsum("mri,m,mrj->mij", lJ, lw, lJ),
+                      prob.lobs_kf))
         Hcc = Hcc.at[idx_e].add(jnp.einsum("eri,erj->eij", Ji_i, Ji_i))
         Hcc = Hcc.at[idx_e + 1].add(jnp.einsum("eri,erj->eij", Ji_j, Ji_j))
         eyeb = jnp.eye(3, dtype=prob.R_wb.dtype) * bw
@@ -281,6 +344,11 @@ def vi_bundle_adjust(
             yc = jnp.zeros_like(xc)
             yc = yc.at[:, 0:6].add(
                 seg_c(jnp.einsum("mri,mr->mi", Jb, u), prob.obs_kf))
+            if has_lines:
+                ul = jnp.einsum("mri,mi->mr", lJ,
+                                xc[prob.lobs_kf, 0:6]) * lw[:, None]
+                yc = yc.at[:, 0:6].add(
+                    seg_c(jnp.einsum("mri,mr->mi", lJ, ul), prob.lobs_kf))
             yp = jax.ops.segment_sum(
                 jnp.einsum("mri,mr->mi", Jp, u), prob.obs_pt, num_segments=P)
             ui = (jnp.einsum("eri,ei->er", Ji_i, xc[idx_e])
