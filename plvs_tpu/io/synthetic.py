@@ -100,10 +100,19 @@ class SyntheticRGBD:
         # z=1 so the plane-intersection scalar is the camera z-depth
         h, w = cam.height, cam.width
         ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        import jax
         import jax.numpy as jnp
 
-        uv = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
-        self._rays_c = np.asarray(cam_mod.unproject(cam, uv)).T  # [3, H*W]
+        uv = np.stack([xs, ys], -1).reshape(-1, 2)
+        # the renderer is a host-side data source — pin its one jax call to
+        # the CPU backend so it never touches (or waits on) an accelerator
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                rays = np.asarray(cam_mod.unproject(cam, jnp.asarray(uv)))
+        except RuntimeError:
+            rays = np.asarray(cam_mod.unproject(cam, jnp.asarray(uv)))
+        self._rays_c = rays.T  # [3, H*W]
 
     def render(self, R: np.ndarray, t: np.ndarray):
         """Returns (gray [H,W] f32, depth [H,W] f32 meters)."""

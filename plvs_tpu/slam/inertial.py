@@ -295,7 +295,7 @@ class InertialRuntime:
             jnp.asarray(self.gravity),
             **line_kw,
         )
-        Rn, pn, vn, bgn, ban, ptsn, info = vi_ba.vi_bundle_adjust(
+        Rn, pn, vn, bgn, ban, ptsn, info = vi_ba.vi_bundle_adjust_jit(
             cam, prob, num_iters=6, cg_iters=30)
         if not np.isfinite(float(info["cost"])):
             return False

@@ -27,6 +27,67 @@ def _bucket(n: int, lo: int = 256) -> int:
     return b
 
 
+import functools as _functools  # noqa: E402
+
+import jax as _jax  # noqa: E402
+
+
+@_functools.partial(_jax.jit, static_argnames=("cam", "reproj_thresh"))
+def _triangulate_lines_pair(cam, R1, t1, R2, t2, sp1, ep1, sp2, ep2, valid,
+                            reproj_thresh: float = 3.0):
+    """Plane-plane triangulation + verification for matched keyline pairs
+    of two keyframes, fixed [n_kl] shapes, ONE dispatch (reference:
+    LocalMapping line triangulation src/LocalMapping.cc:957-1288)."""
+    from ..features import lines as lines_mod
+    from ..geometry import cameras as _cm
+    from ..geometry import lie as _lie
+    from ..geometry import triangulation as _tri
+
+    n = sp1.shape[0]
+    rays_s1 = _cm.unproject(cam, sp1)
+    rays_e1 = _cm.unproject(cam, ep1)
+    rays_s2 = _cm.unproject(cam, sp2)
+    rays_e2 = _cm.unproject(cam, ep2)
+    tile = lambda x: jnp.broadcast_to(x, (n,) + x.shape)
+    Xs, Xe, ok_tri, deg = _tri.triangulate_line_planes(
+        tile(R1), tile(t1), tile(R2), tile(t2),
+        rays_s1, rays_e1, rays_s2, rays_e2)
+    nld2 = lines_mod.line_nld(sp2, ep2)
+    Xc2s = _lie.se3_apply(R2, t2, Xs)
+    Xc2e = _lie.se3_apply(R2, t2, Xe)
+    uv2s = _cm.project(cam, Xc2s)
+    uv2e = _cm.project(cam, Xc2e)
+    r2s = jnp.abs(jnp.sum(nld2[:, :2] * uv2s, -1) + nld2[:, 2])
+    r2e = jnp.abs(jnp.sum(nld2[:, :2] * uv2e, -1) + nld2[:, 2])
+    seg_len = jnp.linalg.norm(Xe - Xs, axis=-1)
+    z1s = _lie.se3_apply(R1, t1, Xs)[..., 2]
+    ok = (valid & ok_tri & (deg < 0.995)
+          & (r2s < reproj_thresh) & (r2e < reproj_thresh)
+          & (seg_len > 0.02) & (seg_len < 10.0 * jnp.maximum(z1s, 0.1)))
+    return Xs, Xe, ok
+
+
+@_functools.partial(_jax.jit, static_argnames=("cam",))
+def _fuse_match_batch(cam, R_nb, t_nb, pts_xyz, pts_desc,
+                      kp_xy, kp_desc, kp_octave, kp_mask):
+    """Projection-guided fuse matching of one point set against B
+    neighbour keyframes at once: [B] vmapped search_by_projection."""
+    from ..features import matching as matching_mod
+    from .frame import project_points
+
+    zero_oct = jnp.zeros((pts_xyz.shape[0],), jnp.int32)
+
+    def one(R, t, kxy, kdesc, koct, kmask):
+        uv, z, vis = project_points(cam, R, t, pts_xyz)
+        idx, dist = matching_mod.search_by_projection(
+            uv, vis, pts_desc, zero_oct, kxy, kdesc, koct, kmask,
+            radius=3.0, max_dist=50, octave_tol=8,
+        )
+        return idx
+
+    return _jax.vmap(one)(R_nb, t_nb, kp_xy, kp_desc, kp_octave, kp_mask)
+
+
 @dataclasses.dataclass
 class LocalMapper:
     cam: cam_mod.Camera
@@ -81,13 +142,10 @@ class LocalMapper:
         src/LocalMapping.cc:957-1288 — LineMatcher::SearchForTriangulation,
         back-projected plane intersection, parallel-normal degeneracy check,
         endpoint reprojection + positive-depth verification)."""
+        import jax as _jax
         import jax.numpy as _j
 
-        from ..features import lines as lines_mod
         from ..features.matching import match_nn_ratio
-        from ..geometry import cameras as _cm
-        from ..geometry import lie as _lie
-        from ..geometry import triangulation as _tri
 
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
@@ -97,10 +155,6 @@ class LocalMapper:
         if m1.sum() < 2:
             return
         R1, t1 = st.kf_R[kf_id], st.kf_t[kf_id]
-        rays_s1 = _cm.unproject(self.cam, _j.asarray(st.kf_kl_sp[kf_id]))
-        rays_e1 = _cm.unproject(self.cam, _j.asarray(st.kf_kl_ep[kf_id]))
-        th1, d1_ = lines_mod.line_theta_d(
-            _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]))
         for nb in covis[:max_neighbors]:
             nb = int(nb)
             C1 = -R1.T @ t1
@@ -111,66 +165,38 @@ class LocalMapper:
             m2 = st.kf_kl_mask[nb] & (st.kf_kl_line[nb] < 0)
             if m2.sum() < 2:
                 continue
-            idx, _d = match_nn_ratio(
+            idx = np.asarray(match_nn_ratio(
                 _j.asarray(st.kf_kl_desc[kf_id]), _j.asarray(st.kf_kl_desc[nb]),
                 _j.asarray(m1), _j.asarray(m2), max_dist=90, ratio=0.85,
-            )
-            idx = np.asarray(idx)
-            sel = np.nonzero(idx >= 0)[0]
-            if len(sel) == 0:
+            )[0])
+            if not (idx >= 0).any():
                 continue
-            n = len(sel)
-            rays_s2 = _cm.unproject(
-                self.cam, _j.asarray(st.kf_kl_sp[nb][idx[sel]]))
-            rays_e2 = _cm.unproject(
-                self.cam, _j.asarray(st.kf_kl_ep[nb][idx[sel]]))
-            Xs, Xe, valid, deg = _tri.triangulate_line_planes(
-                _j.asarray(np.tile(R1, (n, 1, 1))),
-                _j.asarray(np.tile(t1, (n, 1))),
-                _j.asarray(np.tile(st.kf_R[nb], (n, 1, 1))),
-                _j.asarray(np.tile(st.kf_t[nb], (n, 1))),
-                rays_s1[sel], rays_e1[sel], rays_s2, rays_e2,
-            )
-            # endpoint reprojection onto the measured infinite line in the
-            # NEIGHBOUR view (the camera-1 residual is zero by construction)
-            nld2 = lines_mod.line_nld(
-                _j.asarray(st.kf_kl_sp[nb][idx[sel]]),
-                _j.asarray(st.kf_kl_ep[nb][idx[sel]]))
-            Xc2s = _lie.se3_apply(_j.asarray(st.kf_R[nb]),
-                                  _j.asarray(st.kf_t[nb]), Xs)
-            Xc2e = _lie.se3_apply(_j.asarray(st.kf_R[nb]),
-                                  _j.asarray(st.kf_t[nb]), Xe)
-            uv2s = _cm.project(self.cam, Xc2s)
-            uv2e = _cm.project(self.cam, Xc2e)
-            r2s = np.abs(np.sum(np.asarray(nld2[:, :2]) * np.asarray(uv2s), -1)
-                         + np.asarray(nld2[:, 2]))
-            r2e = np.abs(np.sum(np.asarray(nld2[:, :2]) * np.asarray(uv2e), -1)
-                         + np.asarray(nld2[:, 2]))
-            # 3D length sanity: endpoints at sensible depth, segment not
-            # stretched to infinity by a shallow plane intersection
-            seg_len = np.linalg.norm(np.asarray(Xe) - np.asarray(Xs), axis=-1)
-            z1s = np.asarray(_lie.se3_apply(
-                _j.asarray(R1), _j.asarray(t1), Xs))[:, 2]
-            ok = (
-                np.asarray(valid) & (np.asarray(deg) < 0.995)
-                & (r2s < reproj_thresh) & (r2e < reproj_thresh)
-                & (seg_len > 0.02) & (seg_len < 10.0 * np.maximum(z1s, 0.1))
-            )
+            # fixed-shape gather on the host; one jitted triangulation +
+            # verification dispatch per neighbour
+            idx_c = np.maximum(idx, 0)
+            Xs, Xe, ok = _jax.device_get(_triangulate_lines_pair(
+                self.cam,
+                _j.asarray(R1), _j.asarray(t1),
+                _j.asarray(st.kf_R[nb]), _j.asarray(st.kf_t[nb]),
+                _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]),
+                _j.asarray(st.kf_kl_sp[nb][idx_c]),
+                _j.asarray(st.kf_kl_ep[nb][idx_c]),
+                _j.asarray(idx >= 0), reproj_thresh=reproj_thresh))
             good = np.nonzero(ok)[0]
             if len(good) == 0:
                 continue
             ln_ids = st.alloc_lines(len(good))
-            st.ln_Xs[ln_ids] = np.asarray(Xs)[good]
-            st.ln_Xe[ln_ids] = np.asarray(Xe)[good]
-            st.ln_desc[ln_ids] = st.kf_kl_desc[kf_id][sel[good]]
+            st.ln_Xs[ln_ids] = Xs[good]
+            st.ln_Xe[ln_ids] = Xe[good]
+            st.ln_desc[ln_ids] = st.kf_kl_desc[kf_id][good]
             st.ln_mask[ln_ids] = True
             st.ln_ref_kf[ln_ids] = kf_id
             st.ln_first_kf[ln_ids] = kf_id
             st.ln_n_obs[ln_ids] = 0
             st.ln_visible[ln_ids] = 1
             st.ln_found[ln_ids] = 1
-            st.add_line_observations(kf_id, ln_ids, sel[good])
-            st.add_line_observations(nb, ln_ids, idx[sel[good]])
+            st.add_line_observations(kf_id, ln_ids, good)
+            st.add_line_observations(nb, ln_ids, idx[good])
             m1 = st.kf_kl_mask[kf_id] & (st.kf_kl_line[kf_id] < 0)
 
     # ------------------------------------------------------------------
@@ -259,10 +285,12 @@ class LocalMapper:
             m1 = st.kf_kp_mask[kf_id] & (st.kf_kp_pt[kf_id] < 0)
 
     # ------------------------------------------------------------------
-    def fuse_neighbors(self, kf_id: int):
+    def fuse_neighbors(self, kf_id: int, max_neighbors: int = 5):
         """Merge duplicate landmarks between the new KF and its covisible
         neighbours (reference: LocalMapping::SearchInNeighbors + Fuse,
-        src/LocalMapping.cc:144 / ORBmatcher::Fuse)."""
+        src/LocalMapping.cc:144 / ORBmatcher::Fuse). All neighbours are
+        matched in ONE vmapped device dispatch (per-neighbour calls would
+        pay a round trip each on a remote accelerator)."""
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         if len(covis) == 0:
@@ -272,23 +300,31 @@ class LocalMapper:
         if len(my_sel) == 0:
             return
         pts = my_pts[my_sel]
-        from ..features.matching import hamming as _ham  # noqa: F401
+        import jax as _jax
         import jax.numpy as _j
-        from .frame import project_points
-        from ..features import matching as matching_mod
 
-        for nb in covis[:5]:
-            uv, z, vis = project_points(
-                self.cam, _j.asarray(st.kf_R[nb]), _j.asarray(st.kf_t[nb]),
-                _j.asarray(st.pt_xyz[pts]))
-            idx, dist = matching_mod.search_by_projection(
-                uv, vis, _j.asarray(st.pt_desc[pts]),
-                _j.asarray(np.zeros(len(pts), np.int32)),
-                _j.asarray(st.kf_kp_xy[nb]), _j.asarray(st.kf_kp_desc[nb]),
-                _j.asarray(st.kf_kp_octave[nb]), _j.asarray(st.kf_kp_mask[nb]),
-                radius=3.0, max_dist=50, octave_tol=8,
-            )
-            idx = np.asarray(idx)
+        nbs = covis[:max_neighbors].astype(np.int64)
+        # bucketed padding keeps the jitted program's shapes stable:
+        # zero-padded points project behind the camera (z <= 0.05 gate),
+        # padded neighbour rows carry an all-false keypoint mask
+        B = max_neighbors
+        Pb = _bucket(len(pts), 256)
+        xyz = np.zeros((Pb, 3), np.float32)
+        desc = np.zeros((Pb, 8), np.uint32)
+        xyz[: len(pts)] = st.pt_xyz[pts]
+        desc[: len(pts)] = st.pt_desc[pts]
+        nb_pad = np.concatenate([nbs, np.zeros(B - len(nbs), np.int64)])
+        kp_mask = st.kf_kp_mask[nb_pad].copy()
+        kp_mask[len(nbs):] = False
+        idx_all = np.asarray(_fuse_match_batch(
+            self.cam,
+            _j.asarray(st.kf_R[nb_pad]), _j.asarray(st.kf_t[nb_pad]),
+            _j.asarray(xyz), _j.asarray(desc),
+            _j.asarray(st.kf_kp_xy[nb_pad]), _j.asarray(st.kf_kp_desc[nb_pad]),
+            _j.asarray(st.kf_kp_octave[nb_pad]), _j.asarray(kp_mask),
+        ))[:, : len(pts)]
+        for bi, nb in enumerate(nbs):
+            idx = idx_all[bi]
             hit = np.nonzero(idx >= 0)[0]
             for h in hit:
                 p = int(pts[h])
@@ -392,7 +428,7 @@ class LocalMapper:
         info = {"cost": np.inf}
         while done < num_iters:
             it = min(self.ba_chunk_iters, num_iters - done)
-            Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust(
+            Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
                 self.cam, prob, num_iters=it, cg_iters=cg_iters)
             prob = prob._replace(R=Rn, t=tn, points=pn,
                                  lines_Xs=lXsn, lines_Xe=lXen)

@@ -111,12 +111,17 @@ class LoopCloser:
             return None
         self._pending = None
 
-        if st.kf_map[cand] != st.kf_map[kf_id]:
-            # place recognised in another atlas map -> weld the active map
-            # into it (reference: MergeLocal, src/LoopClosing.cc:1684-)
-            info = self._merge(kf_id, cand, R_rel, t_rel, pairs)
-        else:
-            info = self._correct(kf_id, cand, R_rel, t_rel, pairs)
+        # the correction rewrites keyframe poses and landmark positions —
+        # hold the store lock so the tracking thread's gathers never see a
+        # half-applied weld (async runtime; the reference stops LocalMapping
+        # and relies on per-object mutexes here, src/LoopClosing.cc:1268)
+        with st.lock:
+            if st.kf_map[cand] != st.kf_map[kf_id]:
+                # place recognised in another atlas map -> weld the active
+                # map into it (reference: MergeLocal, src/LoopClosing.cc:1684-)
+                info = self._merge(kf_id, cand, R_rel, t_rel, pairs)
+            else:
+                info = self._correct(kf_id, cand, R_rel, t_rel, pairs)
         info.update({"candidate": int(cand), "inliers": int(n_inl)})
         self.last_loop_kf = kf_id
         return info
@@ -349,7 +354,7 @@ class LoopCloser:
             # camera-frame gravity axis per vertex: a_k = R_k g_w
             dof4_axis = jnp.asarray(
                 np.einsum("kij,j->ki", st.kf_R[live], g))
-        Rn, tn, sn, info = pose_graph.optimize(
+        Rn, tn, sn, info = pose_graph.optimize_jit(
             prob, num_iters=12, fix_scale=self.fix_scale,
             dof4_axis=dof4_axis,
         )

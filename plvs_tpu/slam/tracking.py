@@ -842,20 +842,30 @@ class Tracker:
                 jnp.asarray(valid), jnp.asarray(normal), jnp.asarray(min_d),
                 jnp.asarray(max_d), jnp.asarray(angle))
 
+    @staticmethod
+    def _cap_bucket(m: int, cap: int, lo: int = 512) -> int:
+        """Smallest power-of-two bucket >= m (bounded by cap): the padded
+        match matrices scale with the bucket, and a handful of buckets
+        keeps recompiles rare."""
+        b = lo
+        while b < m and b < cap:
+            b *= 2
+        return min(b, cap)
+
     def _match_step(self, fr, R_pred, t_pred, cand_ids: np.ndarray, radius: float):
         st = self.store
-        cap = self.local_pts_cap
         m = len(cand_ids)
         if m == 0:
             return (np.asarray(R_pred), np.asarray(t_pred), 0,
                     np.full((fr.kp.xy.shape[0],), -1, np.int64))
-        if m > cap:
-            cand_ids = cand_ids[:cap]
-            m = cap
+        if m > self.local_pts_cap:
+            cand_ids = cand_ids[: self.local_pts_cap]
+            m = self.local_pts_cap
+        cap = self._cap_bucket(m, self.local_pts_cap)
         (xyz, desc, octv, valid, normal, min_d, max_d,
          angle) = self._gather_point_block(cand_ids, cap)
 
-        R, t, idx, n_inl, kp_inl, kp_pt_local = _match_and_optimize(
+        out = _match_and_optimize(
             self.cam, jnp.asarray(R_pred), jnp.asarray(t_pred),
             xyz, desc, octv, valid,
             fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr, fr.inv_sigma2,
@@ -864,12 +874,14 @@ class Tracker:
             pts_angle=angle, kp_angle=fr.kp.angle,
             check_rotation=self.check_rotation,
         )
-        kp_pt_local = np.asarray(kp_pt_local)
-        kp_inl = np.asarray(kp_inl)
+        # ONE device->host transfer for all outputs (each np.asarray on a
+        # device array is a separate round trip — painful over a remote
+        # accelerator tunnel)
+        R, t, idx, n_inl, kp_inl, kp_pt_local = jax.device_get(out)
         kp_pt_id = np.full((fr.kp.xy.shape[0],), -1, np.int64)
         ok = (kp_pt_local >= 0) & (kp_pt_local < m) & kp_inl
         kp_pt_id[ok] = cand_ids[kp_pt_local[ok]]
-        return np.asarray(R), np.asarray(t), int(n_inl), kp_pt_id
+        return R, t, int(n_inl), kp_pt_id
 
     # ------------------------------------------------------------------
     def _match_step_pl(self, fr, fl, R_pred, t_pred, cand_ids: np.ndarray,
@@ -878,13 +890,13 @@ class Tracker:
         pose optimization (reference: TrackLocalMap, src/Tracking.cc:3761-3797
         — the line edges constrain the same solve as the point edges)."""
         st = self.store
-        cap = self.local_pts_cap
-        m = min(len(cand_ids), cap)
+        m = min(len(cand_ids), self.local_pts_cap)
         if m == 0:
             return (np.asarray(R_pred), np.asarray(t_pred), 0,
                     np.full((fr.kp.xy.shape[0],), -1, np.int64),
                     np.full((fl.kl.sp.shape[0],), -1, np.int64))
         cand_ids = cand_ids[:m]
+        cap = self._cap_bucket(m, self.local_pts_cap)
         (xyz, desc, octv, valid, normal, min_d, max_d,
          angle) = self._gather_point_block(cand_ids, cap)
 
@@ -901,7 +913,7 @@ class Tracker:
             ldesc[:ml] = st.ln_desc[cand_lines]
             lvalid[:ml] = st.ln_mask[cand_lines]
 
-        R, t, n_inl, kp_pt_local, kl_ln_local = _match_and_optimize_pl(
+        out = _match_and_optimize_pl(
             self.cam, jnp.asarray(R_pred), jnp.asarray(t_pred),
             xyz, desc, octv, valid,
             jnp.asarray(Xs), jnp.asarray(Xe), jnp.asarray(ldesc),
@@ -914,8 +926,8 @@ class Tracker:
             pts_angle=angle, kp_angle=fr.kp.angle,
             check_rotation=self.check_rotation,
         )
-        kp_pt_local = np.asarray(kp_pt_local)
-        kl_ln_local = np.asarray(kl_ln_local)
+        # single batched transfer (see _match_step)
+        R, t, n_inl, kp_pt_local, kl_ln_local = jax.device_get(out)
         kp_pt_id = np.full((fr.kp.xy.shape[0],), -1, np.int64)
         ok = (kp_pt_local >= 0) & (kp_pt_local < m)
         kp_pt_id[ok] = cand_ids[kp_pt_local[ok]]
@@ -1016,6 +1028,10 @@ class Tracker:
         st = self.store
         kf = st.alloc_kf()
         N = fr.kp.xy.shape[0]
+        # one batched device->host transfer for the whole frame snapshot
+        fr = jax.device_get(fr)
+        if fl is not None:
+            fl = jax.device_get(fl)
         st.kf_R[kf] = self.R
         st.kf_t[kf] = self.t
         c = self._fov_center(fr, self.R, self.t)

@@ -208,6 +208,11 @@ def bundle_adjust(
     """Run LM bundle adjustment; returns (R, t, points, lines_Xs, lines_Xe, info).
 
     info = dict(cost0, cost, lam, inlier_frac)
+
+    NOTE: call :func:`bundle_adjust_jit` from latency-sensitive paths — this
+    function traces eagerly, which is fine under an outer jit (GSPMD
+    sharding) but costs one device round trip PER PRIMITIVE when executed
+    op-by-op against a remote accelerator.
     """
     K = prob.R.shape[0]
     P = prob.points.shape[0]
@@ -417,3 +422,13 @@ def bundle_adjust(
     )
     info = {"cost0": cost0, "cost": cost, "lam": lam}
     return R, t, points, lXs, lXe, info
+
+
+# one compiled program per (shape-bucket, iteration config): the whole LM
+# solve is a single device dispatch — essential when the accelerator is
+# reached through a network tunnel (each eager primitive would pay a round
+# trip) and free otherwise
+bundle_adjust_jit = jax.jit(
+    bundle_adjust,
+    static_argnames=("cam", "num_iters", "cg_iters", "lam0", "line_weight"),
+)

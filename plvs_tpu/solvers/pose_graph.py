@@ -217,3 +217,8 @@ def optimize(
          jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
     )
     return R, t, s, {"cost0": cost0, "cost": cost}
+
+
+# single-dispatch compiled variant (see solvers.ba.bundle_adjust_jit)
+optimize_jit = jax.jit(
+    optimize, static_argnames=("num_iters", "cg_iters", "fix_scale", "lam0"))

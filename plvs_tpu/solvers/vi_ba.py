@@ -438,3 +438,10 @@ def vi_bundle_adjust(
     (R_wb, p_wb, v_w, bg, ba, points, lam, cost, _, _) = jax.lax.while_loop(
         lambda s: (s[8] < num_iters) & ~s[9], lm_body, init)
     return R_wb, p_wb, v_w, bg, ba, points, {"cost0": cost0, "cost": cost}
+
+
+# single-dispatch compiled variant (see solvers.ba.bundle_adjust_jit)
+vi_bundle_adjust_jit = jax.jit(
+    vi_bundle_adjust,
+    static_argnames=("cam", "num_iters", "cg_iters", "lam0",
+                     "inertial_weight", "bias_walk_info"))
