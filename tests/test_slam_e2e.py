@@ -97,6 +97,7 @@ class TestEvaluation:
         assert stats2["failed"]
 
 
+@pytest.mark.slow
 class TestLoopClosing:
     def test_no_false_loops_on_connected_map(self):
         """Long out-and-back sweep where tracking re-connects to the old map:
@@ -183,6 +184,7 @@ class TestLoopClosing:
         assert err_after < err_before * 0.25, (err_before, err_after)
 
 
+@pytest.mark.slow
 class TestRelocalization:
     def test_kidnapped_camera_recovers(self):
         """Blank out frames mid-sequence (tracking loss), then return to a
@@ -277,6 +279,7 @@ class TestRelocalization:
         assert all(s == OK for s in states[20:]), states
 
 
+@pytest.mark.slow
 class TestStereo:
     def test_stereo_slam(self):
         """Stereo pipeline: render left/right from the synthetic wall with a
@@ -307,6 +310,7 @@ class TestStereo:
         assert stats["points"] > 200, stats
 
 
+@pytest.mark.slow
 class TestMonocular:
     def test_mono_slam_up_to_scale(self):
         """Monocular pipeline: init by two-view reconstruction, map growth by
@@ -346,6 +350,7 @@ class TestMonocular:
         assert system.map_statistics()["points"] > 200
 
 
+@pytest.mark.slow
 class TestInertial:
     def test_rgbd_inertial(self):
         """RGB-D + IMU: gyro-aided prediction, online IMU initialization
@@ -408,6 +413,7 @@ class TestInertial:
         assert rmse < 0.04, rmse
 
 
+@pytest.mark.slow
 class TestSystemModes:
     """Localization-only mode, resets, image scaling (reference:
     include/System.h:157-167, Camera.imageScale)."""
