@@ -44,14 +44,15 @@ def build_system():
     from plvs_tpu.geometry import cameras
     from plvs_tpu.slam import System, SystemConfig
 
-    # realtime configuration: the backend (local BA / loop closing) overlaps
-    # tracking on the mapper actor thread, like the reference's
-    # LocalMapping/LoopClosing threads during its 30 fps runs. The remote-
-    # tunnel backend ('axon') serializes one client thread, so there the
-    # pipeline runs synchronously unless explicitly overridden.
-    use_async = os.environ.get(
-        "PLVS_BENCH_ASYNC",
-        "0" if jax.default_backend() == "axon" else "1") == "1"
+    # realtime configuration: the backend (local BA / loop closing) can
+    # overlap tracking on the mapper actor thread, like the reference's
+    # LocalMapping/LoopClosing threads during its 30 fps runs. Through a
+    # remote-tunnel TPU client every dispatch serializes on one connection
+    # (~26 ms/round-trip measured), so a second submitting thread stalls the
+    # tracker more than it helps — default to the synchronous pipeline and
+    # let PLVS_BENCH_ASYNC=1 opt in on locally-attached hardware.
+    use_async = os.environ.get("PLVS_BENCH_ASYNC", "0") == "1"
+    del jax
 
     # TUM-fr2-like intrinsics at full 640x480
     cam = cameras.pinhole(520.9, 521.0, 325.1, 249.7, width=WIDTH,
@@ -77,7 +78,9 @@ def main():
     def watchdog(seconds: float = 600.0):
         faulthandler.dump_traceback_later(seconds, exit=True)
 
-    watchdog()
+    # the remote-tunnel TPU backend spends ~5 min of one-time warm-up inside
+    # the FIRST XLA compile of the process; give the prepass generous room
+    watchdog(1500.0)
 
     # persistent compile cache: TPU executables are portable across runs of
     # the same chip (the CPU-only SIGILL hazard documented in

@@ -40,13 +40,33 @@ class DenseMapper:
     max_blocks: int = 8192
     filter_depth: bool = True
     use_segmentation: bool = False
+    # multi-resolution far field (reference: fastfusion's multi-scale TSDF,
+    # src/PointCloudMapFastFusion.cc): depth beyond split_depth goes into a
+    # coarse_factor x coarser companion volume so distant geometry costs
+    # coarse_factor^3 fewer voxels
+    multi_res: bool = False
+    coarse_factor: int = 4
+    split_depth: float = 3.0
+    # unstable-voxel removal cadence in keyframes (0 = off); reference:
+    # octree_point's unstable-point removal
+    carve_every: int = 0
 
     def __post_init__(self):
         self.volume = TSDFVolume(self.cam, voxel_size=self.voxel_size,
                                  max_blocks=self.max_blocks,
                                  with_labels=self.use_segmentation)
+        self.coarse = None
+        if self.multi_res:
+            self.coarse = TSDFVolume(
+                self.cam, voxel_size=self.voxel_size * self.coarse_factor,
+                max_blocks=max(self.max_blocks // 4, 512),
+                max_depth=self.volume.max_depth * 2.0)
+        from .meshing import IncrementalMesher
+
+        self.mesher = IncrementalMesher(self.volume)
         self.keyframes: list[DenseKeyFrame] = []
         self.labels: dict[int, np.ndarray] = {}
+        self._n_inserted = 0
         if self.use_segmentation:
             from .labels import GlobalLabelMap
 
@@ -80,9 +100,26 @@ class DenseMapper:
         if self.filter_depth:
             depth = np.asarray(processing.filter_depth(jnp.asarray(depth)))
         self.keyframes.append(DenseKeyFrame(kf_id, depth, color))
-        self.volume.integrate(depth, color, Rcw, tcw)
+        self._integrate_split(depth, color, Rcw, tcw)
         if self.use_segmentation:
             self._segment_and_fuse(kf_id, depth, Rcw, tcw)
+        self._n_inserted += 1
+        if self.carve_every and self._n_inserted % self.carve_every == 0:
+            self.volume.remove_unstable()
+            if self.coarse is not None:
+                self.coarse.remove_unstable()
+
+    def _integrate_split(self, depth, color, Rcw, tcw):
+        """Fine volume takes the near field; the coarse companion (if
+        enabled) takes everything beyond split_depth."""
+        if self.coarse is None:
+            self.volume.integrate(depth, color, Rcw, tcw)
+            return
+        near = np.where(depth <= self.split_depth, depth, 0.0)
+        far = np.where(depth > self.split_depth, depth, 0.0)
+        self.volume.integrate(near, color, Rcw, tcw)
+        if (far > 0).any():
+            self.coarse.integrate(far, color, Rcw, tcw)
 
     def insert_keyframe_stereo(self, kf_id: int, left: np.ndarray,
                                right: np.ndarray, Rcw: np.ndarray,
@@ -102,11 +139,14 @@ class DenseMapper:
         get_pose: kf_id -> (Rcw, tcw) with the *corrected* pose.
         """
         self.volume.reset()
+        if self.coarse is not None:
+            self.coarse.reset()
+        self.mesher.invalidate()
         for dkf in self.keyframes:
             Rcw, tcw = get_pose(dkf.kf_id)
             if Rcw is None:
                 continue
-            self.volume.integrate(dkf.depth, dkf.color, Rcw, tcw)
+            self._integrate_split(dkf.depth, dkf.color, Rcw, tcw)
             if self.use_segmentation and dkf.kf_id in self.labels:
                 # re-fuse the stored global label images (already associated)
                 self.volume.integrate_labels(
@@ -114,7 +154,12 @@ class DenseMapper:
 
     # ------------------------------------------------------------------
     def cloud(self):
-        return self.volume.occupied_cloud()
+        pts, cols = self.volume.occupied_cloud()
+        if self.coarse is not None:
+            p2, c2 = self.coarse.occupied_cloud()
+            pts = np.concatenate([pts, p2])
+            cols = np.concatenate([cols, c2])
+        return pts, cols
 
     def segment_cloud(self):
         """Surface voxels + global segment labels (octree_point view)."""
@@ -123,7 +168,22 @@ class DenseMapper:
     def mesh(self):
         from .meshing import marching_tetrahedra
 
-        return marching_tetrahedra(self.volume)
+        V, F = marching_tetrahedra(self.volume)
+        if self.coarse is not None:
+            V2, F2 = marching_tetrahedra(self.coarse)
+            F = np.concatenate([F, F2 + len(V)])
+            V = np.concatenate([V, V2])
+        return V, F
+
+    def mesh_incremental(self):
+        """Changed-blocks-only mesh update of the fine volume (voxblox
+        MeshIntegrator-style; see meshing.IncrementalMesher)."""
+        return self.mesher.update()
+
+    def mesh_normals(self, V: np.ndarray):
+        from .meshing import vertex_normals
+
+        return vertex_normals(self.volume, V)
 
     def save_ply(self, path: str):
         self.volume.save_ply(path)

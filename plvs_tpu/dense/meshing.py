@@ -39,31 +39,33 @@ def _interp(p0, p1, v0, v1):
     return p0 + t * (p1 - p0)
 
 
-def _padded_fields(volume: TSDFVolume):
-    """Each block's [S+1]^3 tsdf/weight with the +x/+y/+z neighbor faces
-    pulled in through the block table, so cubes straddling block boundaries
-    are meshed too (cross-block seams — voxblox's MeshIntegrator handles the
-    same case with neighbor lookups)."""
-    n = volume.n_blocks
+# padded-slab fills: neighbor offsets in (x, y, z) and the (z, y, x) slices
+_NEIGHBOR_FILLS = [
+    ((1, 0, 0), (slice(0, 8), slice(0, 8), 8), (slice(0, 8), slice(0, 8), 0)),
+    ((0, 1, 0), (slice(0, 8), 8, slice(0, 8)), (slice(0, 8), 0, slice(0, 8))),
+    ((0, 0, 1), (8, slice(0, 8), slice(0, 8)), (0, slice(0, 8), slice(0, 8))),
+    ((1, 1, 0), (slice(0, 8), 8, 8), (slice(0, 8), 0, 0)),
+    ((1, 0, 1), (8, slice(0, 8), 8), (0, slice(0, 8), 0)),
+    ((0, 1, 1), (8, 8, slice(0, 8)), (0, 0, slice(0, 8))),
+    ((1, 1, 1), (8, 8, 8), (0, 0, 0)),
+]
+
+
+def _padded_fields(volume: TSDFVolume, slots: np.ndarray):
+    """Each listed block's [S+1]^3 tsdf/weight with the +x/+y/+z neighbor
+    faces pulled in through the block table, so cubes straddling block
+    boundaries are meshed too (cross-block seams — voxblox's MeshIntegrator
+    handles the same case with neighbor lookups)."""
     S = BLOCK
+    n = len(slots)
     pt = np.ones((n, S + 1, S + 1, S + 1), np.float32)
     pw = np.zeros((n, S + 1, S + 1, S + 1), np.float32)
-    pt[:, :S, :S, :S] = volume.tsdf[:n]
-    pw[:, :S, :S, :S] = volume.weight[:n]
+    pt[:, :S, :S, :S] = volume.tsdf[slots]
+    pw[:, :S, :S, :S] = volume.weight[slots]
 
-    coords = volume.block_coords[:n]
+    coords = volume.block_coords[slots]
     bmap = volume.block_map
-    # neighbor offsets in (x, y, z) and the padded-slab they fill (z, y, x)
-    neighbor_fills = [
-        ((1, 0, 0), (slice(0, S), slice(0, S), S), (slice(0, S), slice(0, S), 0)),
-        ((0, 1, 0), (slice(0, S), S, slice(0, S)), (slice(0, S), 0, slice(0, S))),
-        ((0, 0, 1), (S, slice(0, S), slice(0, S)), (0, slice(0, S), slice(0, S))),
-        ((1, 1, 0), (slice(0, S), S, S), (slice(0, S), 0, 0)),
-        ((1, 0, 1), (S, slice(0, S), S), (0, slice(0, S), 0)),
-        ((0, 1, 1), (S, S, slice(0, S)), (0, 0, slice(0, S))),
-        ((1, 1, 1), (S, S, S), (0, 0, 0)),
-    ]
-    for off, dst, src in neighbor_fills:
+    for off, dst, src in _NEIGHBOR_FILLS:
         for i in range(n):
             nb = bmap.get((int(coords[i, 0] + off[0]),
                            int(coords[i, 1] + off[1]),
@@ -74,15 +76,21 @@ def _padded_fields(volume: TSDFVolume):
     return pt, pw
 
 
-def marching_tetrahedra(volume: TSDFVolume, min_weight: float = 1.0):
-    """Extract a triangle mesh. Returns (vertices [V,3], faces [F,3])."""
-    n = volume.n_blocks
-    if n == 0:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
+                       min_weight: float = 1.0):
+    """Marching-tetrahedra triangles for a subset of blocks.
+
+    Returns (tri [F, 3, 3] float32, tri_slot [F] int32) — the slot index that
+    produced each triangle, so callers can cache meshes per block
+    (incremental re-meshing, voxblox MeshIntegrator-style)."""
+    slots = np.asarray(slots, np.int64)
+    if len(slots) == 0:
+        return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
     S = BLOCK
     vs = volume.voxel_size
 
-    tsdf, weight = _padded_fields(volume)
+    tsdf, weight = _padded_fields(volume, slots)
+    n = len(slots)
     # cube corner values for every S^3 cube of every (padded) block
     cs = S
     corners_v = np.empty((n, cs, cs, cs, 8), np.float32)
@@ -95,17 +103,18 @@ def marching_tetrahedra(volume: TSDFVolume, min_weight: float = 1.0):
     has_surface = (corners_v.min(-1) < 0) & (corners_v.max(-1) > 0)
     b, zi, yi, xi = np.nonzero(valid_cube & has_surface)
     if len(b) == 0:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
 
     # cube corner world positions [M, 8, 3]
     base = (
-        volume.block_coords[:n][b] * (S * vs)
+        volume.block_coords[slots[b]] * (S * vs)
         + (np.stack([xi, yi, zi], -1) + 0.5) * vs
     )
     cpos = base[:, None, :] + _CORNER_OFF[None, :, :] * vs
     cval = corners_v[b, zi, yi, xi]  # [M, 8]
 
     verts_out = []
+    slot_out = []
     for tet in _TETS:
         p = cpos[:, tet]              # [M, 4, 3]
         v = cval[:, tet]              # [M, 4]
@@ -129,10 +138,12 @@ def marching_tetrahedra(volume: TSDFVolume, min_weight: float = 1.0):
                 a = ins[0]
                 e = [_interp(ps[:, a], ps[:, o], vv[:, a], vv[:, o]) for o in outs]
                 verts_out.append(np.stack([e[0], e[1], e[2]], 1))
+                slot_out.append(b[sel])
             elif len(ins) == 3:
                 a = outs[0]
                 e = [_interp(ps[:, i], ps[:, a], vv[:, i], vv[:, a]) for i in ins]
                 verts_out.append(np.stack([e[0], e[2], e[1]], 1))
+                slot_out.append(b[sel])
             else:  # 2 in / 2 out -> quad = 2 triangles
                 i0, i1 = ins
                 o0, o1 = outs
@@ -142,11 +153,134 @@ def marching_tetrahedra(volume: TSDFVolume, min_weight: float = 1.0):
                 e11 = _interp(ps[:, i1], ps[:, o1], vv[:, i1], vv[:, o1])
                 verts_out.append(np.stack([e00, e10, e11], 1))
                 verts_out.append(np.stack([e00, e11, e01], 1))
+                slot_out.append(b[sel])
+                slot_out.append(b[sel])
 
+    if not verts_out:
+        return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
     tri = np.concatenate(verts_out).astype(np.float32)  # [F, 3, 3]
+    tri_slot = slots[np.concatenate(slot_out)].astype(np.int32)
+    return tri, tri_slot
+
+
+def marching_tetrahedra(volume: TSDFVolume, min_weight: float = 1.0):
+    """Extract the full triangle mesh. Returns (vertices [V,3], faces [F,3])."""
+    n = volume.n_blocks
+    if n == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tri, _ = _extract_triangles(volume, np.arange(n), min_weight)
     V = tri.reshape(-1, 3)
     F = np.arange(len(V), dtype=np.int32).reshape(-1, 3)
     return V, F
+
+
+def sample_tsdf(volume: TSDFVolume, pts: np.ndarray) -> np.ndarray:
+    """Nearest-voxel TSDF value at world points (1.0 where unallocated)."""
+    S = BLOCK
+    out = np.ones(len(pts), np.float32)
+    if volume.n_blocks == 0 or len(pts) == 0:
+        return out
+    bs = S * volume.voxel_size
+    bc = np.floor(pts / bs).astype(np.int32)
+    vox = np.floor(pts / volume.voxel_size).astype(np.int32) - bc * S
+    vox = np.clip(vox, 0, S - 1)
+    uniq, inv = np.unique(bc, axis=0, return_inverse=True)
+    slot = np.array(
+        [volume.block_map.get(tuple(c), -1) for c in uniq.tolist()],
+        np.int64)[inv]
+    ok = slot >= 0
+    out[ok] = volume.tsdf[slot[ok], vox[ok, 2], vox[ok, 1], vox[ok, 0]]
+    return out
+
+
+def vertex_normals(volume: TSDFVolume, V: np.ndarray) -> np.ndarray:
+    """Per-vertex surface normals from the TSDF gradient (central
+    differences at one-voxel spacing), pointing from inside (tsdf<0) toward
+    free space — the reference computes dense-cloud normals per point
+    (src/PointCloudMapping.cc:998-1035) and voxblox shades meshes with
+    gradient normals."""
+    if len(V) == 0:
+        return np.zeros((0, 3), np.float32)
+    h = volume.voxel_size
+    g = np.empty((len(V), 3), np.float32)
+    for a in range(3):
+        e = np.zeros(3, np.float32)
+        e[a] = h
+        g[:, a] = sample_tsdf(volume, V + e) - sample_tsdf(volume, V - e)
+    nrm = np.linalg.norm(g, axis=1, keepdims=True)
+    return (g / np.maximum(nrm, 1e-12)).astype(np.float32)
+
+
+class IncrementalMesher:
+    """Per-block cached meshing: only blocks whose TSDF changed since their
+    last extraction (or whose -x/-y/-z neighbor changed — the padded seam
+    dependency) are re-meshed; everything else is served from the cache.
+
+    TPU-native equivalent of voxblox's MeshIntegrator updated-blocks-only
+    pass and fastfusion's incremental MeshInterleaved
+    (reference: src/PointCloudMapFastFusion.cc:35-77, voxblox MeshIntegrator;
+    VERDICT r1 'dense-engine refinements')."""
+
+    def __init__(self, volume: TSDFVolume, min_weight: float = 1.0):
+        self.volume = volume
+        self.min_weight = min_weight
+        self._block_tris: dict[int, np.ndarray] = {}  # slot -> [F,3,3]
+        self._meshed_version: dict[int, int] = {}
+        self.last_n_remeshed = 0
+
+    def _dirty_slots(self) -> np.ndarray:
+        vol = self.volume
+        n = vol.n_blocks
+        ver = vol.block_version[:n]
+        coords = vol.block_coords[:n]
+        meshed = np.array([self._meshed_version.get(s, -1)
+                           for s in range(n)], np.int64)
+        dirty = ver > meshed
+        # seam dependency: a block's padded faces read its +offset
+        # neighbors, so a changed block also dirties the blocks that read it
+        changed = np.nonzero(dirty)[0]
+        extra = set()
+        for s in changed:
+            c = coords[s]
+            for off, _, _ in _NEIGHBOR_FILLS:
+                nb = vol.block_map.get(
+                    (int(c[0] - off[0]), int(c[1] - off[1]), int(c[2] - off[2])))
+                if nb is not None and not dirty[nb]:
+                    extra.add(nb)
+        if extra:
+            dirty[list(extra)] = True
+        return np.nonzero(dirty)[0]
+
+    def update(self):
+        """Re-mesh dirty blocks; returns (vertices [V,3], faces [F,3])
+        for the full up-to-date mesh."""
+        vol = self.volume
+        slots = self._dirty_slots()
+        self.last_n_remeshed = len(slots)
+        if len(slots):
+            tri, tri_slot = _extract_triangles(vol, slots, self.min_weight)
+            for s in slots:
+                self._block_tris[int(s)] = tri[tri_slot == s]
+                self._meshed_version[int(s)] = int(vol.block_version[s])
+        # drop cache entries for blocks that no longer exist (reset/rebuild)
+        live = vol.n_blocks
+        for s in [k for k in self._block_tris if k >= live]:
+            del self._block_tris[s]
+            self._meshed_version.pop(s, None)
+        if not self._block_tris:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        tris = [t for t in self._block_tris.values() if len(t)]
+        if not tris:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        tri = np.concatenate(tris)
+        V = tri.reshape(-1, 3)
+        F = np.arange(len(V), dtype=np.int32).reshape(-1, 3)
+        return V, F
+
+    def invalidate(self):
+        """Forget all cached blocks (after volume reset / rebuild)."""
+        self._block_tris.clear()
+        self._meshed_version.clear()
 
 
 def save_mesh_ply(path: str, V: np.ndarray, F: np.ndarray):

@@ -231,6 +231,19 @@ def _integrate_labels_resident(
     return label_full.at[:nb].set(l), conf_full.at[:nb].set(c)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _carve_unstable(tsdf_full, weight_full, block_old, min_weight):
+    """Reset voxels with 0 < weight < min_weight in 'old' blocks to empty."""
+    unstable = (
+        (weight_full > 0.0) & (weight_full < min_weight)
+        & block_old[:, None, None, None]
+    )
+    return (
+        jnp.where(unstable, 1.0, tsdf_full),
+        jnp.where(unstable, 0.0, weight_full),
+    )
+
+
 @dataclasses.dataclass
 class TSDFVolume:
     """Host-managed block table + device-batched integration."""
@@ -249,6 +262,11 @@ class TSDFVolume:
         self.block_map: dict[tuple, int] = {}
         self.block_coords = np.zeros((self.max_blocks, 3), np.int32)
         self.n_blocks = 0
+        # per-block bookkeeping for incremental meshing + unstable-voxel
+        # removal: frame counter, last-touched version, allocation frame
+        self.frame_idx = 0
+        self.block_version = np.zeros(self.max_blocks, np.int64)
+        self.block_alloc_frame = np.zeros(self.max_blocks, np.int64)
         # working state lives ON DEVICE across frames (the reference's
         # backends mutate host memory in place; here the per-frame hot loop
         # must not ship the whole block table over PCIe/tunnel every frame)
@@ -315,6 +333,10 @@ class TSDFVolume:
         self.block_coords[:n] = block_coords
         self.block_map = {tuple(c): i for i, c in
                           enumerate(np.asarray(block_coords).tolist())}
+        self.frame_idx = 1
+        self.block_version[:] = 0
+        self.block_version[:n] = 1
+        self.block_alloc_frame[:] = 0
         S = BLOCK
         for key, init, val in (
             ("tsdf", 1.0, tsdf), ("weight", 0.0, weight), ("color", 0.0, color),
@@ -362,6 +384,7 @@ class TSDFVolume:
                     break  # capacity — silently stop allocating (bounded map)
                 self.block_map[c] = self.n_blocks
                 self.block_coords[self.n_blocks] = c
+                self.block_alloc_frame[self.n_blocks] = self.frame_idx
                 self.n_blocks += 1
         if self.n_blocks != n0:
             self._coords_d = None  # device copy stale
@@ -388,6 +411,40 @@ class TSDFVolume:
         )
         d["tsdf"], d["weight"], d["color"] = t, w, c
         self._mirror = None
+        self.frame_idx += 1
+        self._mark_touched(Rcw, tcw)
+
+    def _mark_touched(self, Rcw, tcw):
+        """Bump the version of every block this frame could have changed —
+        a conservative camera-range test on block centers (over-marking only
+        costs the incremental mesher extra re-extractions)."""
+        n = self.n_blocks
+        S = BLOCK
+        centers = (self.block_coords[:n].astype(np.float32) + 0.5) * (
+            S * self.voxel_size)
+        Xc = centers @ Rcw.T + tcw
+        diag = S * self.voxel_size * np.sqrt(3.0)
+        touched = (Xc[:, 2] > -diag) & (
+            np.linalg.norm(Xc, axis=1) < self.max_depth + diag)
+        self.block_version[:n][touched] = self.frame_idx
+
+    def remove_unstable(self, min_weight: float = 2.0, min_age: int = 3):
+        """Clear voxels that never accumulated ``min_weight`` observations in
+        blocks at least ``min_age`` frames old (reference: the octree_point
+        backend's unstable-point removal,
+        include/OctreePointCloudCentroid.h:74-316 — sporadic depth noise is
+        dropped once it fails to be re-observed)."""
+        n = self.n_blocks
+        if n == 0:
+            return
+        old = np.zeros(self.max_blocks, bool)
+        old[:n] = (self.frame_idx - self.block_alloc_frame[:n]) >= min_age
+        d = self._dev
+        t, w = _carve_unstable(
+            d["tsdf"], d["weight"], self._put(old), float(min_weight))
+        d["tsdf"], d["weight"] = t, w
+        self._mirror = None
+        self.block_version[:n][old[:n]] = self.frame_idx
 
     def integrate_labels(self, depth: np.ndarray, label_img: np.ndarray,
                          Rcw: np.ndarray, tcw: np.ndarray):

@@ -64,18 +64,27 @@ def make_line_texture(size: int = 1024,
     return np.clip(tex, 0, 255)
 
 
+def _so3_exp_np(w: np.ndarray) -> np.ndarray:
+    """Host-side Rodrigues formula — the trajectory generator is a data
+    source and must never dispatch to (or wait on) an accelerator."""
+    th = float(np.linalg.norm(w))
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]],
+                 np.float64)
+    if th < 1e-12:
+        return np.eye(3, dtype=np.float32)
+    A, B = np.sin(th) / th, (1 - np.cos(th)) / th ** 2
+    return (np.eye(3) + A * K + B * (K @ K)).astype(np.float32)
+
+
 def default_trajectory(n_frames: int = 60) -> list[tuple[np.ndarray, np.ndarray]]:
     """World-to-camera poses: lateral sweep + mild yaw/depth changes."""
-    from ..geometry import lie
-    import jax.numpy as jnp
-
     poses = []
     for i in range(n_frames):
         s = i / max(n_frames - 1, 1)
         yaw = 0.10 * np.sin(2 * np.pi * s)
         pitch = 0.04 * np.sin(4 * np.pi * s)
         C = np.array([0.8 * s, 0.12 * np.sin(2 * np.pi * s), 0.25 * s], np.float32)
-        R = np.asarray(lie.so3_exp(jnp.asarray([pitch, yaw, 0.0], jnp.float32)))
+        R = _so3_exp_np(np.array([pitch, yaw, 0.0]))
         t = (-R @ C).astype(np.float32)
         poses.append((R.astype(np.float32), t))
     return poses

@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from plvs_tpu.geometry import lie
@@ -126,6 +127,7 @@ class TestPreintegration:
 
 
 class TestInertialInit:
+    @pytest.mark.slow
     def test_recovers_gravity_scale_bias(self):
         """Simulate KFs on a trajectory with tilted gravity, scaled visual
         map and nonzero biases; the init must recover all of them."""
@@ -172,6 +174,7 @@ class TestInertialInit:
 
 
 class TestVIBA:
+    @pytest.mark.slow
     def test_recovers_perturbed_states(self):
         """Simulated VI setup: camera observes landmarks from body poses,
         IMU preintegrations between keyframes; perturbed states + points

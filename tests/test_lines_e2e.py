@@ -74,6 +74,7 @@ class TestLinesReduceATE:
         assert ate_pl < 0.05, ate_pl
 
 
+@pytest.mark.slow
 class TestStereoLines:
     def test_stereo_creates_line_landmarks(self):
         sys_st, ate = _run(use_lines=True, sensor="stereo")

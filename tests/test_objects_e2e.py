@@ -13,6 +13,10 @@ from plvs_tpu.slam import System, SystemConfig
 CAM = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320, height=240,
                       bf=24.0)
 
+# full 25-frame sequence with object detection at every KF: too heavy for
+# the default gate (object-store units stay in tests/test_map_objects.py)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def object_run():
