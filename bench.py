@@ -130,6 +130,14 @@ def main():
     print(f"map: {stats}", file=sys.stderr)
     print(system.stopwatch.report(), file=sys.stderr)
 
+    # roofline evidence for the hot Pallas kernels (BASELINE.md kernel-speed
+    # row): achieved GB/s / GFLOP/s vs the chip's speed-of-light bound
+    if jax.default_backend() != "cpu":
+        from plvs_tpu.ops import roofline
+
+        watchdog()
+        roofline.report()
+
     print(json.dumps({
         "metric": "rgbd_full_pipeline_fps_640x480_lines",
         "value": round(fps, 2),

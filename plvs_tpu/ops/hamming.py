@@ -48,15 +48,16 @@ def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
 
 def _unpack_pm1(packed: jnp.ndarray) -> jnp.ndarray:
     """[T, WORDS] uint32 -> [T, 256] bf16 in {-1, +1} (bit order: word-major,
-    LSB first — order only needs to agree between the two operands)."""
+    LSB first — order only needs to agree between the two operands).
+
+    One broadcasted shift instead of a 256-column concat: the original
+    per-column formulation emitted hundreds of [T, 1] VPU oplets and made
+    the 'matmul' kernel unpack-bound (~900 us for 1024x1024; the matmul
+    itself is ~3 us of MXU time)."""
     t = packed.shape[0]
-    shift = jax.lax.broadcasted_iota(jnp.uint32, (t, 32), dimension=1)
-    cols = []
-    for w in range(WORDS):
-        word = packed[:, w].reshape(t, 1)
-        bits = ((word >> shift) & jnp.uint32(1)).astype(jnp.int32)
-        cols.append((2 * bits - 1).astype(jnp.float32))
-    return jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
+    shift = jax.lax.broadcasted_iota(jnp.uint32, (t, WORDS, 32), dimension=2)
+    bits = ((packed[:, :, None] >> shift) & jnp.uint32(1)).astype(jnp.int32)
+    return (2 * bits - 1).reshape(t, BITS).astype(jnp.bfloat16)
 
 
 def _hamming_kernel_mxu(dq_ref, dk_ref, out_ref):

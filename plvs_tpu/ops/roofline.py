@@ -1,0 +1,127 @@
+"""Roofline accounting for the hot Pallas kernels.
+
+Answers BASELINE.md's "kernel speed" row with evidence instead of a claim:
+for each kernel we count the HBM bytes it must move and the flops it must
+execute, measure achieved time on the attached chip, and report achieved
+throughput as a fraction of the speed-of-light bound
+max(bytes / peak_bw, flops / peak_flops).
+
+Through a remote-tunnel client a single dispatch costs ~26 ms of latency,
+so each kernel is timed as N back-to-back iterations inside ONE jitted
+program (chained by a data dependency so XLA cannot elide the loop) and the
+per-iteration time is the measured total divided by N.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# TPU v5e (1 chip): 197 TFLOP/s bf16, 819 GB/s HBM. Used as the
+# speed-of-light denominators; other chips only shift the reported %.
+PEAK_FLOPS_BF16 = 197e12
+PEAK_FLOPS_F32 = 13e12          # VPU f32 (8 MXU-equivalent lanes)
+PEAK_HBM_GBS = 819e9
+
+
+def _time_repeated(step, carry0, iters: int = 32, reps: int = 5) -> float:
+    """Median seconds per iteration of ``carry = step(carry)`` chained
+    ``iters`` times inside one jit (one dispatch per measurement)."""
+
+    @jax.jit
+    def chained(c):
+        return jax.lax.fori_loop(0, iters, lambda _, cc: step(cc), c)
+
+    out = chained(carry0)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(carry0))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / iters
+
+
+def hamming_roofline(Q: int = 1024, K: int = 1024) -> dict:
+    """MXU Hamming kernel: one [Q,256]x[256,K] bf16 matmul worth of flops;
+    HBM traffic = packed descriptors in + [Q,K] distance matrix out."""
+    from .hamming import hamming_matrix
+
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(rng.integers(0, 2**32, (Q, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint32))
+
+    def step(c):
+        out = hamming_matrix(c, d2)
+        # fold one output element back into the carry: a true data
+        # dependency between iterations without meaningful extra work
+        return c ^ out[0, 0].astype(jnp.uint32)
+
+    s_per = _time_repeated(step, d1)
+    bytes_moved = (Q + K) * 32 + Q * K * 4
+    flops = 2.0 * Q * K * 256
+    t_bound = max(bytes_moved / PEAK_HBM_GBS, flops / PEAK_FLOPS_BF16)
+    return {
+        "kernel": f"hamming_mxu[{Q}x{K}]",
+        "time_us": s_per * 1e6,
+        "GB/s": bytes_moved / s_per / 1e9,
+        "GFLOP/s": flops / s_per / 1e9,
+        "bound": "bandwidth" if bytes_moved / PEAK_HBM_GBS > flops / PEAK_FLOPS_BF16
+                 else "compute",
+        "pct_of_light": 100.0 * t_bound / s_per,
+    }
+
+
+def stereo_roofline(H: int = 480, W: int = 640, D: int = 64,
+                    r: int = 3) -> dict:
+    """Census-WTA stereo kernel: cost volume lives in VMEM (never touches
+    HBM); HBM traffic = two census images in + disparity out. Flop count:
+    per pixel per disparity one XOR+popcount (~6 VPU int ops) plus the
+    separable box aggregation (~4) and WTA compare (~2)."""
+    from .stereo import disparity_wta_pallas
+
+    rng = np.random.default_rng(1)
+    cl = jnp.asarray(rng.integers(0, 2**32, (H, W), dtype=np.uint32))
+    cr = jnp.asarray(rng.integers(0, 2**32, (H, W), dtype=np.uint32))
+
+    def step(c):
+        disp = disparity_wta_pallas(c, cr, max_disp=D, agg_radius=r)
+        return c ^ disp[0, 0].astype(jnp.uint32)
+
+    s_per = _time_repeated(step, cl, iters=8)
+    bytes_moved = 2 * H * W * 4 + H * W * 4
+    flops = float(H * W * D) * 12.0
+    t_bound = max(bytes_moved / PEAK_HBM_GBS, flops / PEAK_FLOPS_F32)
+    return {
+        "kernel": f"census_wta[{H}x{W},D={D}]",
+        "time_us": s_per * 1e6,
+        "GB/s": bytes_moved / s_per / 1e9,
+        "GFLOP/s": flops / s_per / 1e9,
+        "bound": "bandwidth" if bytes_moved / PEAK_HBM_GBS > flops / PEAK_FLOPS_F32
+                 else "compute",
+        "pct_of_light": 100.0 * t_bound / s_per,
+    }
+
+
+def report(file=None) -> list[dict]:
+    import sys
+
+    file = file or sys.stderr
+    rows = []
+    for fn in (hamming_roofline, stereo_roofline):
+        try:
+            rows.append(fn())
+        except Exception as e:  # pallas unavailable (CPU interpret etc.)
+            print(f"roofline: {fn.__name__} skipped: {e}", file=file)
+    for row in rows:
+        print(
+            "roofline: {kernel}: {time_us:.1f} us/call, {GB_s:.1f} GB/s, "
+            "{GF_s:.1f} GFLOP/s, {bound}-bound, {pct:.1f}% of "
+            "speed-of-light".format(
+                kernel=row["kernel"], time_us=row["time_us"],
+                GB_s=row["GB/s"], GF_s=row["GFLOP/s"], bound=row["bound"],
+                pct=row["pct_of_light"]), file=file)
+    return rows

@@ -308,6 +308,7 @@ class InertialRuntime:
             store.kf_R[k] = (self.R_cb @ R_bw).astype(np.float32)
             store.kf_t[k] = (self.R_cb @ t_bw + self.t_cb).astype(np.float32)
             self.kf_velocity[k] = vn[i].astype(np.float32)
+        store.version += 1
         store.pt_xyz[pts] = np.asarray(ptsn)
         # While the staged initialization is still refining (short window),
         # the inertial-only solve — rerun on_keyframe with long-baseline

@@ -67,6 +67,26 @@ def _triangulate_lines_pair(cam, R1, t1, R2, t2, sp1, ep1, sp2, ep2, valid,
     return Xs, Xe, ok
 
 
+@_functools.partial(_jax.jit, static_argnames=("cam", "reproj_thresh"))
+def _triangulate_lines_multi(cam, R1, t1, d1, m1, sp1, ep1,
+                             R2b, t2b, d2b, m2b, sp2b, ep2b,
+                             reproj_thresh: float = 3.0):
+    """Line matching + plane-plane triangulation against B neighbour
+    keyframes in ONE dispatch (the per-neighbour loop cost B x 2 round trips
+    over a remote tunnel). Returns per-neighbour (idx [B,n], Xs, Xe, ok)."""
+    from ..features.matching import match_nn_ratio
+
+    def one(R2, t2, d2, m2, sp2, ep2):
+        idx = match_nn_ratio(d1, d2, m1, m2, max_dist=90, ratio=0.85)[0]
+        idx_c = jnp.maximum(idx, 0)
+        Xs, Xe, ok = _triangulate_lines_pair(
+            cam, R1, t1, R2, t2, sp1, ep1, sp2[idx_c], ep2[idx_c],
+            idx >= 0, reproj_thresh=reproj_thresh)
+        return idx, Xs, Xe, ok
+
+    return _jax.vmap(one)(R2b, t2b, d2b, m2b, sp2b, ep2b)
+
+
 @_functools.partial(_jax.jit, static_argnames=("cam",))
 def _fuse_match_batch(cam, R_nb, t_nb, pts_xyz, pts_desc,
                       kp_xy, kp_desc, kp_octave, kp_mask):
@@ -155,37 +175,38 @@ class LocalMapper:
         if m1.sum() < 2:
             return
         R1, t1 = st.kf_R[kf_id], st.kf_t[kf_id]
+        C1 = -R1.T @ t1
+        # host-side neighbour preselection (baseline + free-keyline gates),
+        # then ONE vmapped match+triangulate dispatch for all of them
+        nbs = []
         for nb in covis[:max_neighbors]:
             nb = int(nb)
-            C1 = -R1.T @ t1
             C2 = -st.kf_R[nb].T @ st.kf_t[nb]
             if np.linalg.norm(C1 - C2) < 0.01:
                 continue  # no baseline: planes coincide, triangulation is
                 # degenerate (reference's baseline/median-depth gate)
-            m2 = st.kf_kl_mask[nb] & (st.kf_kl_line[nb] < 0)
-            if m2.sum() < 2:
-                continue
-            idx = np.asarray(match_nn_ratio(
-                _j.asarray(st.kf_kl_desc[kf_id]), _j.asarray(st.kf_kl_desc[nb]),
-                _j.asarray(m1), _j.asarray(m2), max_dist=90, ratio=0.85,
-            )[0])
-            if not (idx >= 0).any():
-                continue
-            # fixed-shape gather on the host; one jitted triangulation +
-            # verification dispatch per neighbour
-            idx_c = np.maximum(idx, 0)
-            Xs, Xe, ok = _jax.device_get(_triangulate_lines_pair(
-                self.cam,
-                _j.asarray(R1), _j.asarray(t1),
-                _j.asarray(st.kf_R[nb]), _j.asarray(st.kf_t[nb]),
-                _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]),
-                _j.asarray(st.kf_kl_sp[nb][idx_c]),
-                _j.asarray(st.kf_kl_ep[nb][idx_c]),
-                _j.asarray(idx >= 0), reproj_thresh=reproj_thresh))
-            good = np.nonzero(ok)[0]
+            if (st.kf_kl_mask[nb] & (st.kf_kl_line[nb] < 0)).sum() >= 2:
+                nbs.append(nb)
+        if not nbs:
+            return
+        nbs = np.asarray(nbs, np.int64)
+        m2b = st.kf_kl_mask[nbs] & (st.kf_kl_line[nbs] < 0)
+        idx_b, Xs_b, Xe_b, ok_b = _jax.device_get(_triangulate_lines_multi(
+            self.cam, _j.asarray(R1), _j.asarray(t1),
+            _j.asarray(st.kf_kl_desc[kf_id]), _j.asarray(m1),
+            _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]),
+            _j.asarray(st.kf_R[nbs]), _j.asarray(st.kf_t[nbs]),
+            _j.asarray(st.kf_kl_desc[nbs]), _j.asarray(m2b),
+            _j.asarray(st.kf_kl_sp[nbs]), _j.asarray(st.kf_kl_ep[nbs]),
+            reproj_thresh=reproj_thresh))
+        taken = ~m1  # keylines already bound to a landmark
+        for bi, nb in enumerate(nbs):
+            idx, Xs, Xe, ok = idx_b[bi], Xs_b[bi], Xe_b[bi], ok_b[bi]
+            good = np.nonzero(ok & ~taken)[0]
             if len(good) == 0:
                 continue
             ln_ids = st.alloc_lines(len(good))
+            st.version += 1
             st.ln_Xs[ln_ids] = Xs[good]
             st.ln_Xe[ln_ids] = Xe[good]
             st.ln_desc[ln_ids] = st.kf_kl_desc[kf_id][good]
@@ -196,8 +217,8 @@ class LocalMapper:
             st.ln_visible[ln_ids] = 1
             st.ln_found[ln_ids] = 1
             st.add_line_observations(kf_id, ln_ids, good)
-            st.add_line_observations(nb, ln_ids, idx[good])
-            m1 = st.kf_kl_mask[kf_id] & (st.kf_kl_line[kf_id] < 0)
+            st.add_line_observations(int(nb), ln_ids, idx[good])
+            taken[good] = True
 
     # ------------------------------------------------------------------
     def create_new_points(self, kf_id: int, max_neighbors: int = 5):
@@ -273,6 +294,7 @@ class LocalMapper:
             if len(good) == 0:
                 continue
             pt_ids = st.alloc_pts(len(good))
+            st.version += 1
             st.pt_xyz[pt_ids] = np.asarray(Xw)[good]
             st.pt_desc[pt_ids] = st.kf_kp_desc[kf_id][sel[good]]
             st.pt_mask[pt_ids] = True
@@ -427,7 +449,12 @@ class LocalMapper:
         done = 0
         info = {"cost": np.inf}
         while done < num_iters:
-            it = min(self.ba_chunk_iters, num_iters - done)
+            # without an abort hook (synchronous runtime) run every LM
+            # iteration in one dispatch — chunking exists only so the async
+            # mapper can honor an interrupt between chunks (reference:
+            # mbAbortBA), and each chunk boundary costs a device round trip
+            it = (num_iters - done if self.abort_check is None
+                  else min(self.ba_chunk_iters, num_iters - done))
             Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
                 self.cam, prob, num_iters=it, cg_iters=cg_iters)
             prob = prob._replace(R=Rn, t=tn, points=pn,
@@ -448,6 +475,7 @@ class LocalMapper:
         st.kf_R[cams[free]] = Rn[:K][free]
         st.kf_t[cams[free]] = tn[:K][free]
         alive = st.pt_mask[pts]
+        st.version += 1
         st.pt_xyz[pts[alive]] = pn[: len(pts)][alive]
         if len(lns):
             lalive = st.ln_mask[lns]

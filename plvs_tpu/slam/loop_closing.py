@@ -375,6 +375,7 @@ class LoopCloser:
         X = st.pt_xyz[p_sel]
         Xc = np.einsum("nij,nj->ni", R_old, X) + t_old
         Xw = np.einsum("nji,nj->ni", R_new, Xc - t_new)
+        st.version += 1
         st.pt_xyz[p_sel] = Xw
 
         # line landmarks move with their reference keyframe exactly like

@@ -139,6 +139,13 @@ class MapStore:
         self._n_ln = 0
         self._obs_top = 0  # append watermark (holes compacted lazily)
         self._lobs_top = 0
+        # landmark mutation counter: bumped by every path that changes
+        # landmark geometry/descriptors/masks so per-frame consumers (the
+        # tracker's device-resident landmark mirror) can cache until it
+        # moves. Mutations are KF-rate events; frames between KFs see a
+        # stable map (matching the reference, where the tracking thread
+        # reads landmarks the mapping threads update under mutexes).
+        self.version = 0
         # coarse store lock for the async runtime: the tracking thread and
         # the mapper actor both touch the SoA arrays; mutating stages and
         # candidate gathers take this (device solves run OUTSIDE it) —
@@ -257,6 +264,7 @@ class MapStore:
         self.kf_map[kfs] = dst_map
         if self.active_map == src_map:
             self.active_map = dst_map
+        self.version += 1
 
     def alloc_pts(self, n: int) -> np.ndarray:
         free = np.nonzero(~self.pt_mask[: self._n_pt])[0][:n]
@@ -266,7 +274,9 @@ class MapStore:
                 self._grow_points()
             fresh = np.arange(self._n_pt, self._n_pt + need)
             self._n_pt += need
+            self.version += 1
             return np.concatenate([free, fresh])
+        self.version += 1
         return free
 
     def add_observations(self, kf: int, pt_ids: np.ndarray, kp_ids: np.ndarray):
@@ -306,7 +316,9 @@ class MapStore:
                 self._grow_lines()
             fresh = np.arange(self._n_ln, self._n_ln + need)
             self._n_ln += need
+            self.version += 1
             return np.concatenate([free, fresh])
+        self.version += 1
         return free
 
     def add_line_observations(self, kf: int, line_ids: np.ndarray,
@@ -350,6 +362,7 @@ class MapStore:
         self.kf_kl_line[kfs, kls] = -1
         self.lobs_mask[: self._lobs_top][sel] = False
         self.ln_n_obs[line_ids] = 0
+        self.version += 1
 
     def live_line_obs(self):
         m = self.lobs_mask[: self._lobs_top]
@@ -381,6 +394,7 @@ class MapStore:
         self.kf_kp_pt[kfs, kps] = -1
         self.obs_mask[: self._obs_top][sel] = False
         self.pt_n_obs[pt_ids] = 0
+        self.version += 1
 
     def replace_point(self, loser: int, winner: int):
         """Merge landmark ``loser`` into ``winner`` (reference:
@@ -406,6 +420,7 @@ class MapStore:
         self.pt_n_obs[loser] = 0
         self.pt_visible[winner] += self.pt_visible[loser]
         self.pt_found[winner] += self.pt_found[loser]
+        self.version += 1
 
     def remove_keyframe(self, kf: int):
         self.kf_mask[kf] = False
@@ -447,6 +462,7 @@ class MapStore:
         self.ln_n_obs[loser] = 0
         self.ln_visible[winner] += self.ln_visible[loser]
         self.ln_found[winner] += self.ln_found[loser]
+        self.version += 1
 
     # -- derived structures -------------------------------------------------
 
@@ -550,6 +566,7 @@ class MapStore:
         max_d = dist_ref * (scale ** octv_ref)
         self.pt_max_dist[uniq] = max_d
         self.pt_min_dist[uniq] = max_d / (scale ** (n_levels - 1))
+        self.version += 1
 
         # --- distinctive descriptor (device; batched median Hamming) ------
         desc = np.zeros((P, max_obs, 8), np.uint32)

@@ -26,6 +26,30 @@ from .map_store import MapStore
 from .tracking import OK, Tracker
 
 
+_DECOMPRESS = None
+
+
+def _upload_rgbd(gray: np.ndarray, depth: np.ndarray):
+    """Quantize on host (u8 gray / u16 millimeter depth — native sensor
+    precision), transfer, decompress to f32 on device in one fused jit."""
+    global _DECOMPRESS
+    if _DECOMPRESS is None:
+        import jax
+
+        @jax.jit
+        def dec(g8, d16):
+            return (g8.astype(jnp.float32),
+                    d16.astype(jnp.float32) * jnp.float32(0.001))
+
+        _DECOMPRESS = dec
+    g8 = np.asarray(gray)
+    if g8.dtype != np.uint8:
+        g8 = np.clip(g8, 0, 255).astype(np.uint8)
+    d16 = (np.clip(np.asarray(depth, np.float32), 0.0, 65.0)
+           * 1000.0).astype(np.uint16)
+    return _DECOMPRESS(jnp.asarray(g8), jnp.asarray(d16))
+
+
 @dataclasses.dataclass
 class SystemConfig:
     num_features: int = 1024
@@ -402,18 +426,20 @@ class System:
         if self.actor is not None:
             self.actor.apply_pending_correction()
         with self.stopwatch.scope("frame_build"):
+            # upload each image ONCE, quantized (gray u8, depth u16 mm —
+            # what the sensors deliver anyway), and decompress to f32 on
+            # device: 2.4 MB -> 0.9 MB per frame over the tunnel, shared
+            # between the point and line extractors
+            gray_d, depth_d = _upload_rgbd(gray, depth)
             fr = frame_mod.build_frame_rgbd(
-                jnp.asarray(gray, jnp.float32),
-                jnp.asarray(depth, jnp.float32),
+                gray_d, depth_d,
                 self.cam, self.config.num_features, self.config.n_levels,
                 self.config.scale,
             )
             fl = None
             if self.config.use_lines:
                 fl = frame_mod.build_frame_lines(
-                    jnp.asarray(gray, jnp.float32),
-                    jnp.asarray(depth, jnp.float32),
-                    self.cam, self.config.max_lines,
+                    gray_d, depth_d, self.cam, self.config.max_lines,
                 )
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp, fl)

@@ -252,6 +252,134 @@ def _match_and_optimize_pl(
     return R, t, n_inl, kp_pt, kl_ln
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+def _track_frame_fused_pts(
+    cam, R_pred, t_pred,
+    b1, b2,              # step-1 / step-2 point blocks (tuples from gather)
+    kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+    check_rotation: bool = False,
+):
+    """Whole visual tracking step in ONE dispatch: motion-model projection
+    match + pose solve against last frame's points (with the on-device
+    wide-radius retry the reference does by doubling the window), then the
+    local-map match + pose solve — the per-frame host<->device round trips
+    collapse from two to one, which through a remote accelerator tunnel
+    (~26 ms/round-trip) is the difference between 15 and 30+ fps.
+    (reference: TrackWithMotionModel + TrackLocalMap back to back,
+    src/Tracking.cc:2282,3761)."""
+    xyz1, desc1, oct1, val1, nrm1, mind1, maxd1, ang1 = b1
+    xyz2, desc2, oct2, val2, nrm2, mind2, maxd2, ang2 = b2
+
+    def _step1(radius):
+        R, t, _idx, n, _inl, _kp = _match_and_optimize(
+            cam, R_pred, t_pred, xyz1, desc1, oct1, val1,
+            kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
+            radius, pts_normal=nrm1, pts_min_dist=mind1, pts_max_dist=maxd1,
+            pts_angle=ang1, kp_angle=kp_angle, check_rotation=check_rotation)
+        return R, t, n
+
+    R1, t1, n1 = _step1(15.0)
+    R1, t1, n1 = jax.lax.cond(
+        n1 < 20, lambda: _step1(30.0), lambda: (R1, t1, n1))
+
+    R2, t2, _idx, n2, kp_inl, kp_pt_local = _match_and_optimize(
+        cam, R1, t1, xyz2, desc2, oct2, val2,
+        kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
+        4.0, pts_normal=nrm2, pts_min_dist=mind2, pts_max_dist=maxd2,
+        pts_angle=ang2, kp_angle=kp_angle, check_rotation=check_rotation)
+    kp_pt_local = jnp.where(kp_inl, kp_pt_local, -1)
+    return R2, t2, n1, n2, kp_pt_local
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+def _track_frame_fused_pl(
+    cam, R_pred, t_pred,
+    b1, b2,
+    ln_Xs, ln_Xe, ln_desc, ln_valid,
+    kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+    kl_sp, kl_ep, kl_desc, kl_mask,
+    line_weight: float = 1.0,
+    check_rotation: bool = False,
+):
+    """Fused tracking step with the joint point+line local-map solve
+    (see _track_frame_fused_pts; reference: line edges in the same
+    PoseOptimization, src/Optimizer.cc:2375)."""
+    xyz1, desc1, oct1, val1, nrm1, mind1, maxd1, ang1 = b1
+    xyz2, desc2, oct2, val2, nrm2, mind2, maxd2, ang2 = b2
+
+    def _step1(radius):
+        R, t, _idx, n, _inl, _kp = _match_and_optimize(
+            cam, R_pred, t_pred, xyz1, desc1, oct1, val1,
+            kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
+            radius, pts_normal=nrm1, pts_min_dist=mind1, pts_max_dist=maxd1,
+            pts_angle=ang1, kp_angle=kp_angle, check_rotation=check_rotation)
+        return R, t, n
+
+    R1, t1, n1 = _step1(15.0)
+    R1, t1, n1 = jax.lax.cond(
+        n1 < 20, lambda: _step1(30.0), lambda: (R1, t1, n1))
+
+    R2, t2, n2, kp_pt_local, kl_ln_local = _match_and_optimize_pl(
+        cam, R1, t1, xyz2, desc2, oct2, val2,
+        ln_Xs, ln_Xe, ln_desc, ln_valid,
+        kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
+        kl_sp, kl_ep, kl_desc, kl_mask,
+        4.0, line_weight=line_weight,
+        pts_normal=nrm2, pts_min_dist=mind2, pts_max_dist=maxd2,
+        pts_angle=ang2, kp_angle=kp_angle, check_rotation=check_rotation)
+    return R2, t2, n1, n2, kp_pt_local, kl_ln_local
+
+
+def _block_from_tables(tbl, ids):
+    """Device-side candidate gather: landmark tables stay resident on the
+    device across frames (re-uploaded only when MapStore.version moves, a
+    KF-rate event); the per-frame host->device traffic for tracking is just
+    the candidate id vectors. -1 ids become invalid rows."""
+    xyz, desc, normal, min_d, max_d, angle, mask = tbl
+    safe = jnp.clip(ids, 0, xyz.shape[0] - 1)
+    valid = (ids >= 0) & mask[safe]
+    octv = jnp.zeros(ids.shape, jnp.int32)
+    return (xyz[safe], desc[safe], octv, valid, normal[safe], min_d[safe],
+            max_d[safe], angle[safe])
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+def _track_frame_tables_pts(
+    cam, Rt_pred, pt_tbl, ids12,
+    kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+    check_rotation: bool = False,
+):
+    R_pred, t_pred = Rt_pred[:9].reshape(3, 3), Rt_pred[9:]
+    b1 = _block_from_tables(pt_tbl, ids12[0])
+    b2 = _block_from_tables(pt_tbl, ids12[1])
+    return _track_frame_fused_pts(
+        cam, R_pred, t_pred, b1, b2,
+        kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+        check_rotation=check_rotation)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+def _track_frame_tables_pl(
+    cam, Rt_pred, pt_tbl, ln_tbl, ids12, lids,
+    kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+    kl_sp, kl_ep, kl_desc, kl_mask,
+    line_weight: float = 1.0,
+    check_rotation: bool = False,
+):
+    R_pred, t_pred = Rt_pred[:9].reshape(3, 3), Rt_pred[9:]
+    b1 = _block_from_tables(pt_tbl, ids12[0])
+    b2 = _block_from_tables(pt_tbl, ids12[1])
+    Xs_t, Xe_t, ldesc_t, lmask_t = ln_tbl
+    lsafe = jnp.clip(lids, 0, Xs_t.shape[0] - 1)
+    lvalid = (lids >= 0) & lmask_t[lsafe]
+    return _track_frame_fused_pl(
+        cam, R_pred, t_pred, b1, b2,
+        Xs_t[lsafe], Xe_t[lsafe], ldesc_t[lsafe], lvalid,
+        kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+        kl_sp, kl_ep, kl_desc, kl_mask,
+        line_weight=line_weight, check_rotation=check_rotation)
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def _match_lines(
     cam,
@@ -324,6 +452,7 @@ class Tracker:
                  line_track_weight: float = 2.0):
         self.cam = cam
         self.store = store
+        self._tbl_cache = None  # device-resident landmark tables
         self.num_features = num_features
         self.local_pts_cap = local_pts_cap
         self.min_kf_inliers = min_kf_inliers
@@ -598,6 +727,7 @@ class Tracker:
         self.R, self.t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
         kf0, _ = self._create_keyframe(fr0, ts0, np.full((fr0.kp.xy.shape[0],), -1))
         pt_ids = st.alloc_pts(int(inl.sum()))
+        st.version += 1
         st.pt_xyz[pt_ids] = X[inl]
         st.pt_desc[pt_ids] = np.asarray(fr0.kp.desc)[sel[inl]]
         st.pt_mask[pt_ids] = True
@@ -654,37 +784,89 @@ class Tracker:
         R_pred = self.vel_R @ self.R
         t_pred = self.vel_R @ self.t + self.vel_t
 
-        # --- step 1: track last frame's map points by projection ----------
+        # --- fused fast path: step 1 (motion-model w/ on-device wide-radius
+        # retry) + step 2 (local map, joint point+line) in ONE dispatch and
+        # ONE device->host round trip — see _track_frame_fused_* -----------
         last_ids = self.last_kp_pt_id
         cand = np.unique(last_ids[last_ids >= 0])
-        R1, t1, n1, kp_pt1 = self._match_step(fr, R_pred, t_pred, cand, radius=15.0)
+        local_pts = self._local_points()
+        use_pl = self.use_lines and fl is not None
+        kl_ln_id = None
+        n1 = -1
+        if len(cand) > 0 and len(local_pts) > 0:
+            cand1 = cand[: self.local_pts_cap]
+            cand2 = local_pts[: self.local_pts_cap]
+            m2 = len(cand2)
+            # one packed id upload for both steps + one packed pose upload
+            icap = self._cap_bucket(max(len(cand1), m2), self.local_pts_cap)
+            ids12 = np.full((2, icap), -1, np.int32)
+            ids12[0, : len(cand1)] = cand1
+            ids12[1, :m2] = cand2
+            ids12_d = jnp.asarray(ids12)
+            Rt = jnp.asarray(np.concatenate(
+                [np.asarray(R_pred, np.float32).ravel(),
+                 np.asarray(t_pred, np.float32)]))
+            pt_tbl, ln_tbl = self._device_tables()
+            if use_pl:
+                local_lns = self._local_lines()
+                lcap = self._cap_bucket(
+                    max(len(local_lns), 1), self.local_lines_cap, lo=128)
+                ml = min(len(local_lns), lcap)
+                cand_lines = local_lns[:ml]
+                lids = np.full((lcap,), -1, np.int32)
+                lids[:ml] = cand_lines
+                out = _track_frame_tables_pl(
+                    self.cam, Rt, pt_tbl, ln_tbl, ids12_d, jnp.asarray(lids),
+                    fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+                    fr.inv_sigma2, fr.kp.angle,
+                    fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
+                    line_weight=self.line_track_weight,
+                    check_rotation=self.check_rotation)
+                (R2, t2, n1, n2, kp_pt_local,
+                 kl_ln_local) = jax.device_get(out)
+                kl_ln_id = np.full((fl.kl.sp.shape[0],), -1, np.int64)
+                okl = (kl_ln_local >= 0) & (kl_ln_local < ml)
+                kl_ln_id[okl] = cand_lines[kl_ln_local[okl]]
+                if not self.only_tracking and ml and int(n1) >= 20:
+                    # (skipped when falling back below — _match_step_pl
+                    # bumps the counters itself on that path)
+                    seen = np.unique(kl_ln_id[kl_ln_id >= 0])
+                    st.ln_found[seen] += 1
+                    st.ln_visible[cand_lines] += 1
+            else:
+                out = _track_frame_tables_pts(
+                    self.cam, Rt, pt_tbl, ids12_d,
+                    fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+                    fr.inv_sigma2, fr.kp.angle,
+                    check_rotation=self.check_rotation)
+                R2, t2, n1, n2, kp_pt_local = jax.device_get(out)
+            n1, n2 = int(n1), int(n2)
+            kp_pt2 = np.full((fr.kp.xy.shape[0],), -1, np.int64)
+            okp = (kp_pt_local >= 0) & (kp_pt_local < m2)
+            kp_pt2[okp] = cand2[kp_pt_local[okp]]
+            R2, t2 = np.asarray(R2), np.asarray(t2)
 
         if n1 < 20:
-            # wider search fallback (reference doubles the window)
-            R1, t1, n1, kp_pt1 = self._match_step(fr, R_pred, t_pred, cand, radius=30.0)
-        if n1 < 20 and self.ref_kf >= 0:
-            # pose-prior-free fallback: pure descriptor matching against the
-            # reference keyframe's map points + pose-only BA (reference:
-            # Tracking::TrackReferenceKeyFrame, src/Tracking.cc:2277 — used
-            # when the motion model fails)
-            Rr, tr, nr, kp_ptr = self._track_reference_kf(fr, self.R, self.t)
-            if nr > n1:
-                R1, t1, n1, kp_pt1 = Rr, tr, nr, kp_ptr
-
-        # --- step 2: track local map --------------------------------------
-        # with lines on, line landmarks are associated alongside the local
-        # points and constrain the SAME pose solve (reference:
-        # TrackLocalMap's PoseOptimization carries both edge families,
-        # src/Optimizer.cc:2375)
-        local_pts = self._local_points()
-        kl_ln_id = None
-        if self.use_lines and fl is not None:
-            local_lns = self._local_lines()
-            R2, t2, n2, kp_pt2, kl_ln_id = self._match_step_pl(
-                fr, fl, R1, t1, local_pts, local_lns, radius=4.0)
-        else:
-            R2, t2, n2, kp_pt2 = self._match_step(
-                fr, R1, t1, local_pts, radius=4.0)
+            # rare slow path: the motion model failed (or there was nothing
+            # to match) — full host-orchestrated fallback chain with the
+            # pose-prior-free reference-KF matcher (reference:
+            # Tracking::TrackReferenceKeyFrame, src/Tracking.cc:2277)
+            R1, t1, n1x, kp_pt1 = self._match_step(
+                fr, R_pred, t_pred, cand, radius=30.0)
+            if n1x < 20 and self.ref_kf >= 0:
+                Rr, tr, nr, kp_ptr = self._track_reference_kf(fr, self.R, self.t)
+                if nr > n1x:
+                    R1, t1, n1x, kp_pt1 = Rr, tr, nr, kp_ptr
+            # --- step 2: track local map (reference: TrackLocalMap's
+            # PoseOptimization carries point AND line edges,
+            # src/Optimizer.cc:2375) ---------------------------------------
+            if use_pl:
+                local_lns = self._local_lines()
+                R2, t2, n2, kp_pt2, kl_ln_id = self._match_step_pl(
+                    fr, fl, R1, t1, local_pts, local_lns, radius=4.0)
+            else:
+                R2, t2, n2, kp_pt2 = self._match_step(
+                    fr, R1, t1, local_pts, radius=4.0)
         if n2 < 10:
             # a mature map earns a grace period with coasting + per-frame
             # relocalization attempts (reference: state -> RECENTLY_LOST
@@ -842,6 +1024,51 @@ class Tracker:
                 jnp.asarray(valid), jnp.asarray(normal), jnp.asarray(min_d),
                 jnp.asarray(max_d), jnp.asarray(angle))
 
+    def _device_tables(self):
+        """Device-resident landmark tables (points + lines), re-uploaded
+        only when the store's landmark version moved or the capacity bucket
+        grew — per-frame tracking then ships candidate ids instead of
+        gathered landmark rows (16 array uploads -> 2 through the tunnel)."""
+        st = self.store
+        key = (st.version,
+               self._cap_bucket(max(st._n_pt, 1), st.max_pts, lo=1024),
+               self._cap_bucket(max(st._n_ln, 1), st.max_lines, lo=256))
+        if self._tbl_cache is not None and self._tbl_cache[0] == key:
+            return self._tbl_cache[1], self._tbl_cache[2]
+        P, L = key[1], key[2]
+        with st.lock:
+            pt_tbl = (jnp.asarray(st.pt_xyz[:P]), jnp.asarray(st.pt_desc[:P]),
+                      jnp.asarray(st.pt_normal[:P]),
+                      jnp.asarray(st.pt_min_dist[:P]),
+                      jnp.asarray(st.pt_max_dist[:P]),
+                      jnp.asarray(st.pt_angle[:P]),
+                      jnp.asarray(st.pt_mask[:P]))
+            ln_tbl = (jnp.asarray(st.ln_Xs[:L]), jnp.asarray(st.ln_Xe[:L]),
+                      jnp.asarray(st.ln_desc[:L]),
+                      jnp.asarray(st.ln_mask[:L]))
+        self._tbl_cache = (key, pt_tbl, ln_tbl)
+        return pt_tbl, ln_tbl
+
+    def _gather_line_block(self, cand_lines: np.ndarray):
+        """Pad candidate line landmarks to the fixed line capacity.
+        Returns ((Xs, Xe, desc, valid) device arrays, kept ids, count)."""
+        st = self.store
+        lcap = self.local_lines_cap
+        ml = min(len(cand_lines), lcap)
+        cand_lines = cand_lines[:ml]
+        Xs = np.zeros((lcap, 3), np.float32)
+        Xe = np.zeros((lcap, 3), np.float32)
+        ldesc = np.zeros((lcap, 8), np.uint32)
+        lvalid = np.zeros((lcap,), bool)
+        if ml:
+            with st.lock:
+                Xs[:ml] = st.ln_Xs[cand_lines]
+                Xe[:ml] = st.ln_Xe[cand_lines]
+                ldesc[:ml] = st.ln_desc[cand_lines]
+                lvalid[:ml] = st.ln_mask[cand_lines]
+        return ((jnp.asarray(Xs), jnp.asarray(Xe), jnp.asarray(ldesc),
+                 jnp.asarray(lvalid)), cand_lines, ml)
+
     @staticmethod
     def _cap_bucket(m: int, cap: int, lo: int = 512) -> int:
         """Smallest power-of-two bucket >= m (bounded by cap): the padded
@@ -900,24 +1127,13 @@ class Tracker:
         (xyz, desc, octv, valid, normal, min_d, max_d,
          angle) = self._gather_point_block(cand_ids, cap)
 
-        lcap = self.local_lines_cap
-        ml = min(len(cand_lines), lcap)
-        cand_lines = cand_lines[:ml]
-        Xs = np.zeros((lcap, 3), np.float32)
-        Xe = np.zeros((lcap, 3), np.float32)
-        ldesc = np.zeros((lcap, 8), np.uint32)
-        lvalid = np.zeros((lcap,), bool)
-        if ml:
-            Xs[:ml] = st.ln_Xs[cand_lines]
-            Xe[:ml] = st.ln_Xe[cand_lines]
-            ldesc[:ml] = st.ln_desc[cand_lines]
-            lvalid[:ml] = st.ln_mask[cand_lines]
+        (lXs, lXe, ldesc_d, lvalid_d), cand_lines, ml = \
+            self._gather_line_block(cand_lines)
 
         out = _match_and_optimize_pl(
             self.cam, jnp.asarray(R_pred), jnp.asarray(t_pred),
             xyz, desc, octv, valid,
-            jnp.asarray(Xs), jnp.asarray(Xe), jnp.asarray(ldesc),
-            jnp.asarray(lvalid),
+            lXs, lXe, ldesc_d, lvalid_d,
             fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
             fr.inv_sigma2,
             fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
@@ -1073,6 +1289,7 @@ class Tracker:
             xyz_cam = np.asarray(fr.xyz_cam)[new_sel]
             xyz_w = xyz_cam @ Rwc.T + twc
             pt_ids = st.alloc_pts(len(new_sel))
+            st.version += 1
             st.pt_xyz[pt_ids] = xyz_w
             st.pt_desc[pt_ids] = np.asarray(fr.kp.desc)[new_sel]
             st.pt_mask[pt_ids] = True
@@ -1128,6 +1345,7 @@ class Tracker:
                 Xs_w = np.asarray(fl.Xs_cam)[new_l] @ Rwc.T + twc
                 Xe_w = np.asarray(fl.Xe_cam)[new_l] @ Rwc.T + twc
                 ln_ids = st.alloc_lines(len(new_l))
+                st.version += 1
                 st.ln_Xs[ln_ids] = Xs_w
                 st.ln_Xe[ln_ids] = Xe_w
                 st.ln_desc[ln_ids] = np.asarray(fl.kl.desc)[new_l]
