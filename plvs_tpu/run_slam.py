@@ -57,6 +57,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     ap.add_argument("--timing", action="store_true")
+    ap.add_argument("--live-viewer", type=int, default=None, metavar="PORT",
+                    help="serve an interactive live map view on this HTTP "
+                         "port (0 = auto; pause/resume/save from browser)")
     args = ap.parse_args(argv)
 
     import jax
@@ -112,6 +115,20 @@ def main(argv=None):
             print(f"reusing sparse map {st.map_filename}")
     if args.localization:
         system.activate_localization_mode()
+
+    viewer = None
+    if args.live_viewer is not None:
+        from .viz.live_server import LiveViewer
+
+        viewer = LiveViewer(system, port=args.live_viewer)
+        print(f"live viewer: http://127.0.0.1:{viewer.port}/")
+        _orig_track = system.track_rgbd
+
+        def _gated(*a, **kw):
+            viewer.wait_if_paused()
+            return _orig_track(*a, **kw)
+
+        system.track_rgbd = _gated
 
     if args.synthetic:
         scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0)

@@ -281,13 +281,15 @@ class LocalMapper:
             Xc1 = _lie.se3_apply(_j.asarray(R1), _j.asarray(t1), Xw)
             Xc2 = _lie.se3_apply(_j.asarray(st.kf_R[nb]),
                                  _j.asarray(st.kf_t[nb]), Xw)
-            uv1 = _cm.project(self.cam, Xc1)
-            uv2 = _cm.project(self.cam, Xc2)
-            e1 = np.sum((np.asarray(uv1) - st.kf_kp_xy[kf_id][sel]) ** 2, -1)
-            e2 = np.sum((np.asarray(uv2) - st.kf_kp_xy[nb][idx[sel]]) ** 2, -1)
+            uv1_d = _cm.project(self.cam, Xc1)
+            uv2_d = _cm.project(self.cam, Xc2)
+            # one batched fetch for the whole verification set
+            uv1, uv2, valid, cosp, z1, z2, Xw = _jax.device_get(
+                (uv1_d, uv2_d, valid, cosp, Xc1[:, 2], Xc2[:, 2], Xw))
+            e1 = np.sum((uv1 - st.kf_kp_xy[kf_id][sel]) ** 2, -1)
+            e2 = np.sum((uv2 - st.kf_kp_xy[nb][idx[sel]]) ** 2, -1)
             ok = (
-                np.asarray(valid) & (np.asarray(cosp) < 0.9998)
-                & (np.asarray(Xc1[:, 2]) > 0.05) & (np.asarray(Xc2[:, 2]) > 0.05)
+                valid & (cosp < 0.9998) & (z1 > 0.05) & (z2 > 0.05)
                 & (e1 < 5.991) & (e2 < 5.991)
             )
             good = np.nonzero(ok)[0]
@@ -469,8 +471,11 @@ class LocalMapper:
 
     def _apply_ba(self, prob, cams, pts, lns, fixed_mask, K):
         st = self.store
-        Rn, tn, pn = (np.asarray(prob.R), np.asarray(prob.t),
-                      np.asarray(prob.points))
+        # ONE batched fetch for every solved block (five serial np.asarray
+        # calls would pay the remote link's flat per-fetch latency five
+        # times; concurrent in-flight copies amortize it)
+        Rn, tn, pn, lXs, lXe = _jax.device_get(
+            (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe))
         free = ~fixed_mask
         st.kf_R[cams[free]] = Rn[:K][free]
         st.kf_t[cams[free]] = tn[:K][free]
@@ -479,8 +484,8 @@ class LocalMapper:
         st.pt_xyz[pts[alive]] = pn[: len(pts)][alive]
         if len(lns):
             lalive = st.ln_mask[lns]
-            st.ln_Xs[lns[lalive]] = np.asarray(prob.lines_Xs)[: len(lns)][lalive]
-            st.ln_Xe[lns[lalive]] = np.asarray(prob.lines_Xe)[: len(lns)][lalive]
+            st.ln_Xs[lns[lalive]] = lXs[: len(lns)][lalive]
+            st.ln_Xe[lns[lalive]] = lXe[: len(lns)][lalive]
 
     def _gather_ba(self, window: np.ndarray):
         """Snapshot the window problem (held lock); returns

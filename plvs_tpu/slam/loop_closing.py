@@ -309,15 +309,38 @@ class LoopCloser:
         s = jnp.ones((K,), jnp.float32)
 
         # edges: temporal chain + covisibility (weight by shared points)
+        # + spanning-tree parent edges from the native engine (reference:
+        # OptimizeEssentialGraph includes spanning tree, covisibility and
+        # loop edges, src/Optimizer.cc:4487; tree from KeyFrame mspChildrens)
         pairs = [(i, i - 1) for i in range(1, K)]
         weights = [1.0] * len(pairs)
         okf, opt, _ = st.live_obs()
+        cov_ei, cov_ej, cov_w = [], [], []
         for i, k in enumerate(live):
             covis, w = st.covisibility(int(k), min_weight=20)
             for c, wt in zip(covis.tolist()[:5], w.tolist()[:5]):
-                if c in loc and loc[c] < i - 1:
-                    pairs.append((i, loc[c]))
-                    weights.append(1.0)
+                if c in loc:
+                    cov_ei.append(i)
+                    cov_ej.append(loc[c])
+                    cov_w.append(int(wt))
+                    if loc[c] < i - 1:
+                        pairs.append((i, loc[c]))
+                        weights.append(1.0)
+        if cov_ei:
+            try:
+                from .. import native as native_mod
+
+                parent = native_mod.spanning_tree(
+                    np.asarray(cov_ei, np.int32), np.asarray(cov_ej, np.int32),
+                    np.asarray(cov_w, np.int32), K)
+                have = {tuple(sorted(p)) for p in pairs}
+                for child in range(K):
+                    p = int(parent[child])
+                    if p >= 0 and tuple(sorted((child, p))) not in have:
+                        pairs.append((child, p))
+                        weights.append(1.0)
+            except Exception:
+                pass  # native engine unavailable: chain+covis edges suffice
         pairs = np.asarray(pairs, np.int32)
         eR, et, es = pose_graph.make_edges_from_poses(R, t, s, jnp.asarray(pairs))
 

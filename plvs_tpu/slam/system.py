@@ -31,23 +31,43 @@ _DECOMPRESS = None
 
 def _upload_rgbd(gray: np.ndarray, depth: np.ndarray):
     """Quantize on host (u8 gray / u16 millimeter depth — native sensor
-    precision), transfer, decompress to f32 on device in one fused jit."""
+    precision), pack BOTH images into one uint32 buffer, transfer once, and
+    decompress to f32 on device in one fused jit. One RPC instead of two:
+    through the tunnel's slow mode every blocking transfer costs a full
+    ~25 ms round trip, so the per-frame RPC count is the frame budget."""
     global _DECOMPRESS
     if _DECOMPRESS is None:
+        import functools
+
         import jax
 
-        @jax.jit
-        def dec(g8, d16):
+        @functools.partial(jax.jit, static_argnames=("h", "w"))
+        def dec(buf, h, w):
+            n8 = h * w // 4
+            g8 = jax.lax.bitcast_convert_type(
+                buf[:n8], jnp.uint8).reshape(h, w)
+            d16 = jax.lax.bitcast_convert_type(
+                buf[n8:], jnp.uint16).reshape(h, w)
             return (g8.astype(jnp.float32),
                     d16.astype(jnp.float32) * jnp.float32(0.001))
 
         _DECOMPRESS = dec
-    g8 = np.asarray(gray)
+    g8 = np.ascontiguousarray(np.asarray(gray))
     if g8.dtype != np.uint8:
         g8 = np.clip(g8, 0, 255).astype(np.uint8)
     d16 = (np.clip(np.asarray(depth, np.float32), 0.0, 65.0)
            * 1000.0).astype(np.uint16)
-    return _DECOMPRESS(jnp.asarray(g8), jnp.asarray(d16))
+    h, w = g8.shape
+    if (h * w) % 4:
+        # odd geometry: fall back to two plain transfers
+        import jax
+
+        return (jnp.asarray(g8.astype(np.float32)),
+                jnp.asarray(d16.astype(np.float32) * 0.001))
+    buf = np.empty(h * w // 4 + h * w // 2, np.uint32)
+    buf[: h * w // 4] = g8.reshape(-1).view(np.uint32)
+    buf[h * w // 4:] = d16.reshape(-1).view(np.uint32)
+    return _DECOMPRESS(jnp.asarray(buf), h, w)
 
 
 @dataclasses.dataclass
@@ -95,6 +115,19 @@ class SystemConfig:
     # System::System, src/System.cc:315-398). Off by default for
     # deterministic tests; the realtime entry points enable it.
     async_mapping: bool = False
+    # deferred-resolution tracking pipeline: the fused per-frame solve is
+    # fetched one frame late (depth-1 software pipeline), hiding the
+    # remote-accelerator link's flat per-fetch latency. Matching semantics
+    # are unchanged (each frame's candidates come from the RESOLVED
+    # previous frame); Track* returns the predicted pose for the current
+    # frame and the trajectory records resolved poses. Incompatible with
+    # the inertial runtime (per-frame IMU state needs the final pose).
+    pipelined: bool = False
+    # in-flight window size: solves of up to this many frames are fetched
+    # together in ONE stacked device->host transfer (the remote link's flat
+    # per-fetch latency is the budget; depth N divides it by N at the cost
+    # of up-to-N-frame-stale match candidates and KF decisions)
+    pipeline_depth: int = 1
 
 
 class System:
@@ -159,6 +192,10 @@ class System:
         self.tracker.only_tracking = c.only_tracking
         self.tracker.scale = c.scale
         self.tracker.n_levels = c.n_levels
+        self.tracker.pipelined = c.pipelined and not c.use_imu
+        self.tracker.pipeline_depth = max(1, c.pipeline_depth)
+        self.tracker.on_resolved = self._on_resolved
+        self._pending_payloads = {}
         if self.cam2 is not None and self.t_lr is not None:
             # rig cameras carry no rectified bf; the close/far depth gate is
             # ThDepth x baseline like the reference (Stereo.ThDepth with
@@ -394,6 +431,35 @@ class System:
                 )
         return info
 
+    def _on_resolved(self, res, ts: float):
+        """Tracker callback: a deferred frame finished resolving (any
+        trigger path) — run its full post-track path."""
+        payload = self._pending_payloads.pop(ts, None)
+        self._post_track(res, ts, payload)
+
+    def _resolve_pipeline(self, force: bool = False):
+        """Deferred-pipeline drain: when the in-flight window is full (or
+        on force), fetch all outstanding solves in one stacked transfer;
+        each resolution runs through _on_resolved."""
+        with self.stopwatch.scope("resolve"):
+            self.tracker.resolve_batch(force=force)
+
+    def flush(self):
+        """Finalize any deferred frames (call at end of sequence;
+        trajectory exports and shutdown do this automatically)."""
+        self._resolve_pipeline(force=True)
+        if self.actor is not None:
+            self.actor.wait_idle(60.0)
+
+    def _finish_frame(self, res, timestamp: float, dense_payload=None):
+        """Route a Track* result: provisional (deferred solve in flight) or
+        final (run the post-track path now)."""
+        if self.tracker._pending:
+            self._pending_payloads[timestamp] = dense_payload
+            self._last_frame_ts = timestamp
+            return res.state, res.R, res.t
+        return self._post_track(res, timestamp, dense_payload)
+
     def _post_track(self, res, timestamp: float, dense_payload=None):
         """Common tail of every Track* entry point."""
         if res.is_keyframe and res.kf_id >= 0:
@@ -425,6 +491,7 @@ class System:
         self._imu_pre_frame(timestamp, imu_samples)
         if self.actor is not None:
             self.actor.apply_pending_correction()
+        self._resolve_pipeline()
         with self.stopwatch.scope("frame_build"):
             # upload each image ONCE, quantized (gray u8, depth u16 mm —
             # what the sensors deliver anyway), and decompress to f32 on
@@ -444,7 +511,7 @@ class System:
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp, fl)
         payload = ("rgbd", gray, depth) if self.dense_mapper else None
-        return self._post_track(res, timestamp, payload)
+        return self._finish_frame(res, timestamp, payload)
 
     def track_monocular(self, gray: np.ndarray, timestamp: float,
                         imu_samples=None):
@@ -457,6 +524,7 @@ class System:
         self._imu_pre_frame(timestamp, imu_samples)
         if self.actor is not None:
             self.actor.apply_pending_correction()
+        self._resolve_pipeline()
         with self.stopwatch.scope("frame_build"):
             fr = frame_mod.build_frame_mono(
                 jnp.asarray(gray, jnp.float32), self.cam,
@@ -465,7 +533,7 @@ class System:
             )
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp)
-        return self._post_track(res, timestamp)
+        return self._finish_frame(res, timestamp)
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
                      timestamp: float, imu_samples=None):
@@ -477,6 +545,7 @@ class System:
         self._imu_pre_frame(timestamp, imu_samples)
         if self.actor is not None:
             self.actor.apply_pending_correction()
+        self._resolve_pipeline()
         with self.stopwatch.scope("frame_build"):
             if self.cam2 is not None and self.R_lr is not None:
                 # non-rectified rig (fisheye stereo): epipolar-gated
@@ -508,11 +577,12 @@ class System:
         with self.stopwatch.scope("track"):
             res = self.tracker.process_frame(fr, timestamp, fl)
         payload = ("stereo", gray_l, gray_r) if self.dense_mapper else None
-        return self._post_track(res, timestamp, payload)
+        return self._finish_frame(res, timestamp, payload)
 
     # -- trajectory export (reference: System::SaveTrajectoryTUM) ----------
     def trajectory_tum(self) -> np.ndarray:
         """[T, 8] rows (t, tx, ty, tz, qx, qy, qz, qw) of camera-in-world."""
+        self._resolve_pipeline(force=True)
         rows = []
         for ts, R, t in self.trajectory:
             Rwc = R.T
@@ -565,6 +635,7 @@ class System:
         """Finalize the session, optionally persisting the atlas and dense
         map (reference: System::Shutdown + SparseMapping.saveOnShutdown,
         src/System.cc:829-844)."""
+        self._resolve_pipeline(force=True)
         if self.actor is not None:
             self.actor.shutdown()
         if save_map_path:

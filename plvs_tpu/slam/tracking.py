@@ -343,41 +343,85 @@ def _block_from_tables(tbl, ids):
             max_d[safe], angle[safe])
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+def _pack_track_out(R2, t2, n1, n2, kp_pt_local, kl_ln_local=None):
+    """Fuse ALL tracking outputs into one int32 vector: a single
+    device->host transfer instead of six (each fresh fetch over the remote
+    link pays a flat ~26 ms; concurrency only partially hides it).
+    Layout: [R2 bits(9) | t2 bits(3) | n1 | n2 | kp_pt_local | kl_ln_local]."""
+    parts = [
+        jax.lax.bitcast_convert_type(R2.reshape(-1), jnp.int32),
+        jax.lax.bitcast_convert_type(t2, jnp.int32),
+        jnp.stack([n1, n2]).astype(jnp.int32),
+        kp_pt_local.astype(jnp.int32),
+    ]
+    if kl_ln_local is not None:
+        parts.append(kl_ln_local.astype(jnp.int32))
+    return jnp.concatenate(parts)
+
+
+def _unpack_track_out(buf: np.ndarray, n_kp: int, n_kl: int | None):
+    """Host-side inverse of _pack_track_out (buf is fetched numpy)."""
+    R2 = buf[:9].view(np.float32).reshape(3, 3).copy()
+    t2 = buf[9:12].view(np.float32).copy()
+    n1, n2 = int(buf[12]), int(buf[13])
+    kp_pt_local = buf[14:14 + n_kp]
+    if n_kl is None:
+        return R2, t2, n1, n2, kp_pt_local
+    kl_ln_local = buf[14 + n_kp: 14 + n_kp + n_kl]
+    return R2, t2, n1, n2, kp_pt_local, kl_ln_local
+
+
+def _unpack_meta(meta, icap: int, lcap: int):
+    """[2*icap + lcap + 12] int32 -> (ids12 [2, icap], lids [lcap], R, t).
+    One packed upload carries both candidate id sets, the line ids and the
+    predicted pose (f32 bits) — one RPC instead of three."""
+    ids12 = meta[: 2 * icap].reshape(2, icap)
+    lids = meta[2 * icap: 2 * icap + lcap]
+    Rt = jax.lax.bitcast_convert_type(meta[2 * icap + lcap:], jnp.float32)
+    return ids12, lids, Rt[:9].reshape(3, 3), Rt[9:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "check_rotation", "icap"))
 def _track_frame_tables_pts(
-    cam, Rt_pred, pt_tbl, ids12,
+    cam, meta, pt_tbl,
     kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
+    icap: int = 1024,
     check_rotation: bool = False,
 ):
-    R_pred, t_pred = Rt_pred[:9].reshape(3, 3), Rt_pred[9:]
+    ids12, _, R_pred, t_pred = _unpack_meta(meta, icap, 0)
     b1 = _block_from_tables(pt_tbl, ids12[0])
     b2 = _block_from_tables(pt_tbl, ids12[1])
-    return _track_frame_fused_pts(
+    R2, t2, n1, n2, kp_pt_local = _track_frame_fused_pts(
         cam, R_pred, t_pred, b1, b2,
         kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
         check_rotation=check_rotation)
+    return _pack_track_out(R2, t2, n1, n2, kp_pt_local)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "check_rotation", "icap", "lcap"))
 def _track_frame_tables_pl(
-    cam, Rt_pred, pt_tbl, ln_tbl, ids12, lids,
+    cam, meta, pt_tbl, ln_tbl,
     kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
     kl_sp, kl_ep, kl_desc, kl_mask,
+    icap: int = 1024, lcap: int = 128,
     line_weight: float = 1.0,
     check_rotation: bool = False,
 ):
-    R_pred, t_pred = Rt_pred[:9].reshape(3, 3), Rt_pred[9:]
+    ids12, lids, R_pred, t_pred = _unpack_meta(meta, icap, lcap)
     b1 = _block_from_tables(pt_tbl, ids12[0])
     b2 = _block_from_tables(pt_tbl, ids12[1])
     Xs_t, Xe_t, ldesc_t, lmask_t = ln_tbl
     lsafe = jnp.clip(lids, 0, Xs_t.shape[0] - 1)
     lvalid = (lids >= 0) & lmask_t[lsafe]
-    return _track_frame_fused_pl(
+    R2, t2, n1, n2, kp_pt_local, kl_ln_local = _track_frame_fused_pl(
         cam, R_pred, t_pred, b1, b2,
         Xs_t[lsafe], Xe_t[lsafe], ldesc_t[lsafe], lvalid,
         kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
         kl_sp, kl_ep, kl_desc, kl_mask,
         line_weight=line_weight, check_rotation=check_rotation)
+    return _pack_track_out(R2, t2, n1, n2, kp_pt_local, kl_ln_local)
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -453,6 +497,19 @@ class Tracker:
         self.cam = cam
         self.store = store
         self._tbl_cache = None  # device-resident landmark tables
+        # deferred-resolution pipeline (set via System/SystemConfig): fused
+        # solves are fetched up to pipeline_depth frames late, in ONE
+        # stacked device->host transfer per drain — the remote link charges
+        # a flat ~30-90 ms per fresh fetch regardless of size, so fetch
+        # FREQUENCY is the frame-rate budget
+        self.pipelined = False
+        self.pipeline_depth = 1
+        self._pending = []
+        # every resolved frame is handed to this callback (the System's
+        # post-track path: KF backend, trajectory) no matter which code
+        # path triggered the resolution
+        self.on_resolved = None
+        self.timing = None  # optional list collecting (fetch_s, finish_s, n)
         self.num_features = num_features
         self.local_pts_cap = local_pts_cap
         self.min_kf_inliers = min_kf_inliers
@@ -525,6 +582,10 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_frame(self, fr: frame_mod.Frame, timestamp: float,
                       fl=None) -> TrackResult:
+        if self._pending and self.state != OK:
+            # deferred solves are outstanding while the state machine left
+            # OK (reset/reloc path entered out-of-band): finish them first
+            self.resolve_batch(force=True)
         if self.state == RELOCALIZE_IN_LOADED_MAP:
             # never initialize a fresh map: localize in the loaded one
             res = self._relocalize(fr, timestamp)
@@ -777,76 +838,172 @@ class Tracker:
         return TrackResult(self.state, self.R, self.t, len(pt_ids), kp_pt, True, kf_id)
 
     # ------------------------------------------------------------------
-    def _track(self, fr: frame_mod.Frame, timestamp: float,
-               fl=None) -> TrackResult:
-        st = self.store
-        # motion-model pose prediction (reference: mVelocity * mLastFrame.mTcw)
-        R_pred = self.vel_R @ self.R
-        t_pred = self.vel_R @ self.t + self.vel_t
-
-        # --- fused fast path: step 1 (motion-model w/ on-device wide-radius
-        # retry) + step 2 (local map, joint point+line) in ONE dispatch and
-        # ONE device->host round trip — see _track_frame_fused_* -----------
+    def _dispatch_fused(self, fr: frame_mod.Frame, timestamp: float, fl):
+        """Assemble + dispatch the single fused tracking program. Returns a
+        context dict holding the in-flight device outputs and everything the
+        host needs to interpret them later, or None when the fused-path
+        preconditions fail (no candidates yet)."""
+        # motion-model prediction, extrapolated across any unresolved
+        # pipeline lag (self.R/vel describe the last RESOLVED frame)
+        lag = len(self._pending) if self.pipelined else 0
+        R_pred, t_pred = self.R, self.t
+        for _ in range(lag + 1):
+            t_pred = (self.vel_R @ t_pred + self.vel_t).astype(np.float32)
+            R_pred = (self.vel_R @ R_pred).astype(np.float32)
         last_ids = self.last_kp_pt_id
         cand = np.unique(last_ids[last_ids >= 0])
         local_pts = self._local_points()
         use_pl = self.use_lines and fl is not None
-        kl_ln_id = None
-        n1 = -1
-        if len(cand) > 0 and len(local_pts) > 0:
-            cand1 = cand[: self.local_pts_cap]
-            cand2 = local_pts[: self.local_pts_cap]
-            m2 = len(cand2)
-            # one packed id upload for both steps + one packed pose upload
-            icap = self._cap_bucket(max(len(cand1), m2), self.local_pts_cap)
-            ids12 = np.full((2, icap), -1, np.int32)
-            ids12[0, : len(cand1)] = cand1
-            ids12[1, :m2] = cand2
-            ids12_d = jnp.asarray(ids12)
-            Rt = jnp.asarray(np.concatenate(
-                [np.asarray(R_pred, np.float32).ravel(),
-                 np.asarray(t_pred, np.float32)]))
-            pt_tbl, ln_tbl = self._device_tables()
-            if use_pl:
-                local_lns = self._local_lines()
-                lcap = self._cap_bucket(
-                    max(len(local_lns), 1), self.local_lines_cap, lo=128)
-                ml = min(len(local_lns), lcap)
-                cand_lines = local_lns[:ml]
-                lids = np.full((lcap,), -1, np.int32)
-                lids[:ml] = cand_lines
-                out = _track_frame_tables_pl(
-                    self.cam, Rt, pt_tbl, ln_tbl, ids12_d, jnp.asarray(lids),
-                    fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
-                    fr.inv_sigma2, fr.kp.angle,
-                    fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
-                    line_weight=self.line_track_weight,
-                    check_rotation=self.check_rotation)
-                (R2, t2, n1, n2, kp_pt_local,
-                 kl_ln_local) = jax.device_get(out)
-                kl_ln_id = np.full((fl.kl.sp.shape[0],), -1, np.int64)
-                okl = (kl_ln_local >= 0) & (kl_ln_local < ml)
-                kl_ln_id[okl] = cand_lines[kl_ln_local[okl]]
-                if not self.only_tracking and ml and int(n1) >= 20:
-                    # (skipped when falling back below — _match_step_pl
-                    # bumps the counters itself on that path)
-                    seen = np.unique(kl_ln_id[kl_ln_id >= 0])
-                    st.ln_found[seen] += 1
-                    st.ln_visible[cand_lines] += 1
-            else:
-                out = _track_frame_tables_pts(
-                    self.cam, Rt, pt_tbl, ids12_d,
-                    fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
-                    fr.inv_sigma2, fr.kp.angle,
-                    check_rotation=self.check_rotation)
-                R2, t2, n1, n2, kp_pt_local = jax.device_get(out)
-            n1, n2 = int(n1), int(n2)
-            kp_pt2 = np.full((fr.kp.xy.shape[0],), -1, np.int64)
-            okp = (kp_pt_local >= 0) & (kp_pt_local < m2)
-            kp_pt2[okp] = cand2[kp_pt_local[okp]]
-            R2, t2 = np.asarray(R2), np.asarray(t2)
+        if len(cand) == 0 or len(local_pts) == 0:
+            return None
+        cand1 = cand[: self.local_pts_cap]
+        cand2 = local_pts[: self.local_pts_cap]
+        m2 = len(cand2)
+        # ONE packed upload: both candidate id sets + line ids + the
+        # predicted pose, assembled host-side (see _unpack_meta)
+        icap = self._cap_bucket(max(len(cand1), m2), self.local_pts_cap)
+        pt_tbl, ln_tbl = self._device_tables()
+        Rt_bits = np.concatenate(
+            [np.asarray(R_pred, np.float32).ravel(),
+             np.asarray(t_pred, np.float32)]).view(np.int32)
+        cand_lines = np.zeros((0,), np.int64)
+        ml = 0
+        if use_pl:
+            local_lns = self._local_lines()
+            lcap = self._cap_bucket(
+                max(len(local_lns), 1), self.local_lines_cap, lo=128)
+            ml = min(len(local_lns), lcap)
+            cand_lines = local_lns[:ml]
+            meta = np.full((2 * icap + lcap + 12,), -1, np.int32)
+            meta[:len(cand1)] = cand1
+            meta[icap: icap + m2] = cand2
+            meta[2 * icap: 2 * icap + ml] = cand_lines
+            meta[2 * icap + lcap:] = Rt_bits
+            out = _track_frame_tables_pl(
+                self.cam, jnp.asarray(meta), pt_tbl, ln_tbl,
+                fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+                fr.inv_sigma2, fr.kp.angle,
+                fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
+                icap=icap, lcap=lcap,
+                line_weight=self.line_track_weight,
+                check_rotation=self.check_rotation)
+        else:
+            meta = np.full((2 * icap + 12,), -1, np.int32)
+            meta[:len(cand1)] = cand1
+            meta[icap: icap + m2] = cand2
+            meta[2 * icap:] = Rt_bits
+            out = _track_frame_tables_pts(
+                self.cam, jnp.asarray(meta), pt_tbl,
+                fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+                fr.inv_sigma2, fr.kp.angle,
+                icap=icap, check_rotation=self.check_rotation)
+        return dict(out=out, fr=fr, fl=fl, timestamp=timestamp,
+                    use_pl=use_pl, cand=cand, cand2=cand2, m2=m2,
+                    cand_lines=cand_lines, ml=ml,
+                    n_kp=int(fr.kp.xy.shape[0]),
+                    n_kl=(int(fl.kl.sp.shape[0]) if use_pl else None),
+                    local_pts=local_pts, R_pred=R_pred, t_pred=t_pred)
 
+    def _finish_fused(self, buf, ctx) -> TrackResult:
+        """Interpret the fused program's packed output (sync or deferred)."""
+        st = self.store
+        fr, fl = ctx["fr"], ctx["fl"]
+        timestamp = ctx["timestamp"]
+        m2, cand2 = ctx["m2"], ctx["cand2"]
+        fetched = _unpack_track_out(buf, ctx["n_kp"], ctx["n_kl"])
+        kl_ln_id = None
+        if ctx["use_pl"]:
+            R2, t2, n1, n2, kp_pt_local, kl_ln_local = fetched
+            ml, cand_lines = ctx["ml"], ctx["cand_lines"]
+            kl_ln_id = np.full((fl.kl.sp.shape[0],), -1, np.int64)
+            okl = (kl_ln_local >= 0) & (kl_ln_local < ml)
+            kl_ln_id[okl] = cand_lines[kl_ln_local[okl]]
+            if not self.only_tracking and ml and int(n1) >= 20:
+                # (skipped when falling back below — _match_step_pl
+                # bumps the counters itself on that path)
+                seen = np.unique(kl_ln_id[kl_ln_id >= 0])
+                st.ln_found[seen] += 1
+                st.ln_visible[cand_lines] += 1
+        else:
+            R2, t2, n1, n2, kp_pt_local = fetched
+        n1, n2 = int(n1), int(n2)
+        kp_pt2 = np.full((fr.kp.xy.shape[0],), -1, np.int64)
+        okp = (kp_pt_local >= 0) & (kp_pt_local < m2)
+        kp_pt2[okp] = cand2[kp_pt_local[okp]]
+        R2, t2 = np.asarray(R2), np.asarray(t2)
         if n1 < 20:
+            return self._track_slow(
+                fr, timestamp, fl, ctx["cand"], ctx["local_pts"],
+                ctx["R_pred"], ctx["t_pred"])
+        return self._track_tail(fr, timestamp, fl, R2, t2, n2, kp_pt2,
+                                kl_ln_id, ctx["local_pts"])
+
+    def resolve_batch(self, force: bool = False) -> int:
+        """Deferred pipeline: when the in-flight window is full (or on
+        ``force``), fetch ALL outstanding solves in one stacked transfer and
+        finish them in order, feeding each result to ``on_resolved``.
+        Returns the number of frames resolved."""
+        if not self._pending:
+            return 0
+        if not force and len(self._pending) < self.pipeline_depth:
+            return 0
+        pending, self._pending = self._pending, []
+        # group consecutive frames whose packed outputs share a shape
+        # (capacity buckets change rarely); each group costs one transfer
+        done = 0
+        i = 0
+        while i < len(pending):
+            j = i + 1
+            shape = pending[i]["out"].shape
+            while j < len(pending) and pending[j]["out"].shape == shape:
+                j += 1
+            group = pending[i:j]
+            import time as _time
+
+            t0 = _time.perf_counter()
+            # one device_get call fetches the whole group in one latency tick
+            bufs = jax.device_get(tuple(p["out"] for p in group))
+            t1 = _time.perf_counter()
+            for p, buf in zip(group, bufs):
+                res = self._finish_fused(np.asarray(buf), p)
+                if self.on_resolved is not None:
+                    self.on_resolved(res, p["timestamp"])
+                done += 1
+            if self.timing is not None:
+                self.timing.append((t1 - t0, _time.perf_counter() - t1,
+                                    len(group)))
+            i = j
+        return done
+
+    def _track(self, fr: frame_mod.Frame, timestamp: float,
+               fl=None) -> TrackResult:
+        ctx = self._dispatch_fused(fr, timestamp, fl)
+        if ctx is None:
+            # slow path needs a consistent (fully resolved) tracker state
+            self.resolve_batch(force=True)
+            R_pred = self.vel_R @ self.R
+            t_pred = self.vel_R @ self.t + self.vel_t
+            last_ids = self.last_kp_pt_id
+            cand = np.unique(last_ids[last_ids >= 0])
+            return self._track_slow(fr, timestamp, fl, cand,
+                                    self._local_points(), R_pred, t_pred)
+        if self.pipelined:
+            # deferred resolution: queue this frame's in-flight solve and
+            # hand back a provisional (velocity-extrapolated) pose; the
+            # System drains the window in one stacked fetch when it fills.
+            # Matching semantics degrade only via candidate staleness (at
+            # most pipeline_depth frames; the on-device wide-radius retry
+            # absorbs the extra prediction error).
+            self._pending.append(ctx)
+            return TrackResult(OK, np.asarray(ctx["R_pred"]),
+                               np.asarray(ctx["t_pred"]), -1, None)
+        return self._finish_fused(jax.device_get(ctx["out"]), ctx)
+
+    def _track_slow(self, fr, timestamp, fl, cand, local_pts,
+                    R_pred, t_pred) -> TrackResult:
+        use_pl = self.use_lines and fl is not None
+        kl_ln_id = None
+        if True:
             # rare slow path: the motion model failed (or there was nothing
             # to match) — full host-orchestrated fallback chain with the
             # pose-prior-free reference-KF matcher (reference:
@@ -867,6 +1024,14 @@ class Tracker:
             else:
                 R2, t2, n2, kp_pt2 = self._match_step(
                     fr, R1, t1, local_pts, radius=4.0)
+        return self._track_tail(fr, timestamp, fl, R2, t2, int(n2), kp_pt2,
+                                kl_ln_id, local_pts)
+
+    def _track_tail(self, fr, timestamp, fl, R2, t2, n2, kp_pt2, kl_ln_id,
+                    local_pts) -> TrackResult:
+        """Common epilogue: lost handling, motion model, visibility
+        counters, keyframe decision + creation."""
+        st = self.store
         if n2 < 10:
             # a mature map earns a grace period with coasting + per-frame
             # relocalization attempts (reference: state -> RECENTLY_LOST
@@ -980,6 +1145,7 @@ class Tracker:
         """Return to the pre-initialization state without touching the map
         (the tracker half of System::Reset / ResetActiveMap)."""
         self.state = NOT_INITIALIZED
+        self._pending = []
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -1245,9 +1411,8 @@ class Tracker:
         kf = st.alloc_kf()
         N = fr.kp.xy.shape[0]
         # one batched device->host transfer for the whole frame snapshot
-        fr = jax.device_get(fr)
-        if fl is not None:
-            fl = jax.device_get(fl)
+        # (points AND lines in the same call: the link charges per call)
+        fr, fl = jax.device_get((fr, fl))
         st.kf_R[kf] = self.R
         st.kf_t[kf] = self.t
         c = self._fov_center(fr, self.R, self.t)

@@ -1,0 +1,86 @@
+"""Deferred-resolution tracking pipeline: one-frame-late solve fetches must
+not change matching semantics — same candidates, same KF policy, same map —
+only the per-call return becomes the predicted pose (resolved poses land in
+the trajectory)."""
+
+import numpy as np
+
+from plvs_tpu.geometry import cameras
+from plvs_tpu.io import evaluation, synthetic
+from plvs_tpu.slam import System, SystemConfig
+
+CAM = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320, height=240,
+                      bf=24.0)
+
+
+def _run(pipelined: bool, n=30, async_mapping=False, depth=1):
+    scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, seed=0)
+    cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                       max_pts=16384, use_lines=True, max_lines=64,
+                       pipelined=pipelined, async_mapping=async_mapping,
+                       pipeline_depth=depth)
+    system = System(CAM, cfg)
+    gt = []
+    for ts, gray, depth, R_gt, t_gt in scene.sequence(n_frames=n):
+        system.track_rgbd(gray, depth, ts)
+        gt.append(-R_gt.T @ t_gt)
+    system.flush()
+    traj = system.trajectory_tum()
+    rmse = evaluation.ate_rmse(traj[:, 1:4], np.stack(gt), align=True)
+    return system, traj, rmse
+
+
+class TestPipelined:
+    def test_matches_sync_quality(self):
+        sys_s, traj_s, rmse_s = _run(False)
+        sys_p, traj_p, rmse_p = _run(True)
+        # every frame resolved into the trajectory
+        assert len(traj_p) == len(traj_s)
+        # identical candidate flow -> near-identical solution
+        assert rmse_p <= max(rmse_s * 1.5, rmse_s + 0.01), (rmse_p, rmse_s)
+        assert abs(sys_p.store.num_keyframes - sys_s.store.num_keyframes) <= 2
+
+    def test_depth4_window_stays_accurate(self):
+        """A 4-deep in-flight window (one stacked fetch per 4 frames) must
+        hold accuracy: candidate staleness is absorbed by the wide-radius
+        retry and velocity-extrapolated prediction."""
+        sys_4, traj_4, rmse_4 = _run(True, depth=4)
+        assert len(traj_4) == 30
+        assert rmse_4 < 0.05, rmse_4
+        assert sys_4.store.num_keyframes >= 2
+
+    def test_combined_with_async_mapper(self):
+        """Deferred tracking + async mapper actor together (the full
+        realtime configuration): must stay accurate."""
+        sys_c, traj_c, rmse_c = _run(True, async_mapping=True)
+        try:
+            assert len(traj_c) == 30
+            assert rmse_c < 0.05, rmse_c
+            assert sys_c.store.num_keyframes >= 2
+        finally:
+            if sys_c.actor is not None:
+                sys_c.actor.shutdown()
+
+    def test_flush_idempotent(self):
+        sys_p, _, _ = _run(True, n=10)
+        sys_p.flush()
+        sys_p.flush()
+        assert not sys_p.tracker._pending
+
+    def test_provisional_pose_is_close(self):
+        """The returned (predicted) pose must stay near the resolved one."""
+        scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, seed=0)
+        cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
+                           max_pts=16384, pipelined=True)
+        system = System(CAM, cfg)
+        returned = []
+        for ts, gray, depth, R_gt, t_gt in scene.sequence(n_frames=20):
+            state, R, t = system.track_rgbd(gray, depth, ts)
+            returned.append((ts, R.copy(), t.copy()))
+        system.flush()
+        resolved = {ts: (R, t) for ts, R, t in system.trajectory}
+        errs = []
+        for ts, R, t in returned[2:]:
+            Rr, tr = resolved[ts]
+            errs.append(np.linalg.norm((-R.T @ t) - (-Rr.T @ tr)))
+        assert np.median(errs) < 0.05, np.median(errs)
