@@ -72,31 +72,15 @@ def build_system():
     return cam, System(cam, cfg)
 
 
-def _retry_slow_tunnel(max_retries: int = 2, threshold_ms: float = 5.0):
-    """Connection management for the remote-TPU link: per-connection round
-    trips land at either ~0.1 ms or ~25 ms depending on which pool worker
-    the process draws (measured; the slow draw caps ANY client at ~40
-    blocking RPCs/s regardless of kernel speed). If this process drew a
-    slow link, re-exec once or twice for a fresh connection. The pipeline
-    itself is never retried — only the transport."""
-    import jax
-    import jax.numpy as jnp
+def _retry_slow_tunnel():
+    """Connection management for the remote-TPU link: both the RPC round
+    trip (~0.1 ms vs ~25 ms) and the bulk upload bandwidth (>400 MB/s vs
+    ~15 MB/s) are per-process lottery draws from the tunnel's worker pool
+    (measured). A slow draw of EITHER caps the pipeline — 0.9 MB/frame at
+    15 MB/s is 60 ms of upload per frame. Re-exec for a fresh draw."""
+    from plvs_tpu.utils.tunnel import ensure_fast_link
 
-    tries = int(os.environ.get("PLVS_BENCH_TUNNEL_TRIES", "0"))
-    x = jnp.ones((256, 256))
-    f = jax.jit(lambda a: (a @ a).sum())
-    f(x).block_until_ready()  # connection warm-up + compile
-    ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        f(x).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    rtt = sorted(ts)[len(ts) // 2] * 1e3
-    print(f"tunnel RTT: {rtt:.2f} ms (try {tries})", file=sys.stderr)
-    if rtt > threshold_ms and tries < max_retries:
-        os.environ["PLVS_BENCH_TUNNEL_TRIES"] = str(tries + 1)
-        sys.stderr.flush()
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    ensure_fast_link(max_retries=3)
 
 
 def main():
@@ -129,7 +113,11 @@ def main():
     from plvs_tpu.io import synthetic
 
     cam, system = build_system()
-    scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0, tex_size=2048,
+    # structured-panel scene: long straight borders exercise the LINE
+    # pipeline at scale (the "L" in PLVS) alongside dense corner blobs for
+    # points — the reference's line claims target structured interiors
+    tex = synthetic.make_structured_texture(2048)
+    scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0, texture=tex,
                                     tex_scale=420.0)
     frames = []
     for ts, gray, depth, R, t in scene.sequence(n_frames=N_FRAMES):
@@ -149,6 +137,7 @@ def main():
 
     # -- timed pass: fresh system, warm caches ----------------------------
     cam, system = build_system()
+    system.tracker.timing = []  # (fetch_s, finish_s, group) per resolve
     t0 = time.perf_counter()
     for ts, gray, depth in frames:
         system.track_rgbd(gray, depth, ts)
@@ -164,6 +153,13 @@ def main():
           f"({1000 * elapsed / len(frames):.1f} ms/frame)", file=sys.stderr)
     print(f"map: {stats}", file=sys.stderr)
     print(system.stopwatch.report(), file=sys.stderr)
+    tm = system.tracker.timing or []
+    if tm:
+        fe = sum(t[0] for t in tm)
+        fi = sum(t[1] for t in tm)
+        print(f"resolve split: device-fetch {fe:.2f}s, host-finish "
+              f"{fi:.2f}s over {len(tm)} batches "
+              f"({sum(t[2] for t in tm)} frames)", file=sys.stderr)
 
     # roofline evidence for the hot Pallas kernels (BASELINE.md kernel-speed
     # row): achieved GB/s / GFLOP/s vs the chip's speed-of-light bound

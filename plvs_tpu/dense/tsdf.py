@@ -360,6 +360,7 @@ class TSDFVolume:
         vs, us = np.mgrid[0:h:ss, 0:w:ss]
         d = depth[vs, us]
         ok = (d > 0) & (d < self.max_depth)
+        self._last_touched_idx = np.zeros((0,), np.int64)
         if not ok.any():
             return
         if self._alloc_rays is None or self._alloc_rays.shape[:2] != d.shape:
@@ -378,14 +379,23 @@ class TSDFVolume:
         bc = np.floor(P / (BLOCK * self.voxel_size)).astype(np.int32)
         uniq = np.unique(bc, axis=0)
         n0 = self.n_blocks
+        touched = []
         for c in map(tuple, uniq.tolist()):
-            if c not in self.block_map:
+            i = self.block_map.get(c)
+            if i is None:
                 if self.n_blocks >= self.max_blocks:
-                    break  # capacity — silently stop allocating (bounded map)
-                self.block_map[c] = self.n_blocks
-                self.block_coords[self.n_blocks] = c
-                self.block_alloc_frame[self.n_blocks] = self.frame_idx
+                    continue  # capacity — stop allocating (bounded map)
+                i = self.n_blocks
+                self.block_map[c] = i
+                self.block_coords[i] = c
+                self.block_alloc_frame[i] = self.frame_idx
                 self.n_blocks += 1
+            touched.append(i)
+        # the truncation-band sample set IS the set of blocks this frame's
+        # integration can change — remembered for _mark_touched so the
+        # incremental mesher re-extracts only those (not every allocated
+        # block inside the camera's depth range)
+        self._last_touched_idx = np.asarray(touched, np.int64)
         if self.n_blocks != n0:
             self._coords_d = None  # device copy stale
 
@@ -415,9 +425,15 @@ class TSDFVolume:
         self._mark_touched(Rcw, tcw)
 
     def _mark_touched(self, Rcw, tcw):
-        """Bump the version of every block this frame could have changed —
-        a conservative camera-range test on block centers (over-marking only
-        costs the incremental mesher extra re-extractions)."""
+        """Bump the version of exactly the blocks the integration pass
+        visited (the truncation-band sample set recorded by
+        _allocate_for_frame); falls back to a conservative camera-range test
+        when allocation was skipped."""
+        idx = getattr(self, "_last_touched_idx", None)
+        if idx is not None:
+            if len(idx):
+                self.block_version[idx] = self.frame_idx
+            return
         n = self.n_blocks
         S = BLOCK
         centers = (self.block_coords[:n].astype(np.float32) + 0.5) * (

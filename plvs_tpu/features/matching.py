@@ -13,6 +13,7 @@ chasing; a Pallas-tiled variant covers larger batches.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -67,6 +68,8 @@ def rotation_consistency(
     return match_ok & ok_bin[bins]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_dist", "ratio", "mutual"))
 def match_nn_ratio(
     desc_q: jnp.ndarray,
     desc_k: jnp.ndarray,
@@ -77,7 +80,9 @@ def match_nn_ratio(
     cand_mask: jnp.ndarray | None = None,
     mutual: bool = True,
 ):
-    """Nearest-neighbour matching with Lowe ratio + optional mutual check.
+    """Nearest-neighbour matching with Lowe ratio + optional mutual check —
+    one jitted dispatch (eager execution through a remote-tunnel device pays
+    a round trip per op).
 
     Returns (match_idx [Q] int32 (-1 = none), match_dist [Q]).
     """

@@ -64,6 +64,44 @@ def make_line_texture(size: int = 1024,
     return np.clip(tex, 0, 255)
 
 
+def make_structured_texture(size: int = 2048,
+                            rng: np.random.Generator | None = None,
+                            n_panels: int = 24,
+                            n_blobs: int = 600) -> np.ndarray:
+    """Man-made indoor look: rectangular panels (doors/windows/shelves)
+    whose long straight borders feed the LINE pipeline, plus dense corner
+    blobs so the point pipeline runs at full strength. This is the flagship
+    bench scene — the reference's line claims target exactly this scene
+    class (structured low/mid-texture interiors, README.md:14 and the TUM
+    fr3 structure-vs-texture sequences)."""
+    rng = rng or np.random.default_rng(7)
+    tex = np.full((size, size), 70.0, np.float32)
+    # large axis-aligned panels with contrasting 4-px borders
+    for _ in range(n_panels):
+        w = int(rng.integers(size // 10, size // 3))
+        h = int(rng.integers(size // 10, size // 3))
+        x = int(rng.integers(0, size - w))
+        y = int(rng.integers(0, size - h))
+        fill = float(rng.uniform(60, 200))
+        border = 250.0 if fill < 130 else 30.0
+        tex[y:y + h, x:x + w] = fill
+        b = 4
+        tex[y:y + b, x:x + w] = border
+        tex[y + h - b:y + h, x:x + w] = border
+        tex[y:y + h, x:x + b] = border
+        tex[y:y + h, x + w - b:x + w] = border
+    # corner blobs on top (keep clear of panel borders is unnecessary —
+    # extra corners only help)
+    xs = rng.integers(8, size - 24, n_blobs)
+    ys = rng.integers(8, size - 24, n_blobs)
+    for x, y in zip(xs, ys):
+        w = int(rng.integers(6, 16))
+        h = int(rng.integers(6, 16))
+        tex[y:y + h, x:x + w] = rng.uniform(90, 250)
+    tex += rng.normal(size=tex.shape).astype(np.float32) * 2.0
+    return np.clip(tex, 0, 255)
+
+
 def _so3_exp_np(w: np.ndarray) -> np.ndarray:
     """Host-side Rodrigues formula — the trajectory generator is a data
     source and must never dispatch to (or wait on) an accelerator."""
@@ -85,6 +123,101 @@ def default_trajectory(n_frames: int = 60) -> list[tuple[np.ndarray, np.ndarray]
         pitch = 0.04 * np.sin(4 * np.pi * s)
         C = np.array([0.8 * s, 0.12 * np.sin(2 * np.pi * s), 0.25 * s], np.float32)
         R = _so3_exp_np(np.array([pitch, yaw, 0.0]))
+        t = (-R @ C).astype(np.float32)
+        poses.append((R.astype(np.float32), t))
+    return poses
+
+
+class SyntheticRoom:
+    """Four textured vertical walls forming a square room (infinite in y):
+    the scene class a GENUINE loop-closure scenario needs — a trajectory
+    that turns away from its start region loses covisibility with it and
+    must re-recognize it on return (a single wall keeps every keyframe
+    covisible with every other, so place recognition correctly never fires
+    there). Each wall gets its own texture so BoW similarity discriminates.
+
+    Walls: z=+half, z=-half, x=+half, x=-half around the world origin.
+    """
+
+    def __init__(self, cam: cam_mod.Camera, half: float = 3.0,
+                 tex_size: int = 1024, tex_scale: float = 180.0,
+                 seed: int = 0, structured: bool = True):
+        self.cam = cam
+        self.half = half
+        self.tex_scale = tex_scale
+        make = make_structured_texture if structured else make_texture
+        self.texs = [make(tex_size, np.random.default_rng(seed + i))
+                     for i in range(4)]
+        h, w = cam.height, cam.width
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        import jax
+        import jax.numpy as jnp
+
+        uv = np.stack([xs, ys], -1).reshape(-1, 2)
+        rays = np.asarray(jax.jit(
+            lambda u: cam_mod.unproject(cam, u))(jnp.asarray(uv)))
+        rays = rays / rays[:, 2:3]
+        self._rays_c = rays.T  # [3, H*W], z = 1
+
+    # wall table: (axis, sign, u_axis, u_sign) — u = horizontal tex coord
+    _WALLS = (
+        (2, +1.0, 0, +1.0),   # z = +half, u = +x
+        (2, -1.0, 0, -1.0),   # z = -half, u = -x
+        (0, +1.0, 2, -1.0),   # x = +half, u = -z
+        (0, -1.0, 2, +1.0),   # x = -half, u = +z
+    )
+
+    def render(self, R: np.ndarray, t: np.ndarray):
+        """(gray [H,W] f32, depth [H,W] f32 camera-z meters)."""
+        from scipy.ndimage import map_coordinates
+
+        h, w = self.cam.height, self.cam.width
+        Rwc = R.T
+        C = -Rwc @ t
+        rays_w = Rwc @ self._rays_c              # [3, HW]
+        n = rays_w.shape[1]
+        best_a = np.full((n,), np.inf, np.float32)
+        gray = np.zeros((n,), np.float32)
+        for wi, (ax, sign, uax, usign) in enumerate(self._WALLS):
+            denom = rays_w[ax]
+            denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            a = (sign * self.half - C[ax]) / denom
+            hit = (a > 0.05) & (a < best_a)
+            if not hit.any():
+                continue
+            X = C[:, None] + a * rays_w
+            tex = self.texs[wi]
+            ts_ = self.tex_scale
+            u = (usign * X[uax, hit] * ts_) % tex.shape[1]
+            v = (X[1, hit] * ts_) % tex.shape[0]
+            vals = map_coordinates(tex, [v, u], order=1, mode="wrap")
+            gray[hit] = vals
+            best_a[hit] = a[hit]
+        depth = best_a.copy()
+        depth[~np.isfinite(depth)] = 0.0
+        return gray.reshape(h, w), depth.reshape(h, w)
+
+    def sequence(self, poses, fps: float = 30.0):
+        for i, (R, t) in enumerate(poses):
+            gray, depth = self.render(R, t)
+            yield i / fps, gray, depth, R, t
+
+
+def orbit_loop_trajectory(n_frames: int = 96, radius: float = 1.0,
+                          wobble: float = 0.05):
+    """Camera orbits the room center looking outward, a full 360-degree
+    turn back to the start pose: mid-orbit frames share NO walls with the
+    start, so the return leg is a true place-recognition loop."""
+    poses = []
+    for i in range(n_frames):
+        s = i / n_frames
+        ang = 2.0 * np.pi * s
+        # camera center on a circle, looking radially outward (+z toward
+        # the wall it faces)
+        C = np.array([radius * np.sin(ang),
+                      wobble * np.sin(4 * np.pi * s),
+                      radius * np.cos(ang)], np.float32)
+        R = _so3_exp_np(np.array([0.0, -ang, 0.0]))
         t = (-R @ C).astype(np.float32)
         poses.append((R.astype(np.float32), t))
     return poses

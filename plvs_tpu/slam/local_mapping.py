@@ -126,21 +126,34 @@ class LocalMapper:
     # src/LocalMapping.cc:139)
     abort_check: object | None = None
     ba_chunk_iters: int = 3
+    stopwatch: object | None = None  # optional fine-grained stage timing
+    # device mesh for the sharded global-BA backend (SystemConfig.
+    # sharded_backend); windowed local BA stays single-device — its
+    # problem is too small to amortize collectives
+    mesh: object | None = None
+
+    def _scope(self, name: str):
+        if self.stopwatch is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.stopwatch.scope(name)
 
     def process_keyframe(self, kf_id: int):
         lock = self.store.lock
-        with lock:
+        with self._scope("lm.cull"), lock:
             self.cull_points(kf_id)
             if self.use_lines:
                 self.cull_lines(kf_id)
         if self.triangulate_new_points:
-            with lock:
+            with self._scope("lm.tri_pts"), lock:
                 self.create_new_points(kf_id)
         if self.use_lines:
-            with lock:
+            with self._scope("lm.tri_lines"), lock:
                 self.create_new_lines(kf_id)
-        with lock:
+        with self._scope("lm.fuse"), lock:
             self.fuse_neighbors(kf_id)
+        with self._scope("lm.maint"), lock:
             # landmark maintenance after the observation set settled
             # (reference: ProcessNewKeyFrame + SearchInNeighbors both re-run
             # ComputeDistinctiveDescriptors / UpdateNormalAndDepth)
@@ -148,9 +161,10 @@ class LocalMapper:
             self.store.update_point_maintenance(
                 np.unique(pts[pts >= 0]), scale=self.scale,
                 n_levels=self.n_levels)
-        self.local_ba(kf_id)
+        with self._scope("lm.ba"):
+            self.local_ba(kf_id)
         if self.kf_culling:
-            with lock:
+            with self._scope("lm.cull_kf"), lock:
                 self.cull_keyframes(kf_id)
 
     # ------------------------------------------------------------------
@@ -428,17 +442,19 @@ class LocalMapper:
         """Full bundle adjustment over every live keyframe of a map
         (reference: Optimizer::GlobalBundleAdjustemnt src/Optimizer.cc:459,
         dispatched by LoopClosing::RunGlobalBundleAdjustment after a loop
-        closure; here it runs synchronously on the same window-BA core)."""
+        closure). With a ``mesh`` (SystemConfig.sharded_backend) the solve
+        runs on the observation-sharded SPMD backend."""
         st = self.store
         if map_id is None:
             map_id = st.active_map
         window = np.sort(st.kfs_of_map(map_id)).astype(np.int64)
         # all KFs free; the gauge anchor falls out below (oldest KF fixed
         # when no out-of-window observer exists)
-        return self._window_ba(window, num_iters=num_iters)
+        return self._window_ba(window, num_iters=num_iters,
+                               use_mesh=self.mesh is not None)
 
     def _window_ba(self, window: np.ndarray, num_iters: int = 6,
-                   cg_iters: int = 30):
+                   cg_iters: int = 30, use_mesh: bool = False):
         with self.store.lock:
             packed = self._gather_ba(window)
         if packed is None:
@@ -457,8 +473,16 @@ class LocalMapper:
             # mbAbortBA), and each chunk boundary costs a device round trip
             it = (num_iters - done if self.abort_check is None
                   else min(self.ba_chunk_iters, num_iters - done))
-            Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
-                self.cam, prob, num_iters=it, cg_iters=cg_iters)
+            if use_mesh:
+                from ..parallel import sharded_ba
+
+                Rn, tn, pn, lXsn, lXen, info = \
+                    sharded_ba.bundle_adjust_sharded(
+                        self.cam, prob, self.mesh, num_iters=it,
+                        cg_iters=cg_iters)
+            else:
+                Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
+                    self.cam, prob, num_iters=it, cg_iters=cg_iters)
             prob = prob._replace(R=Rn, t=tn, points=pn,
                                  lines_Xs=lXsn, lines_Xe=lXen)
             done += it

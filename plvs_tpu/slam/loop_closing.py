@@ -56,6 +56,18 @@ class LoopCloser:
     # planar objects corrected with the map at loop closure (reference:
     # SearchAndFuse also updates MapObjects, src/LoopClosing.cc:1584)
     object_store: object | None = None
+    stopwatch: object | None = None  # optional fine-grained stage timing
+    # device mesh (SystemConfig.sharded_backend): the essential-graph solve
+    # runs edge-sharded over it (plvs_tpu.parallel.sharded_pose_graph);
+    # the 4-DoF inertial form stays single-device (no dof4 support there)
+    mesh: object | None = None
+
+    def _scope(self, name: str):
+        if self.stopwatch is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.stopwatch.scope(name)
 
     def __post_init__(self):
         if self.kfdb is None:
@@ -84,17 +96,28 @@ class LoopCloser:
         """Detect + verify + (after enough consecutive coincidences)
         correct. Returns loop info dict if closed."""
         st = self.store
-        if not self.kfdb.add(kf_id):
-            return None
+        with self._scope("lc.bow_add"):
+            if not self.kfdb.add(kf_id):
+                return None
 
-        cand = self._detect(kf_id)
-        if cand is None:
+        with self._scope("lc.detect"):
+            cands = self._detect(kf_id)
+        if not cands:
             # a pending detection must be confirmed by CONSECUTIVE
             # keyframes (reference: the coincidence counter resets when a
             # keyframe fails to re-detect the region)
             self._pending = None
             return None
-        ok, R_rel, t_rel, n_inl, pairs = self._verify(kf_id, cand)
+        # verify the N best candidates in database order, keeping the first
+        # that passes geometric verification (reference:
+        # DetectNBestCandidates feeds each candidate's covisibility window
+        # through Sim3 RANSAC until one sticks, src/LoopClosing.cc:377-459)
+        ok = False
+        with self._scope("lc.verify"):
+            for cand in cands:
+                ok, R_rel, t_rel, n_inl, pairs = self._verify(kf_id, cand)
+                if ok:
+                    break
         if not ok:
             self._pending = None
             return None
@@ -111,17 +134,19 @@ class LoopCloser:
             return None
         self._pending = None
 
-        # the correction rewrites keyframe poses and landmark positions —
-        # hold the store lock so the tracking thread's gathers never see a
-        # half-applied weld (async runtime; the reference stops LocalMapping
-        # and relies on per-object mutexes here, src/LoopClosing.cc:1268)
-        with st.lock:
-            if st.kf_map[cand] != st.kf_map[kf_id]:
-                # place recognised in another atlas map -> weld the active
-                # map into it (reference: MergeLocal, src/LoopClosing.cc:1684-)
+        if st.kf_map[cand] != st.kf_map[kf_id]:
+            # place recognised in another atlas map -> weld the active
+            # map into it (reference: MergeLocal, src/LoopClosing.cc:1684-)
+            with st.lock:
                 info = self._merge(kf_id, cand, R_rel, t_rel, pairs)
-            else:
-                info = self._correct(kf_id, cand, R_rel, t_rel, pairs)
+        else:
+            # lock-light correction: the pose-graph solve runs OUTSIDE the
+            # store lock (tracking keeps dispatching frames meanwhile); only
+            # the snapshot and the final pose/landmark swap hold it
+            # (reference: Tracking continues during CorrectLoop; the
+            # reference stops LocalMapping, not the tracker,
+            # src/LoopClosing.cc:1268)
+            info = self._correct(kf_id, cand, R_rel, t_rel, pairs)
         info.update({"candidate": int(cand), "inliers": int(n_inl)})
         self.last_loop_kf = kf_id
         return info
@@ -191,7 +216,7 @@ class LoopCloser:
         cands = self.kfdb.query_keyframe(
             kf_id, top_n=3, exclude=excluded,
             min_score=max(self.min_score_ratio * min_score, 0.015))
-        return cands[0][0] if cands else None
+        return [c for c, _s in cands]
 
     # ------------------------------------------------------------------
     def _verify(self, kf_id: int, cand: int):
@@ -297,51 +322,70 @@ class LoopCloser:
         OptimizeEssentialGraph). The loop edge pins T_cand_w ∘ T_w_kf to the
         verified relative pose; the chain edges come from current estimates.
         Verified duplicate landmarks are fused afterwards (reference:
-        SearchAndFuse, src/LoopClosing.cc:1584)."""
-        st = self.store
-        live = np.sort(st.kfs_of_map(int(st.kf_map[kf_id])))
-        K = len(live)
-        loc = {int(k): i for i, k in enumerate(live)}
-        R_before = st.kf_R[live].copy()
-        t_before = st.kf_t[live].copy()
-        R = jnp.asarray(st.kf_R[live])
-        t = jnp.asarray(st.kf_t[live])
-        s = jnp.ones((K,), jnp.float32)
+        SearchAndFuse, src/LoopClosing.cc:1584).
 
-        # edges: temporal chain + covisibility (weight by shared points)
-        # + spanning-tree parent edges from the native engine (reference:
-        # OptimizeEssentialGraph includes spanning tree, covisibility and
-        # loop edges, src/Optimizer.cc:4487; tree from KeyFrame mspChildrens)
+        Lock discipline: a short-lock SNAPSHOT (poses + one covisibility-
+        graph pass), the pose-graph SOLVE outside the lock (tracking keeps
+        running), then a short-lock APPLY that rewrites poses/landmarks
+        through each keyframe's pose delta. Keyframes and landmarks created
+        while the solve ran are corrected with the chain-end delta — they
+        were tracked in the drifted world."""
+        st = self.store
+
+        # -- snapshot (short lock) ------------------------------------------
+        with st.lock:
+            live = np.sort(st.kfs_of_map(int(st.kf_map[kf_id])))
+            K = len(live)
+            loc = {int(k): i for i, k in enumerate(live)}
+            R_before = st.kf_R[live].copy()
+            t_before = st.kf_t[live].copy()
+            kf_fixed = st.kf_fixed[live].copy()
+            # ONE pass over the observation table for the whole covisibility
+            # graph (reference: the per-KF UpdateConnections maps; K
+            # separate covisibility() scans are O(K*M) and were the resolve
+            # latency spike during loop keyframes)
+            g_ei, g_ej, g_w = st.covis_graph_full(min_weight=20)
+
+        # -- build edges + solve (NO lock) ----------------------------------
+        # edges: temporal chain + covisibility + spanning tree (reference:
+        # OptimizeEssentialGraph includes spanning-tree, covisibility and
+        # loop edges, src/Optimizer.cc:4487)
         pairs = [(i, i - 1) for i in range(1, K)]
         weights = [1.0] * len(pairs)
-        okf, opt, _ = st.live_obs()
-        cov_ei, cov_ej, cov_w = [], [], []
-        for i, k in enumerate(live):
-            covis, w = st.covisibility(int(k), min_weight=20)
-            for c, wt in zip(covis.tolist()[:5], w.tolist()[:5]):
-                if c in loc:
-                    cov_ei.append(i)
-                    cov_ej.append(loc[c])
-                    cov_w.append(int(wt))
-                    if loc[c] < i - 1:
-                        pairs.append((i, loc[c]))
-                        weights.append(1.0)
-        if cov_ei:
-            try:
-                from .. import native as native_mod
+        have = {tuple(sorted(p)) for p in pairs}
+        lut = np.full(self.store.max_kf, -1, np.int64)
+        lut[live] = np.arange(K)
+        sel = ((lut[g_ei] >= 0) & (lut[g_ej] >= 0)) \
+            if len(g_ei) else np.zeros((0,), bool)
+        cov_i = lut[g_ei[sel]].astype(np.int32)
+        cov_j = lut[g_ej[sel]].astype(np.int32)
+        cov_w = np.asarray(g_w[sel], np.int32)
+        for a, b in zip(cov_i.tolist(), cov_j.tolist()):
+            key = tuple(sorted((a, b)))
+            if key not in have:
+                have.add(key)
+                pairs.append((a, b))
+                weights.append(1.0)
+        if len(cov_i):
+            from .. import native as native_mod
 
+            if native_mod.available():
+                # symmetric COO for the parent scan (edge direction must not
+                # hide earlier-id parents)
                 parent = native_mod.spanning_tree(
-                    np.asarray(cov_ei, np.int32), np.asarray(cov_ej, np.int32),
-                    np.asarray(cov_w, np.int32), K)
-                have = {tuple(sorted(p)) for p in pairs}
+                    np.concatenate([cov_i, cov_j]),
+                    np.concatenate([cov_j, cov_i]),
+                    np.concatenate([cov_w, cov_w]), K)
                 for child in range(K):
                     p = int(parent[child])
                     if p >= 0 and tuple(sorted((child, p))) not in have:
+                        have.add(tuple(sorted((child, p))))
                         pairs.append((child, p))
                         weights.append(1.0)
-            except Exception:
-                pass  # native engine unavailable: chain+covis edges suffice
         pairs = np.asarray(pairs, np.int32)
+        R = jnp.asarray(R_before)
+        t = jnp.asarray(t_before)
+        s = jnp.ones((K,), jnp.float32)
         eR, et, es = pose_graph.make_edges_from_poses(R, t, s, jnp.asarray(pairs))
 
         # loop edge: measured relative transform X_kf = R_rel^-1 (X_cand - t_rel)
@@ -364,7 +408,7 @@ class LoopCloser:
         fixed = np.zeros((K,), bool)
         fixed[loc[cand]] = True
         # frozen loaded-map keyframes are never moved (reference: mbFixed)
-        fixed |= st.kf_fixed[live]
+        fixed |= kf_fixed
 
         prob = pose_graph.PoseGraphProblem(
             R, t, s, jnp.asarray(fixed), edge_i, edge_j, edge_R, edge_t,
@@ -375,86 +419,109 @@ class LoopCloser:
             g = np.asarray(self.gravity_w, np.float32)
             g = g / max(np.linalg.norm(g), 1e-9)
             # camera-frame gravity axis per vertex: a_k = R_k g_w
-            dof4_axis = jnp.asarray(
-                np.einsum("kij,j->ki", st.kf_R[live], g))
-        Rn, tn, sn, info = pose_graph.optimize_jit(
-            prob, num_iters=12, fix_scale=self.fix_scale,
-            dof4_axis=dof4_axis,
-        )
+            dof4_axis = jnp.asarray(np.einsum("kij,j->ki", R_before, g))
+        if self.mesh is not None and dof4_axis is None:
+            from ..parallel import sharded_pose_graph
+
+            nd = int(np.prod(self.mesh.devices.shape))
+            pad = (-E) % nd
+            if pad:
+                prob = prob._replace(
+                    edge_i=jnp.pad(prob.edge_i, (0, pad)),
+                    edge_j=jnp.pad(prob.edge_j, (0, pad)),
+                    edge_R=jnp.pad(prob.edge_R, ((0, pad), (0, 0), (0, 0))),
+                    edge_t=jnp.pad(prob.edge_t, ((0, pad), (0, 0))),
+                    edge_s=jnp.pad(prob.edge_s, (0, pad),
+                                   constant_values=1.0),
+                    edge_weight=jnp.pad(prob.edge_weight, (0, pad)),
+                    edge_mask=jnp.pad(prob.edge_mask, (0, pad)),
+                )
+            Rn, tn, sn, info = sharded_pose_graph.optimize_sharded(
+                prob, self.mesh, num_iters=12, fix_scale=self.fix_scale)
+        else:
+            Rn, tn, sn, info = pose_graph.optimize_jit(
+                prob, num_iters=12, fix_scale=self.fix_scale,
+                dof4_axis=dof4_axis,
+            )
         Rn, tn = np.asarray(Rn), np.asarray(tn)
 
-        # correct map points through their reference keyframe's pose change:
-        # X' = T_new^-1 ∘ T_old ∘ X (reference: CorrectLoop point update)
-        pts = np.nonzero(st.pt_mask)[0]
-        ref = st.pt_ref_kf[pts]
-        ref_loc = np.asarray([loc.get(int(r), -1) for r in ref])
-        ok = ref_loc >= 0
-        p_sel = pts[ok]
-        rl = ref_loc[ok]
-        R_old = st.kf_R[live[rl]]
-        t_old = st.kf_t[live[rl]]
-        R_new = Rn[rl]
-        t_new = tn[rl]
-        X = st.pt_xyz[p_sel]
-        Xc = np.einsum("nij,nj->ni", R_old, X) + t_old
-        Xw = np.einsum("nji,nj->ni", R_new, Xc - t_new)
-        st.version += 1
-        st.pt_xyz[p_sel] = Xw
+        # -- apply (short lock) ---------------------------------------------
+        i_end = loc[kf_id]  # chain-end delta for everything born mid-solve
+        with st.lock:
+            # correct map points through their reference keyframe's pose
+            # change: X' = T_new^-1 ∘ T_old ∘ X (reference: CorrectLoop)
+            pts = np.nonzero(st.pt_mask)[0]
+            ref = st.pt_ref_kf[pts]
+            ref_loc = np.asarray([loc.get(int(r), i_end) for r in ref])
+            R_old = R_before[ref_loc]
+            t_old = t_before[ref_loc]
+            R_new = Rn[ref_loc]
+            t_new = tn[ref_loc]
+            X = st.pt_xyz[pts]
+            Xc = np.einsum("nij,nj->ni", R_old, X) + t_old
+            st.pt_xyz[pts] = np.einsum("nji,nj->ni", R_new, Xc - t_new)
+            st.version += 1
 
-        # line landmarks move with their reference keyframe exactly like
-        # points (reference: CorrectLoop transforms MapLines' endpoints,
-        # src/LoopClosing.cc:1260-1584)
-        lns = np.nonzero(st.ln_mask)[0]
-        if len(lns):
-            lref = st.ln_ref_kf[lns]
-            lref_loc = np.asarray([loc.get(int(r), -1) for r in lref])
-            lok = lref_loc >= 0
-            l_sel = lns[lok]
-            rl2 = lref_loc[lok]
-            R_o = st.kf_R[live[rl2]]
-            t_o = st.kf_t[live[rl2]]
-            R_n2 = Rn[rl2]
-            t_n2 = tn[rl2]
-            for arr in (st.ln_Xs, st.ln_Xe):
-                Xc2 = np.einsum("nij,nj->ni", R_o, arr[l_sel]) + t_o
-                arr[l_sel] = np.einsum("nji,nj->ni", R_n2, Xc2 - t_n2)
+            # line landmarks move with their reference keyframe exactly like
+            # points (reference: CorrectLoop transforms MapLines' endpoints,
+            # src/LoopClosing.cc:1260-1584)
+            lns = np.nonzero(st.ln_mask)[0]
+            if len(lns):
+                lref_loc = np.asarray(
+                    [loc.get(int(r), i_end) for r in st.ln_ref_kf[lns]])
+                R_o, t_o = R_before[lref_loc], t_before[lref_loc]
+                R_n2, t_n2 = Rn[lref_loc], tn[lref_loc]
+                for arr in (st.ln_Xs, st.ln_Xe):
+                    Xc2 = np.einsum("nij,nj->ni", R_o, arr[lns]) + t_o
+                    arr[lns] = np.einsum("nji,nj->ni", R_n2, Xc2 - t_n2)
 
-        st.kf_R[live] = Rn
-        st.kf_t[live] = tn
+            st.kf_R[live] = Rn
+            st.kf_t[live] = tn
+            # keyframes created while the solve ran: chain-end delta
+            # T' = T ∘ T_end_old^-1 ∘ T_end_new
+            now_live = st.kfs_of_map(int(st.kf_map[kf_id]))
+            born = np.setdiff1d(now_live, live)
+            if len(born):
+                dR = R_before[i_end].T @ Rn[i_end]
+                dt = R_before[i_end].T @ (tn[i_end] - t_before[i_end])
+                for k in born:
+                    R_k = st.kf_R[k].copy()
+                    st.kf_R[k] = (R_k @ dR).astype(np.float32)
+                    st.kf_t[k] = (R_k @ dt + st.kf_t[k]).astype(np.float32)
 
-        # map objects move with their best-observing keyframe (reference:
-        # object update in CorrectLoop/SearchAndFuse)
-        if self.object_store is not None:
-            for rec in self.object_store.objects:
-                if not rec.detected or not rec.obs:
-                    continue
-                anchor = max((k for k in rec.obs if k in loc),
-                             default=None)
-                if anchor is None:
-                    continue
-                i = loc[anchor]
-                # T_wo' = T_new^-1 T_old T_wo  (same update as landmarks)
-                R_rel2 = Rn[i].T @ R_before[i]
-                t_rel2 = Rn[i].T @ (t_before[i] - tn[i])
-                rec.R_wo = (R_rel2 @ rec.R_wo).astype(np.float32)
-                rec.t_wo = (R_rel2 @ rec.t_wo + t_rel2).astype(np.float32)
+            # map objects move with their best-observing keyframe
+            # (reference: object update in CorrectLoop/SearchAndFuse)
+            if self.object_store is not None:
+                for rec in self.object_store.objects:
+                    if not rec.detected or not rec.obs:
+                        continue
+                    anchor = max((k for k in rec.obs if k in loc),
+                                 default=None)
+                    if anchor is None:
+                        continue
+                    i = loc[anchor]
+                    # T_wo' = T_new^-1 T_old T_wo (same update as landmarks)
+                    R_rel2 = Rn[i].T @ R_before[i]
+                    t_rel2 = Rn[i].T @ (t_before[i] - tn[i])
+                    rec.R_wo = (R_rel2 @ rec.R_wo).astype(np.float32)
+                    rec.t_wo = (R_rel2 @ rec.t_wo + t_rel2).astype(np.float32)
 
-        # fuse duplicate LINE landmarks across the weld: corrected lines of
-        # the current side that now coincide with loop-side lines (endpoint
-        # proximity + LBD distance) are replaced (reference: the line part
-        # of SearchAndFuse, src/LoopClosing.cc:1584 / LineMatcher::Fuse)
-        n_lines_fused = self._fuse_loop_lines(kf_id, cand)
+            # fuse duplicate LINE landmarks across the weld: corrected lines
+            # of the current side that now coincide with loop-side lines
+            # (endpoint proximity + LBD distance) are replaced (reference:
+            # the line part of SearchAndFuse, src/LoopClosing.cc:1584)
+            n_lines_fused = self._fuse_loop_lines(kf_id, cand)
 
-        # fuse the verified duplicate landmarks: the loop (older) side wins
-        # (reference: SearchAndFuse replaces current-side points with the
-        # loop-side ones after correction)
-        n_fused = 0
-        if fuse_pairs is not None and len(fuse_pairs):
-            for p_src, p_dst in fuse_pairs:
-                if (p_src != p_dst and st.pt_mask[p_src]
-                        and st.pt_mask[p_dst]):
-                    st.replace_point(int(p_src), int(p_dst))
-                    n_fused += 1
+            # fuse the verified duplicate landmarks: the loop (older) side
+            # wins (reference: SearchAndFuse replaces current-side points
+            # with the loop-side ones after correction)
+            n_fused = 0
+            if fuse_pairs is not None and len(fuse_pairs):
+                for p_src, p_dst in fuse_pairs:
+                    if (p_src != p_dst and st.pt_mask[p_src]
+                            and st.pt_mask[p_dst]):
+                        st.replace_point(int(p_src), int(p_dst))
+                        n_fused += 1
         return {"cost0": float(info["cost0"]), "cost": float(info["cost"]),
                 "n_kf": K, "n_fused": n_fused,
                 "n_lines_fused": n_lines_fused}

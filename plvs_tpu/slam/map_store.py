@@ -80,6 +80,19 @@ class MapStore:
         self.kf_map = np.zeros((K,), np.int64)
         self.active_map = 0
         self.n_maps = 1
+        # stable keyframe identity: slots are recycled by alloc_kf, so
+        # anything that outlives a keyframe (the relative-pose trajectory
+        # log) references keyframes by a monotonically unique uid. Culled
+        # keyframes leave a TOMBSTONE — their relative pose to a surviving
+        # anchor — so trajectory export can compose through them (reference:
+        # SaveTrajectoryTUM walks the spanning tree past bad keyframes,
+        # src/System.cc:860-1006)
+        self.kf_uid = np.full((K,), -1, np.int64)
+        self._next_kf_uid = 0
+        self.uid_slot: dict[int, int] = {}
+        # uid -> (parent_uid, R_cp, t_cp, R_abs, t_abs); parent_uid < 0
+        # means no surviving anchor (the recorded absolute pose is final)
+        self.kf_tombstone: dict = {}
         # per-KF keypoints (snapshot of the Frame at KF creation)
         self.kf_kp_xy = np.zeros((K, N, 2), np.float32)
         self.kf_kp_uvr = np.full((K, N, 3), -1.0, np.float32)
@@ -181,6 +194,7 @@ class MapStore:
         self.kf_kp_uvr = self._grown(self.kf_kp_uvr, new, fill=-1.0)
         self.kf_kp_pt = self._grown(self.kf_kp_pt, new, fill=-1)
         self.kf_kl_line = self._grown(self.kf_kl_line, new, fill=-1)
+        self.kf_uid = self._grown(self.kf_uid, new, fill=-1)
         self.max_kf = new
 
     def _grow_points(self):
@@ -212,7 +226,43 @@ class MapStore:
             k = self._n_kf
             self._n_kf += 1
         self.kf_map[k] = self.active_map
+        uid = self._next_kf_uid
+        self._next_kf_uid += 1
+        self.kf_uid[k] = uid
+        self.uid_slot[uid] = k
         return k
+
+    def ensure_uids(self):
+        """Assign uids to live keyframes that lack one (loaded atlases
+        predate the uid layer or were saved without it)."""
+        for k in np.nonzero(self.kf_mask & (self.kf_uid < 0))[0]:
+            uid = self._next_kf_uid
+            self._next_kf_uid += 1
+            self.kf_uid[k] = uid
+            self.uid_slot[uid] = int(k)
+
+    def resolve_kf_pose(self, uid: int):
+        """Current world-to-camera pose of keyframe ``uid``, composing
+        through tombstones of culled keyframes; None when unresolvable
+        (e.g. a uid from a store replaced by load_map)."""
+        R_acc = np.eye(3, dtype=np.float32)
+        t_acc = np.zeros(3, np.float32)
+        for _ in range(4096):  # bounded tombstone chain
+            slot = self.uid_slot.get(uid)
+            if slot is not None and self.kf_mask[slot]:
+                return ((R_acc @ self.kf_R[slot]).astype(np.float32),
+                        (R_acc @ self.kf_t[slot] + t_acc).astype(np.float32))
+            tomb = self.kf_tombstone.get(uid)
+            if tomb is None:
+                return None
+            parent, R_cp, t_cp, R_abs, t_abs = tomb
+            if parent < 0:
+                return ((R_acc @ R_abs).astype(np.float32),
+                        (R_acc @ t_abs + t_acc).astype(np.float32))
+            t_acc = (R_acc @ t_cp + t_acc).astype(np.float32)
+            R_acc = (R_acc @ R_cp).astype(np.float32)
+            uid = parent
+        return None
 
     # -- multi-map atlas (reference: Atlas, include/Atlas.h:87-147) --------
     def create_map(self) -> int:
@@ -423,6 +473,29 @@ class MapStore:
         self.version += 1
 
     def remove_keyframe(self, kf: int):
+        uid = int(self.kf_uid[kf])
+        if uid >= 0:
+            # tombstone: relative pose to the strongest surviving covisible
+            # anchor (trajectory export composes through it; reference:
+            # culled KeyFrames keep mTcp to their spanning-tree parent)
+            covis, _ = self.covisibility(kf, min_weight=1)
+            anchor = next((int(c) for c in covis if self.kf_mask[c]), None)
+            if anchor is None:
+                others = np.nonzero(self.kf_mask
+                                    & (self.kf_map == self.kf_map[kf]))[0]
+                others = others[others != kf]
+                anchor = int(others[0]) if len(others) else None
+            R_c, t_c = self.kf_R[kf].copy(), self.kf_t[kf].copy()
+            if anchor is not None and self.kf_uid[anchor] >= 0:
+                R_p, t_p = self.kf_R[anchor], self.kf_t[anchor]
+                R_cp = (R_c @ R_p.T).astype(np.float32)
+                t_cp = (t_c - R_cp @ t_p).astype(np.float32)
+                self.kf_tombstone[uid] = (int(self.kf_uid[anchor]),
+                                          R_cp, t_cp, R_c, t_c)
+            else:
+                self.kf_tombstone[uid] = (-1, None, None, R_c, t_c)
+            self.uid_slot.pop(uid, None)
+            self.kf_uid[kf] = -1
         self.kf_mask[kf] = False
         sel = (self.obs_kf[: self._obs_top] == kf) & self.obs_mask[: self._obs_top]
         pts = self.obs_pt[: self._obs_top][sel]
@@ -503,6 +576,36 @@ class MapStore:
         okf, opt, _ = self.live_obs()
         sel = np.isin(okf, kf_ids)
         return np.unique(opt[sel])
+
+    def covis_graph_full(self, min_weight: int = 15):
+        """The FULL weighted covisibility graph in ONE pass: COO edges
+        (i, j, w) with i < j over raw keyframe ids (reference: the
+        per-KeyFrame mConnectedKeyFrameWeights maps, rebuilt here as a
+        single scan of the observation table instead of K separate
+        KeyFrame::UpdateConnections passes). Native engine when available;
+        dense indicator-matmul fallback otherwise."""
+        from .. import native
+        if native.available():
+            m = self.obs_mask[: self._obs_top]
+            return native.covis_graph(
+                self.obs_kf[: self._obs_top], self.obs_pt[: self._obs_top],
+                m, self.max_kf, self.max_pts, min_weight=min_weight)
+        okf, opt, _ = self.live_obs()
+        live = np.nonzero(self.kf_mask)[0]
+        if len(live) == 0 or len(okf) == 0:
+            z = np.zeros((0,), np.int32)
+            return z, z, z
+        loc = np.full(self.max_kf, -1, np.int64)
+        loc[live] = np.arange(len(live))
+        upt, pinv = np.unique(opt, return_inverse=True)
+        A = np.zeros((len(upt), len(live)), np.float32)
+        ok = loc[okf] >= 0
+        A[pinv[ok], loc[okf[ok]]] = 1.0
+        W = (A.T @ A).astype(np.int64)
+        np.fill_diagonal(W, 0)
+        ii, jj = np.nonzero(np.triu(W) >= min_weight)
+        return (live[ii].astype(np.int32), live[jj].astype(np.int32),
+                W[ii, jj].astype(np.int32))
 
     # -- landmark maintenance ------------------------------------------------
 

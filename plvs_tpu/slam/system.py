@@ -128,6 +128,12 @@ class SystemConfig:
     # per-fetch latency is the budget; depth N divides it by N at the cost
     # of up-to-N-frame-stale match candidates and KF decisions)
     pipeline_depth: int = 1
+    # route the heavy global solves (global BA after loop closure, the
+    # essential-graph correction) through the multi-device sharded backends
+    # (plvs_tpu.parallel) over a mesh of all visible devices — the SPMD
+    # equivalent of the reference's single-threaded g2o global solves
+    # (SURVEY.md §5.8). No-op with one device.
+    sharded_backend: bool = False
 
 
 class System:
@@ -147,6 +153,12 @@ class System:
         Settings::readIMU) configure the inertial runtime when
         ``config.use_imu`` is set."""
         self._base_cam = cam
+        # full constructor snapshot so reset() can rebuild an identical
+        # system (a stereo-rig or inertial system must not silently degrade
+        # to monocular-intrinsics RGB-D on reset)
+        self._ctor_args = dict(cam=cam, config=config, cam2=cam2,
+                               T_c1_c2=T_c1_c2, imu_calib=imu_calib,
+                               imu_T_b_c=imu_T_b_c)
         self.config = config or SystemConfig()
         c = self.config
         if c.image_scale != 1.0:
@@ -213,6 +225,17 @@ class System:
         self.loop_closer = (
             LoopCloser(self.store, kfdb=self.kfdb) if c.loop_closing else None
         )
+        self.mesh = None
+        if c.sharded_backend:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from ..parallel import sharded_ba
+
+                self.mesh = sharded_ba.make_mesh(len(jax.devices()))
+                self.local_mapper.mesh = self.mesh
+                if self.loop_closer is not None:
+                    self.loop_closer.mesh = self.mesh
         self.dense_mapper = None
         if c.dense_mapping:
             from ..dense.mapping import DenseMapper
@@ -246,12 +269,21 @@ class System:
         self._last_kf_ts = None
         self.loops_closed = []
         self.trajectory = []  # list of (timestamp, R, t) world-to-camera
+        # retro-correctable trajectory: (timestamp, ref_kf_uid, R_rel,
+        # t_rel) with T_frame_w = T_rel ∘ T_ref_w — export reconstructs
+        # through the CURRENT (loop-corrected, BA-refined) keyframe poses
+        # (reference: mlRelativeFramePoses include/Tracking.h:206-211 +
+        # SaveTrajectoryTUM src/System.cc:860-1006)
+        self._traj_rel = []
         # per-stage timing (reference: REGISTER_TIMES vectors on
         # Tracking/LocalMapping dumped by PrintTimeStats, include/
         # Tracking.h:236-250, src/Tracking.cc:391; Stopwatch TICK/TOCK)
         from ..utils.profiling import Stopwatch
 
         self.stopwatch = Stopwatch()
+        self.local_mapper.stopwatch = self.stopwatch
+        if self.loop_closer is not None:
+            self.loop_closer.stopwatch = self.stopwatch
 
     # -- mode / lifecycle (reference: include/System.h:157-167) ------------
     def activate_localization_mode(self):
@@ -264,10 +296,14 @@ class System:
 
     def reset(self):
         """Full reset: drop every map and restart (reference: System::Reset,
-        include/System.h:166)."""
-        traj = self.trajectory
-        self.__init__(self._base_cam, self.config)
+        include/System.h:166). Rebuilds with the ORIGINAL constructor
+        arguments — stereo-rig extrinsics and IMU calibration survive."""
+        self.flush()
+        self._freeze_traj_rel()  # old store's uids die with it
+        traj, traj_rel = self.trajectory, self._traj_rel
+        self.__init__(**self._ctor_args)
         self.trajectory = traj  # trajectory log survives a reset
+        self._traj_rel = traj_rel
 
     def reset_active_map(self):
         """Clear only the active map's contents; other Atlas maps survive
@@ -431,10 +467,12 @@ class System:
                 )
         return info
 
-    def _on_resolved(self, res, ts: float):
+    def _on_resolved(self, res, ts: float, seq=None):
         """Tracker callback: a deferred frame finished resolving (any
-        trigger path) — run its full post-track path."""
-        payload = self._pending_payloads.pop(ts, None)
+        trigger path) — run its full post-track path. Pending dense
+        payloads are keyed by the tracker's monotonic frame counter, not
+        the timestamp (two frames with equal timestamps must not collide)."""
+        payload = self._pending_payloads.pop(seq, None)
         self._post_track(res, ts, payload)
 
     def _resolve_pipeline(self, force: bool = False):
@@ -455,13 +493,31 @@ class System:
         """Route a Track* result: provisional (deferred solve in flight) or
         final (run the post-track path now)."""
         if self.tracker._pending:
-            self._pending_payloads[timestamp] = dense_payload
+            self._pending_payloads[self.tracker._pending[-1]["seq"]] = \
+                dense_payload
             self._last_frame_ts = timestamp
             return res.state, res.R, res.t
         return self._post_track(res, timestamp, dense_payload)
 
     def _post_track(self, res, timestamp: float, dense_payload=None):
         """Common tail of every Track* entry point."""
+        # record the frame's pose RELATIVE to its reference keyframe BEFORE
+        # the backend runs (a loop closure in the backend moves the KF; the
+        # relative pose stays valid and export re-anchors through the
+        # corrected KF pose)
+        st = self.store
+        ref = self.tracker.ref_kf
+        with st.lock:
+            if 0 <= ref < st.max_kf and st.kf_mask[ref] \
+                    and st.kf_uid[ref] >= 0:
+                uid = int(st.kf_uid[ref])
+                R_ref, t_ref = st.kf_R[ref], st.kf_t[ref]
+                R_rel = (res.R @ R_ref.T).astype(np.float32)
+                t_rel = (res.t - R_rel @ t_ref).astype(np.float32)
+                self._traj_rel.append((timestamp, uid, R_rel, t_rel))
+            else:
+                self._traj_rel.append((timestamp, -1, res.R.copy(),
+                                       res.t.copy()))
         if res.is_keyframe and res.kf_id >= 0:
             if self.object_store is not None:
                 # detection runs in the tracking thread at KF creation
@@ -580,11 +636,43 @@ class System:
         return self._finish_frame(res, timestamp, payload)
 
     # -- trajectory export (reference: System::SaveTrajectoryTUM) ----------
+    def retro_trajectory(self):
+        """(ts, R_cw, t_cw) per frame, RECONSTRUCTED through the current
+        keyframe poses: every loop closure / global BA that moved a
+        keyframe retro-corrects all frames anchored to it (reference:
+        SaveTrajectoryTUM composes mlRelativeFramePoses with the current
+        KeyFrame poses, src/System.cc:860-1006). Frames whose reference
+        keyframe is unresolvable fall back to their live tracked pose."""
+        self._resolve_pipeline(force=True)
+        out = []
+        st = self.store
+        with st.lock:
+            for i, (ts, R_raw, t_raw) in enumerate(self.trajectory):
+                rel = (self._traj_rel[i]
+                       if i < len(self._traj_rel) else None)
+                pose = (st.resolve_kf_pose(rel[1])
+                        if rel is not None and rel[1] >= 0 else None)
+                if pose is None:
+                    out.append((ts, R_raw, t_raw))
+                else:
+                    _, _, R_rel, t_rel = rel
+                    R_ref, t_ref = pose
+                    out.append((ts, (R_rel @ R_ref).astype(np.float32),
+                                (R_rel @ t_ref + t_rel).astype(np.float32)))
+        return out
+
+    def _freeze_traj_rel(self):
+        """Bake the retro-corrected poses into absolute entries — called
+        before the store is replaced or reset (old uids would otherwise
+        dangle, or collide with the new store's uid sequence)."""
+        frozen = self.retro_trajectory()
+        self.trajectory = [(ts, R, t) for ts, R, t in frozen]
+        self._traj_rel = [(ts, -1, R, t) for ts, R, t in frozen]
+
     def trajectory_tum(self) -> np.ndarray:
         """[T, 8] rows (t, tx, ty, tz, qx, qy, qz, qw) of camera-in-world."""
-        self._resolve_pipeline(force=True)
         rows = []
-        for ts, R, t in self.trajectory:
+        for ts, R, t in self.retro_trajectory():
             Rwc = R.T
             twc = -Rwc @ t
             q = np.asarray(lie.rotmat_to_quat(jnp.asarray(Rwc)))  # (w, x, y, z)
@@ -599,14 +687,14 @@ class System:
         System::SaveTrajectoryKITTI, include/System.h:196)."""
         from ..io import trajectory as traj_io
 
-        traj_io.write_kitti(path, self.trajectory)
+        traj_io.write_kitti(path, self.retro_trajectory())
 
     def save_trajectory_euroc(self, path: str):
         """EuRoC csv trajectory (reference: System::SaveTrajectoryEuRoC,
         include/System.h:188)."""
         from ..io import trajectory as traj_io
 
-        traj_io.write_euroc(path, self.trajectory)
+        traj_io.write_euroc(path, self.retro_trajectory())
 
     def keyframe_trajectory(self):
         """(ts, R_cw, t_cw) tuples for the live keyframes, by timestamp."""
@@ -664,7 +752,9 @@ class System:
         from ..io import serialization
 
         expected = self.kfdb.voc if self.config.vocabulary_path else None
+        self._freeze_traj_rel()  # the old store's uids die with it
         store, voc = serialization.load_atlas(path, expected_vocab=expected)
+        store.ensure_uids()
         if freeze:
             store.kf_fixed[store.kf_mask] = True
         self.store = store

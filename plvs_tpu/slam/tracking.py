@@ -902,7 +902,8 @@ class Tracker:
                     cand_lines=cand_lines, ml=ml,
                     n_kp=int(fr.kp.xy.shape[0]),
                     n_kl=(int(fl.kl.sp.shape[0]) if use_pl else None),
-                    local_pts=local_pts, R_pred=R_pred, t_pred=t_pred)
+                    local_pts=local_pts, R_pred=R_pred, t_pred=t_pred,
+                    seq=self.frame_id)
 
     def _finish_fused(self, buf, ctx) -> TrackResult:
         """Interpret the fused program's packed output (sync or deferred)."""
@@ -967,7 +968,7 @@ class Tracker:
             for p, buf in zip(group, bufs):
                 res = self._finish_fused(np.asarray(buf), p)
                 if self.on_resolved is not None:
-                    self.on_resolved(res, p["timestamp"])
+                    self.on_resolved(res, p["timestamp"], p.get("seq"))
                 done += 1
             if self.timing is not None:
                 self.timing.append((t1 - t0, _time.perf_counter() - t1,
@@ -1001,29 +1002,28 @@ class Tracker:
 
     def _track_slow(self, fr, timestamp, fl, cand, local_pts,
                     R_pred, t_pred) -> TrackResult:
+        """Rare slow path: the motion model failed (or there was nothing to
+        match) — full host-orchestrated fallback chain with the
+        pose-prior-free reference-KF matcher (reference:
+        Tracking::TrackReferenceKeyFrame, src/Tracking.cc:2277)."""
         use_pl = self.use_lines and fl is not None
         kl_ln_id = None
-        if True:
-            # rare slow path: the motion model failed (or there was nothing
-            # to match) — full host-orchestrated fallback chain with the
-            # pose-prior-free reference-KF matcher (reference:
-            # Tracking::TrackReferenceKeyFrame, src/Tracking.cc:2277)
-            R1, t1, n1x, kp_pt1 = self._match_step(
-                fr, R_pred, t_pred, cand, radius=30.0)
-            if n1x < 20 and self.ref_kf >= 0:
-                Rr, tr, nr, kp_ptr = self._track_reference_kf(fr, self.R, self.t)
-                if nr > n1x:
-                    R1, t1, n1x, kp_pt1 = Rr, tr, nr, kp_ptr
-            # --- step 2: track local map (reference: TrackLocalMap's
-            # PoseOptimization carries point AND line edges,
-            # src/Optimizer.cc:2375) ---------------------------------------
-            if use_pl:
-                local_lns = self._local_lines()
-                R2, t2, n2, kp_pt2, kl_ln_id = self._match_step_pl(
-                    fr, fl, R1, t1, local_pts, local_lns, radius=4.0)
-            else:
-                R2, t2, n2, kp_pt2 = self._match_step(
-                    fr, R1, t1, local_pts, radius=4.0)
+        R1, t1, n1x, kp_pt1 = self._match_step(
+            fr, R_pred, t_pred, cand, radius=30.0)
+        if n1x < 20 and self.ref_kf >= 0:
+            Rr, tr, nr, kp_ptr = self._track_reference_kf(fr, self.R, self.t)
+            if nr > n1x:
+                R1, t1, n1x, kp_pt1 = Rr, tr, nr, kp_ptr
+        # --- step 2: track local map (reference: TrackLocalMap's
+        # PoseOptimization carries point AND line edges,
+        # src/Optimizer.cc:2375) -------------------------------------------
+        if use_pl:
+            local_lns = self._local_lines()
+            R2, t2, n2, kp_pt2, kl_ln_id = self._match_step_pl(
+                fr, fl, R1, t1, local_pts, local_lns, radius=4.0)
+        else:
+            R2, t2, n2, kp_pt2 = self._match_step(
+                fr, R1, t1, local_pts, radius=4.0)
         return self._track_tail(fr, timestamp, fl, R2, t2, int(n2), kp_pt2,
                                 kl_ln_id, local_pts)
 
@@ -1144,6 +1144,13 @@ class Tracker:
     def reset_state(self):
         """Return to the pre-initialization state without touching the map
         (the tracker half of System::Reset / ResetActiveMap)."""
+        # finish deferred frames first: silently dropping them would leave
+        # their trajectory entries and pending dense payloads orphaned
+        if self._pending:
+            try:
+                self.resolve_batch(force=True)
+            except Exception:
+                self._pending = []
         self.state = NOT_INITIALIZED
         self._pending = []
         self.R = np.eye(3, dtype=np.float32)

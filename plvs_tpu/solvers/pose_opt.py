@@ -126,6 +126,11 @@ def _line_residual_jac(cam: cam_mod.Camera, R, t, obs: PoseObs):
     return res, J, ok
 
 
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("cam", "rounds", "iters_per_round"))
 def pose_optimize(
     cam: cam_mod.Camera,
     R0: jnp.ndarray,
@@ -135,7 +140,9 @@ def pose_optimize(
     iters_per_round: int = 10,
     line_weight: float = 1.0,
 ):
-    """Motion-only BA with chi2 outlier rounds.
+    """Motion-only BA with chi2 outlier rounds — ONE jitted program (an
+    unjitted call through a remote-tunnel device would pay a round trip per
+    op: measured 1.7 s vs 0.2 ms for the same solve).
 
     Returns (R, t, point_inlier_mask, line_inlier_mask, num_inliers).
     """

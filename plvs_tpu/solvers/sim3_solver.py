@@ -48,6 +48,11 @@ class RansacResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("n_hyp", "inlier_thresh", "with_scale"))
 def sim3_ransac(
     P: jnp.ndarray,         # [N, 3] points in frame 1
     Q: jnp.ndarray,         # [N, 3] corresponding points in frame 2

@@ -211,6 +211,12 @@ def _score_pose(R21, t21, p1, p2, valid, chi2_mask, thresh=4e-6):
     return good, X1
 
 
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "sigma", "min_good", "min_parallax_good"))
 def reconstruct(
     p1: jnp.ndarray,       # [N, 2] normalized coords in frame 1
     p2: jnp.ndarray,       # [N, 2] matched normalized coords in frame 2
@@ -221,7 +227,8 @@ def reconstruct(
     min_good: int = 50,
     min_parallax_good: float = 0.9,
 ) -> TwoViewResult:
-    """Full two-view reconstruction with H/F model selection."""
+    """Full two-view reconstruction with H/F model selection — one jitted
+    dispatch (remote-tunnel devices pay a round trip per eager op)."""
     n = p1.shape[0]
     th_f = 3.84 * sigma * sigma
     th_h = 5.99 * sigma * sigma

@@ -86,8 +86,24 @@ def main():
             eff = r / (base * n)
             print(f"scaling efficiency @ {n} devices: {100 * eff:.0f}%")
     out_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    base = results.get(1)
+    payload = {
+        "metric": "sharded BA LM iterations/s (K=256, P=49k, M=524k, cg=10)",
+        "lm_iters_per_s": {str(k): v for k, v in results.items()},
+        "efficiency_vs_1dev": {
+            str(k): round(v / (base * k), 3)
+            for k, v in results.items() if base and k > 1},
+        "platform": jax.default_backend(),
+        "physical_cores": os.cpu_count(),
+        "note": ("virtual host-platform mesh when physical_cores < devices: "
+                 "validates the collective layout, not ICI bandwidth — the "
+                 "1-device baseline already uses every core via intra-op "
+                 "threading, so wall-clock efficiency is structurally capped "
+                 "below 1/n there. Run on a pod slice for the >=70% target."),
+        "script": "scripts/measure_scaling.py",
+    }
     with open(out_path, "w") as f:
-        json.dump({str(k): v for k, v in results.items()}, f, indent=1)
+        json.dump(payload, f, indent=1)
     print(f"wrote {out_path}")
 
 

@@ -63,19 +63,22 @@ def main():
               jnp.ones((P,), bool))
     ln_tbl = (jnp.zeros((L, 3), jnp.float32), jnp.zeros((L, 3), jnp.float32),
               jnp.zeros((L, 8), jnp.uint32), jnp.zeros((L,), bool))
-    ids12 = jnp.asarray(
-        np.stack([rng.integers(0, P, icap), rng.integers(0, P, icap)])
-        .astype(np.int32))
-    lids = jnp.zeros((lcap,), jnp.int32) - 1
-    Rt = jnp.asarray(np.concatenate([np.eye(3, dtype=np.float32).ravel(),
-                                     np.zeros(3, np.float32)]))
+    # packed meta vector (mirrors Tracker._dispatch_fused): candidate id
+    # sets + line ids + predicted-pose f32 bits in ONE int32 upload
+    Rt_bits = np.concatenate([np.eye(3, dtype=np.float32).ravel(),
+                              np.zeros(3, np.float32)]).view(np.int32)
+    meta = np.full((2 * icap + lcap + 12,), -1, np.int32)
+    meta[:icap] = rng.integers(0, P, icap)
+    meta[icap: 2 * icap] = rng.integers(0, P, icap)
+    meta[2 * icap + lcap:] = Rt_bits
+    meta_d = jnp.asarray(meta)
 
     ms = _t(lambda: tr._track_frame_tables_pl(
-        cam, Rt, pt_tbl, ln_tbl, ids12, lids,
+        cam, meta_d, pt_tbl, ln_tbl,
         fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
         fr.inv_sigma2, fr.kp.angle,
         fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
-        line_weight=2.0, check_rotation=True))
+        icap=icap, lcap=lcap, line_weight=2.0, check_rotation=True))
     print(f"fused track (pl, P={P}): {ms:.1f} ms")
 
     # pose_opt alone
