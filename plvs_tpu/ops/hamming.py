@@ -110,11 +110,34 @@ def hamming_jnp(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
+def _unpack_pm1_xla(packed: jnp.ndarray) -> jnp.ndarray:
+    """[T, WORDS] uint32 -> [T, 256] bf16 in {-1, +1} at the XLA level (the
+    in-kernel variant trips a Mosaic reshape bug on current toolchains:
+    'infer-vector-layout: unsupported shape cast' for (T,8,32)->(T,256))."""
+    t = packed.shape[0]
+    shift = jax.lax.broadcasted_iota(jnp.uint32, (t, WORDS, 32), dimension=2)
+    bits = ((packed[:, :, None] >> shift) & jnp.uint32(1)).astype(jnp.int8)
+    return (2 * bits - 1).reshape(t, BITS).astype(jnp.bfloat16)
+
+
+@jax.jit
+def hamming_mxu_xla(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """MXU formulation without Pallas: unpack to +-1 bf16 (VPU) and let XLA
+    tile the [Q,256]x[256,K] matmul onto the systolic array;
+    ham = (256 - <s_q, s_k>) / 2, exact in bf16 (all values are small
+    integers)."""
+    sq = _unpack_pm1_xla(d1)
+    sk = _unpack_pm1_xla(d2)
+    dot = jax.lax.dot_general(
+        sq, sk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    return ((jnp.float32(BITS) - dot) * jnp.float32(0.5)).astype(jnp.int32)
+
+
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """[Q, 8] x [K, 8] uint32 -> [Q, K] int32 all-pairs Hamming distances."""
-    if use_pallas() and d1.shape[-1] == WORDS and d2.shape[-1] == WORDS:
-        # VPU wins on dispatch-bound small tiles; MXU wins once the matmul
-        # is big enough to fill the systolic array.
-        kernel = "mxu" if d1.shape[0] * d2.shape[0] >= 4096 * 1024 else "vpu"
-        return hamming_pallas(d1, d2, kernel=kernel)
+    if d1.shape[-1] == WORDS and d2.shape[-1] == WORDS \
+            and d1.shape[0] * d2.shape[0] >= 512 * 512:
+        # big products ride the MXU (XLA-level unpack+matmul); small ones
+        # stay on the VPU popcount path where dispatch dominates anyway
+        return hamming_mxu_xla(d1, d2)
     return hamming_jnp(d1, d2)

@@ -34,6 +34,19 @@ class InertialRuntime:
     init_min_kfs: int = 6
     init_min_time: float = 1.5    # min seconds of preintegrated data
     init_refine_until: float = 6.0  # keep re-estimating until this much data
+    # per-frame pose-prior inflation: uncertainty of the (unmarginalized)
+    # last-frame velocity estimate and floors for its pose. The velocity
+    # comes from finite-differencing consecutive tracked poses, so its
+    # noise is ~sqrt(2)*sigma_pose*fps — the POSITION prior must stay weak
+    # or it drags every solve toward a correlated-noise prediction; the
+    # ROTATION prior is the gyro's strength and stays tight.
+    prior_vel_sigma: float = 0.15   # m/s
+    prior_pos_floor: float = 0.005  # m
+    prior_rot_floor: float = 0.002  # rad
+    # per-frame marginalized-IMU term in the tracking solves (reference:
+    # PoseInertialOptimizationLastFrame); False = IMU only shapes the
+    # motion-model prediction (the pre-r3 behavior, kept for comparison)
+    per_frame_prior: bool = True
 
     def __post_init__(self):
         self.samples: list[tuple[float, np.ndarray, np.ndarray]] = []
@@ -136,6 +149,28 @@ class InertialRuntime:
         R_cw2 = (self.R_cb @ R_bw2).astype(np.float32)
         t_cw2 = (self.R_cb @ t_bw2 + self.t_cb).astype(np.float32)
         return R_cw2, t_cw2
+
+    # ------------------------------------------------------------------
+    def pose_prior_info(self, p: pre.Preintegrated) -> np.ndarray:
+        """[6,6] information of the SE3 prior at the IMU-predicted camera
+        pose — the per-frame marginalized inertial term (reference:
+        PoseInertialOptimizationLastFrame's preintegration factor + prior,
+        src/Optimizer.cc:10137). Built from the preintegration covariance:
+        rotation from the δθ block, position from the δp block plus the
+        velocity-estimate uncertainty propagated over the gap (the last
+        frame state is treated as fixed with that inflation — the dominant
+        marginalization effect at frame rate). Isotropic per block, so the
+        camera/body frame change drops out."""
+        C = np.asarray(p.cov)
+        dT = float(p.dT)
+        var_rot = float(np.trace(C[0:3, 0:3])) / 3.0 + self.prior_rot_floor ** 2
+        var_pos = (float(np.trace(C[6:9, 6:9])) / 3.0
+                   + (self.prior_vel_sigma * dT) ** 2
+                   + self.prior_pos_floor ** 2)
+        info = np.zeros((6, 6), np.float32)
+        info[0, 0] = info[1, 1] = info[2, 2] = 1.0 / var_pos
+        info[3, 3] = info[4, 4] = info[5, 5] = 1.0 / var_rot
+        return info
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf_id: int, t_prev_kf: float | None, t_kf: float,

@@ -86,10 +86,21 @@ class KeyFrameDatabase:
         return True
 
     # ------------------------------------------------------------------
-    def sparse_bow(self, desc: np.ndarray, mask: np.ndarray):
+    def dispatch_quantize(self, desc: np.ndarray):
+        """Queue the vocabulary-tree descent on the device WITHOUT awaiting
+        (the result rides the next batched await — through a remote tunnel
+        each separate await costs a flat ~25 ms). Returns the in-flight
+        device array for ``sparse_bow(..., words_fut=...)``."""
+        if not self.ensure_vocab():
+            return None
+        return bow.quantize(self.voc, jnp.asarray(desc))
+
+    def sparse_bow(self, desc: np.ndarray, mask: np.ndarray,
+                   words_fut=None):
         """Quantize descriptors -> sparse L1-normalized tf-idf word list
         (word_ids [S] int32, weights [S] float32)."""
-        words = np.asarray(bow.quantize(self.voc, jnp.asarray(desc)))
+        words = np.asarray(words_fut if words_fut is not None
+                           else bow.quantize(self.voc, jnp.asarray(desc)))
         words = words[np.asarray(mask) & (words >= 0)]
         if len(words) == 0:
             return (np.zeros((0,), np.int32), np.zeros((0,), np.float32))
@@ -107,13 +118,15 @@ class KeyFrameDatabase:
         return np.asarray(bow.bow_vector(self.voc, words, jnp.asarray(mask)))
 
     # ------------------------------------------------------------------
-    def add(self, kf_id: int) -> bool:
-        """Quantize and index a keyframe."""
+    def add(self, kf_id: int, words_fut=None) -> bool:
+        """Quantize and index a keyframe (``words_fut``: pre-dispatched
+        device quantization from :meth:`dispatch_quantize`)."""
         if not self.ensure_vocab():
             return False
         st = self.store
         words, weights = self.sparse_bow(
-            st.kf_kp_desc[kf_id], st.kf_kp_mask[kf_id])
+            st.kf_kp_desc[kf_id], st.kf_kp_mask[kf_id],
+            words_fut=words_fut)
         self._kf_words[kf_id] = (words, weights)
         if self._ensure_index():
             self._inv.remove(kf_id)   # id reuse after culling

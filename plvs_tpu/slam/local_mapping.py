@@ -140,6 +140,13 @@ class LocalMapper:
         return self.stopwatch.scope(name)
 
     def process_keyframe(self, kf_id: int):
+        """Per-keyframe backend pass. The independent device programs (line
+        triangulation, neighbour fuse matching) are DISPATCHED first and
+        awaited in ONE device_get — through a remote tunnel each await
+        costs a flat ~25 ms regardless of compute, so the per-KF await
+        count, not kernel time, is the backend budget."""
+        import jax as _jax
+
         lock = self.store.lock
         with self._scope("lm.cull"), lock:
             self.cull_points(kf_id)
@@ -148,11 +155,20 @@ class LocalMapper:
         if self.triangulate_new_points:
             with self._scope("lm.tri_pts"), lock:
                 self.create_new_points(kf_id)
-        if self.use_lines:
+        # dispatch phase: queue all independent device work, zero awaits
+        with lock:
+            tri_ctx = (self._dispatch_new_lines(kf_id)
+                       if self.use_lines else None)
+            fuse_ctx = self._dispatch_fuse(kf_id)
+        outs = [c["out"] for c in (tri_ctx, fuse_ctx) if c is not None]
+        with self._scope("lm.await"):
+            fetched = list(_jax.device_get(tuple(outs))) if outs else []
+        if tri_ctx is not None:
             with self._scope("lm.tri_lines"), lock:
-                self.create_new_lines(kf_id)
-        with self._scope("lm.fuse"), lock:
-            self.fuse_neighbors(kf_id)
+                self._apply_new_lines(kf_id, tri_ctx, fetched.pop(0))
+        if fuse_ctx is not None:
+            with self._scope("lm.fuse"), lock:
+                self._apply_fuse(kf_id, fuse_ctx, fetched.pop(0))
         with self._scope("lm.maint"), lock:
             # landmark maintenance after the observation set settled
             # (reference: ProcessNewKeyFrame + SearchInNeighbors both re-run
@@ -168,51 +184,52 @@ class LocalMapper:
                 self.cull_keyframes(kf_id)
 
     # ------------------------------------------------------------------
-    def create_new_lines(self, kf_id: int, max_neighbors: int = 3,
-                         reproj_thresh: float = 3.0):
-        """Triangulate new line landmarks between the new KF and covisible
-        neighbours by plane-plane intersection (reference:
-        LocalMapping::CreateNewMapFeatures line path,
-        src/LocalMapping.cc:957-1288 — LineMatcher::SearchForTriangulation,
-        back-projected plane intersection, parallel-normal degeneracy check,
-        endpoint reprojection + positive-depth verification)."""
-        import jax as _jax
+    def _dispatch_new_lines(self, kf_id: int, max_neighbors: int = 3,
+                            reproj_thresh: float = 3.0):
+        """Dispatch half of create_new_lines: host-side neighbour
+        preselection + ONE vmapped match+triangulate program; returns a ctx
+        holding the in-flight device output, or None."""
         import jax.numpy as _j
-
-        from ..features.matching import match_nn_ratio
 
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         if len(covis) == 0:
-            return
+            return None
         m1 = st.kf_kl_mask[kf_id] & (st.kf_kl_line[kf_id] < 0)
         if m1.sum() < 2:
-            return
+            return None
         R1, t1 = st.kf_R[kf_id], st.kf_t[kf_id]
         C1 = -R1.T @ t1
-        # host-side neighbour preselection (baseline + free-keyline gates),
-        # then ONE vmapped match+triangulate dispatch for all of them
+        # baseline + free-keyline gates (reference's baseline/median-depth
+        # degeneracy gate)
         nbs = []
         for nb in covis[:max_neighbors]:
             nb = int(nb)
             C2 = -st.kf_R[nb].T @ st.kf_t[nb]
             if np.linalg.norm(C1 - C2) < 0.01:
-                continue  # no baseline: planes coincide, triangulation is
-                # degenerate (reference's baseline/median-depth gate)
+                continue
             if (st.kf_kl_mask[nb] & (st.kf_kl_line[nb] < 0)).sum() >= 2:
                 nbs.append(nb)
         if not nbs:
-            return
+            return None
         nbs = np.asarray(nbs, np.int64)
         m2b = st.kf_kl_mask[nbs] & (st.kf_kl_line[nbs] < 0)
-        idx_b, Xs_b, Xe_b, ok_b = _jax.device_get(_triangulate_lines_multi(
+        out = _triangulate_lines_multi(
             self.cam, _j.asarray(R1), _j.asarray(t1),
             _j.asarray(st.kf_kl_desc[kf_id]), _j.asarray(m1),
             _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]),
             _j.asarray(st.kf_R[nbs]), _j.asarray(st.kf_t[nbs]),
             _j.asarray(st.kf_kl_desc[nbs]), _j.asarray(m2b),
             _j.asarray(st.kf_kl_sp[nbs]), _j.asarray(st.kf_kl_ep[nbs]),
-            reproj_thresh=reproj_thresh))
+            reproj_thresh=reproj_thresh)
+        return {"out": out, "nbs": nbs, "m1": m1}
+
+    def _apply_new_lines(self, kf_id: int, ctx, fetched):
+        """Apply half of create_new_lines (store mutation from fetched
+        triangulation results)."""
+        st = self.store
+        nbs, m1 = ctx["nbs"], ctx["m1"]
+        idx_b, Xs_b, Xe_b, ok_b = fetched
         taken = ~m1  # keylines already bound to a landmark
         for bi, nb in enumerate(nbs):
             idx, Xs, Xe, ok = idx_b[bi], Xs_b[bi], Xe_b[bi], ok_b[bi]
@@ -233,6 +250,21 @@ class LocalMapper:
             st.add_line_observations(kf_id, ln_ids, good)
             st.add_line_observations(int(nb), ln_ids, idx[good])
             taken[good] = True
+
+    def create_new_lines(self, kf_id: int, max_neighbors: int = 3,
+                         reproj_thresh: float = 3.0):
+        """Triangulate new line landmarks between the new KF and covisible
+        neighbours by plane-plane intersection (reference:
+        LocalMapping::CreateNewMapFeatures line path,
+        src/LocalMapping.cc:957-1288 — LineMatcher::SearchForTriangulation,
+        back-projected plane intersection, parallel-normal degeneracy check,
+        endpoint reprojection + positive-depth verification)."""
+        import jax as _jax
+
+        ctx = self._dispatch_new_lines(kf_id, max_neighbors, reproj_thresh)
+        if ctx is None:
+            return
+        self._apply_new_lines(kf_id, ctx, _jax.device_get(ctx["out"]))
 
     # ------------------------------------------------------------------
     def create_new_points(self, kf_id: int, max_neighbors: int = 5):
@@ -323,30 +355,28 @@ class LocalMapper:
             m1 = st.kf_kp_mask[kf_id] & (st.kf_kp_pt[kf_id] < 0)
 
     # ------------------------------------------------------------------
-    def fuse_neighbors(self, kf_id: int, max_neighbors: int = 5):
-        """Merge duplicate landmarks between the new KF and its covisible
-        neighbours (reference: LocalMapping::SearchInNeighbors + Fuse,
-        src/LocalMapping.cc:144 / ORBmatcher::Fuse). All neighbours are
-        matched in ONE vmapped device dispatch (per-neighbour calls would
-        pay a round trip each on a remote accelerator)."""
+    def _dispatch_fuse(self, kf_id: int, max_neighbors: int = 5):
+        """Dispatch half of fuse_neighbors: all neighbours matched in ONE
+        vmapped device program; returns a ctx or None."""
+        import jax.numpy as _j
+
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         if len(covis) == 0:
-            return
+            return None
         my_pts = st.kf_kp_pt[kf_id]
         my_sel = np.nonzero(my_pts >= 0)[0]
         if len(my_sel) == 0:
-            return
+            return None
         pts = my_pts[my_sel]
-        import jax as _jax
-        import jax.numpy as _j
-
         nbs = covis[:max_neighbors].astype(np.int64)
         # bucketed padding keeps the jitted program's shapes stable:
         # zero-padded points project behind the camera (z <= 0.05 gate),
-        # padded neighbour rows carry an all-false keypoint mask
+        # padded neighbour rows carry an all-false keypoint mask. ONE
+        # bucket (the per-KF keypoint capacity bounds len(pts)) — a mid-run
+        # bucket growth would recompile for seconds over the tunnel
         B = max_neighbors
-        Pb = _bucket(len(pts), 256)
+        Pb = _bucket(len(pts), max(1024, self.store.n_kp))
         xyz = np.zeros((Pb, 3), np.float32)
         desc = np.zeros((Pb, 8), np.uint32)
         xyz[: len(pts)] = st.pt_xyz[pts]
@@ -354,13 +384,20 @@ class LocalMapper:
         nb_pad = np.concatenate([nbs, np.zeros(B - len(nbs), np.int64)])
         kp_mask = st.kf_kp_mask[nb_pad].copy()
         kp_mask[len(nbs):] = False
-        idx_all = np.asarray(_fuse_match_batch(
+        out = _fuse_match_batch(
             self.cam,
             _j.asarray(st.kf_R[nb_pad]), _j.asarray(st.kf_t[nb_pad]),
             _j.asarray(xyz), _j.asarray(desc),
             _j.asarray(st.kf_kp_xy[nb_pad]), _j.asarray(st.kf_kp_desc[nb_pad]),
             _j.asarray(st.kf_kp_octave[nb_pad]), _j.asarray(kp_mask),
-        ))[:, : len(pts)]
+        )
+        return {"out": out, "nbs": nbs, "pts": pts}
+
+    def _apply_fuse(self, kf_id: int, ctx, fetched):
+        """Apply half of fuse_neighbors (store mutation)."""
+        st = self.store
+        nbs, pts = ctx["nbs"], ctx["pts"]
+        idx_all = np.asarray(fetched)[:, : len(pts)]
         for bi, nb in enumerate(nbs):
             idx = idx_all[bi]
             hit = np.nonzero(idx >= 0)[0]
@@ -377,6 +414,17 @@ class LocalMapper:
                         st.replace_point(other, p)
                     else:
                         st.replace_point(p, other)
+
+    def fuse_neighbors(self, kf_id: int, max_neighbors: int = 5):
+        """Merge duplicate landmarks between the new KF and its covisible
+        neighbours (reference: LocalMapping::SearchInNeighbors + Fuse,
+        src/LocalMapping.cc:144 / ORBmatcher::Fuse)."""
+        import jax as _jax
+
+        ctx = self._dispatch_fuse(kf_id, max_neighbors)
+        if ctx is None:
+            return
+        self._apply_fuse(kf_id, ctx, _jax.device_get(ctx["out"]))
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, kf_id: int):
@@ -488,18 +536,20 @@ class LocalMapper:
             done += it
             if self.abort_check is not None and self.abort_check():
                 break
-        if not np.isfinite(float(info["cost"])):
+        # ONE await for the whole solve: cost + every solved block in a
+        # single device_get (each extra await pays the link's ~25 ms flat)
+        Rn, tn, pn, lXs, lXe, cost = _jax.device_get(
+            (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe,
+             info["cost"]))
+        if not np.isfinite(float(cost)):
             return
         with self.store.lock:
-            self._apply_ba(prob, cams, pts, lns, fixed_mask, K)
+            self._apply_ba((Rn, tn, pn, lXs, lXe), cams, pts, lns,
+                           fixed_mask, K)
 
-    def _apply_ba(self, prob, cams, pts, lns, fixed_mask, K):
+    def _apply_ba(self, fetched, cams, pts, lns, fixed_mask, K):
         st = self.store
-        # ONE batched fetch for every solved block (five serial np.asarray
-        # calls would pay the remote link's flat per-fetch latency five
-        # times; concurrent in-flight copies amortize it)
-        Rn, tn, pn, lXs, lXe = _jax.device_get(
-            (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe))
+        Rn, tn, pn, lXs, lXe = fetched
         free = ~fixed_mask
         st.kf_R[cams[free]] = Rn[:K][free]
         st.kf_t[cams[free]] = tn[:K][free]

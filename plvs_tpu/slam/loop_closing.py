@@ -31,6 +31,10 @@ from .map_store import MapStore
 class LoopCloser:
     store: MapStore
     kfdb: KeyFrameDatabase | None = None
+    # camera model for the Sim3-guided PROJECTION expansion (reference:
+    # SearchByProjection with the estimated Sim3); None falls back to the
+    # 3D-proximity expansion
+    cam: object | None = None
     min_score_ratio: float = 0.75
     min_inliers: int = 25
     min_kf_gap: int = 10          # don't close against recent KFs
@@ -42,6 +46,11 @@ class LoopCloser:
     # agreeing detections adds the reference's multi-keyframe confirmation
     # against repeated-texture false positives.
     required_coincidences: int = 2
+    # a single detection whose EXPANDED support reaches this many inliers
+    # closes immediately (the guided-projection stage already verified the
+    # whole local map agrees; the reference similarly shortcuts on
+    # overwhelming support in DetectCommonRegionsFromBoW)
+    strong_inliers: int = 60
     # drift-consistency tolerances for counting a later keyframe as a
     # coincidence of a pending detection (reference:
     # DetectAndReffineSim3FromLastKF re-verifies from the predicted Sim3)
@@ -92,26 +101,31 @@ class LoopCloser:
         return G_R, G_t
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf_id: int) -> dict | None:
+    def process_keyframe(self, kf_id: int, bow_fut=None) -> dict | None:
         """Detect + verify + (after enough consecutive coincidences)
-        correct. Returns loop info dict if closed."""
+        correct. Returns loop info dict if closed. ``bow_fut``: the
+        keyframe's vocabulary descent pre-dispatched at backend entry (its
+        await rides the local mapper's batched await)."""
         st = self.store
         with self._scope("lc.bow_add"):
-            if not self.kfdb.add(kf_id):
+            if not self.kfdb.add(kf_id, words_fut=bow_fut):
                 return None
 
         with self._scope("lc.detect"):
             cands = self._detect(kf_id)
+        # a PENDING hypothesis is re-verified first, whether or not the
+        # database ranked its region this time (reference:
+        # DetectAndReffineSim3FromLastKF re-checks the pending Sim3 before
+        # fresh BoW candidates, src/LoopClosing.cc:377-459)
+        if self._pending is not None:
+            pc = int(self._pending["cand"])
+            cands = [pc] + [c for c in cands if c != pc]
         if not cands:
-            # a pending detection must be confirmed by CONSECUTIVE
-            # keyframes (reference: the coincidence counter resets when a
-            # keyframe fails to re-detect the region)
-            self._pending = None
+            self._pending_miss()
             return None
-        # verify the N best candidates in database order, keeping the first
-        # that passes geometric verification (reference:
-        # DetectNBestCandidates feeds each candidate's covisibility window
-        # through Sim3 RANSAC until one sticks, src/LoopClosing.cc:377-459)
+        # verify candidates in order, keeping the first that passes
+        # geometric verification (reference: DetectNBestCandidates feeds
+        # each candidate through Sim3 RANSAC until one sticks)
         ok = False
         with self._scope("lc.verify"):
             for cand in cands:
@@ -119,7 +133,7 @@ class LoopCloser:
                 if ok:
                     break
         if not ok:
-            self._pending = None
+            self._pending_miss()
             return None
         G_R, G_t = self._drift_transform(kf_id, cand, R_rel, t_rel)
 
@@ -130,7 +144,8 @@ class LoopCloser:
             count = 1
         self._pending = dict(cand=cand, kf=kf_id, count=count,
                              G_R=G_R, G_t=G_t)
-        if count < self.required_coincidences:
+        if count < self.required_coincidences \
+                and int(n_inl) < self.strong_inliers:
             return None
         self._pending = None
 
@@ -150,6 +165,19 @@ class LoopCloser:
         info.update({"candidate": int(cand), "inliers": int(n_inl)})
         self.last_loop_kf = kf_id
         return info
+
+    # ------------------------------------------------------------------
+    def _pending_miss(self):
+        """A keyframe failed to re-confirm the pending region: tolerate ONE
+        miss before resetting the coincidence streak (our keyframes are
+        sparser than the reference's, so a revisit overlap can skip a KF;
+        the reference resets immediately but confirms at full KF density,
+        src/LoopClosing.cc:377-459)."""
+        if self._pending is None:
+            return
+        self._pending["misses"] = self._pending.get("misses", 0) + 1
+        if self._pending["misses"] > 1:
+            self._pending = None
 
     # ------------------------------------------------------------------
     def _consistent(self, pend: dict, cand: int, G_R, G_t) -> bool:
@@ -219,18 +247,28 @@ class LoopCloser:
         return [c for c, _s in cands]
 
     # ------------------------------------------------------------------
-    def _verify(self, kf_id: int, cand: int):
-        """Descriptor match + 3D-3D SE3/Sim3 RANSAC between the two KFs
-        (reference: Sim3Solver RANSAC stage of NewDetectCommonRegions)."""
+    def _verify(self, kf_id: int, cand: int, coarse_min: int = 7):
+        """Geometric verification (reference: the Sim3Solver RANSAC +
+        Sim3-guided SearchByProjection + OptimizeSim3 cascade of
+        NewDetectCommonRegions, src/LoopClosing.cc:377-459).
+
+        Stage 1 matches STRICTLY (the reference's TH_LOW/0.75-ratio BoW
+        matching — on repeated man-made structure a loose ratio yields
+        mostly false pairs and the RANSAC starves); the coarse transform
+        only needs ``coarse_min`` inliers. Stage 2 expands correspondences
+        by projecting the whole local map through the coarse drift estimate
+        and refits; the FINAL acceptance gate (min_inliers) applies to the
+        expanded support."""
         st = self.store
         d1 = jnp.asarray(st.kf_kp_desc[kf_id])
         d2 = jnp.asarray(st.kf_kp_desc[cand])
         m1 = jnp.asarray(st.kf_kp_mask[kf_id] & (st.kf_kp_pt[kf_id] >= 0))
         m2 = jnp.asarray(st.kf_kp_mask[cand] & (st.kf_kp_pt[cand] >= 0))
-        idx, dist = matching.match_nn_ratio(d1, d2, m1, m2, max_dist=64, ratio=0.85)
+        idx, dist = matching.match_nn_ratio(d1, d2, m1, m2, max_dist=50,
+                                            ratio=0.75)
         idx = np.asarray(idx)
         sel = np.nonzero(idx >= 0)[0]
-        if len(sel) < self.min_inliers:
+        if len(sel) < coarse_min:
             return False, None, None, 0, None
         p1_ids = st.kf_kp_pt[kf_id][sel]
         p2_ids = st.kf_kp_pt[cand][idx[sel]]
@@ -242,48 +280,114 @@ class LoopCloser:
         X2 = pts2 @ st.kf_R[cand].T + st.kf_t[cand]
         n = len(sel)
         self._ransac_key, sub = jax.random.split(self._ransac_key)
+        # generous coarse threshold: the active side's landmark geometry is
+        # drift-WARPED (drift varies across the local window), so even
+        # correct correspondences misalign by the intra-window drift spread
         res = sim3_solver.sim3_ransac(
             jnp.asarray(X1), jnp.asarray(X2), jnp.ones((n,), bool), sub,
-            with_scale=not self.fix_scale, inlier_thresh=0.10,
+            with_scale=not self.fix_scale, inlier_thresh=0.20,
         )
-        if int(res.n_inliers) < self.min_inliers:
-            return False, None, None, int(res.n_inliers), None
+        n_coarse = int(res.n_inliers)
+        if n_coarse < coarse_min:
+            return False, None, None, n_coarse, None
         inl = np.asarray(res.inliers)
         pairs = list(zip(p1_ids[inl].tolist(), p2_ids[inl].tolist()))
 
-        # guided match expansion + refit (reference: after the Sim3 RANSAC
-        # hit, SearchByProjection with the estimated Sim3 gathers more
-        # matches and OptimizeSim3 refines the transform,
-        # src/LoopClosing.cc NewDetectCommonRegions second stage)
+        # guided match expansion + refit (reference: SearchByProjection
+        # with the estimated Sim3 gathers the real support, OptimizeSim3
+        # refines; the acceptance inlier count is measured THERE)
         R_rel, t_rel = np.asarray(res.R), np.asarray(res.t)
         G_R, G_t = self._drift_transform(kf_id, cand, R_rel, t_rel)
         pairs2 = self._expand_pairs(kf_id, cand, pairs, G_R, G_t)
+        best = (R_rel, t_rel, n_coarse, pairs)
         if len(pairs2) > len(pairs):
             src = np.asarray([p for p, _ in pairs2])
             dst = np.asarray([q for _, q in pairs2])
             X1 = (st.pt_xyz[src] @ st.kf_R[kf_id].T + st.kf_t[kf_id])
             X2 = (st.pt_xyz[dst] @ st.kf_R[cand].T + st.kf_t[cand])
             self._ransac_key, sub = jax.random.split(self._ransac_key)
+            # the refit gate tolerates the intra-window drift warp too —
+            # the essential graph + global BA refine the relative pose; the
+            # verification only has to be unambiguous, not tight
             res2 = sim3_solver.sim3_ransac(
                 jnp.asarray(X1), jnp.asarray(X2),
                 jnp.ones((len(src),), bool), sub,
-                with_scale=not self.fix_scale, inlier_thresh=0.10,
+                with_scale=not self.fix_scale, inlier_thresh=0.25,
             )
-            if int(res2.n_inliers) >= int(res.n_inliers):
+            if int(res2.n_inliers) >= n_coarse:
                 inl2 = np.asarray(res2.inliers)
-                pairs = list(zip(src[inl2].tolist(), dst[inl2].tolist()))
-                return (True, np.asarray(res2.R), np.asarray(res2.t),
-                        int(res2.n_inliers), pairs)
-        return (True, R_rel, t_rel, int(res.n_inliers), pairs)
+                best = (np.asarray(res2.R), np.asarray(res2.t),
+                        int(res2.n_inliers),
+                        list(zip(src[inl2].tolist(), dst[inl2].tolist())))
+        R_b, t_b, n_b, pairs_b = best
+        if n_b < self.min_inliers:
+            return False, None, None, n_b, None
+        return True, R_b, t_b, n_b, pairs_b
 
     # ------------------------------------------------------------------
+    def _expand_pairs_projective(self, kf_id: int, cand: int, pairs,
+                                 G_R, G_t, radius_px: float = 12.0,
+                                 max_hamming: int = 55,
+                                 cap_dst: int = 4096):
+        """Sim3-guided PROJECTION expansion (the reference's
+        SearchByProjection with the estimated Sim3, src/LoopClosing.cc
+        NewDetectCommonRegions second stage): the loop side's landmarks are
+        mapped into the ACTIVE world through G^-1, projected into the
+        current keyframe and matched against its keypoints in a pixel
+        window — far more forgiving of a marginal coarse transform than
+        3-D point proximity."""
+        st = self.store
+        covis, _ = st.covisibility(cand, min_weight=5)
+        window = np.concatenate([[cand], covis[:5]]).astype(np.int64)
+        dst_ids = st.points_in_kfs(window)
+        dst_ids = dst_ids[st.pt_mask[dst_ids]][:cap_dst]
+        if len(dst_ids) < 10:
+            return pairs
+        # loop-side world -> active (drifted) world: X_act = G^-1 X
+        X_act = (st.pt_xyz[dst_ids] - G_t) @ G_R
+        from ..geometry import cameras as _cm
+        from .frame import project_points
+
+        uv, z, vis = project_points(
+            self.cam, jnp.asarray(st.kf_R[kf_id]),
+            jnp.asarray(st.kf_t[kf_id]), jnp.asarray(X_act, jnp.float32))
+        kp_pt = st.kf_kp_pt[kf_id]
+        idx, dist = matching.search_by_projection(
+            uv, vis, jnp.asarray(st.pt_desc[dst_ids]),
+            jnp.zeros((len(dst_ids),), jnp.int32),
+            jnp.asarray(st.kf_kp_xy[kf_id]),
+            jnp.asarray(st.kf_kp_desc[kf_id]),
+            jnp.zeros((st.kf_kp_xy[kf_id].shape[0],), jnp.int32),
+            jnp.asarray(st.kf_kp_mask[kf_id] & (kp_pt >= 0)),
+            radius=radius_px, max_dist=max_hamming, octave_tol=8,
+        )
+        idx = np.asarray(idx)
+        hit = np.nonzero(idx >= 0)[0]
+        have = set(pairs)
+        out = list(pairs)
+        for d_i, kp_i in zip(hit.tolist(), idx[hit].tolist()):
+            src = int(kp_pt[kp_i])
+            if src < 0 or not st.pt_mask[src]:
+                continue
+            pr = (src, int(dst_ids[d_i]))
+            if pr not in have:
+                have.add(pr)
+                out.append(pr)
+        self._last_expand = len(out)  # diagnostics
+        return out
+
     def _expand_pairs(self, kf_id: int, cand: int, pairs, G_R, G_t,
-                      radius: float = 0.25, max_hamming: int = 55,
+                      radius: float = 0.4, max_hamming: int = 55,
                       cap_src: int = 1024, cap_dst: int = 4096):
         """More landmark correspondences by projecting the active map's
         points into the candidate's neighbourhood through the drift
-        estimate G (reference: the Sim3-guided SearchByProjection stage).
+        estimate G (3-D proximity fallback when no camera model is wired;
+        reference: the Sim3-guided SearchByProjection stage).
         Returns the union of ``pairs`` and the new (src, dst) id pairs."""
+        if self.cam is not None:
+            return self._expand_pairs_projective(
+                kf_id, cand, pairs, G_R, G_t, max_hamming=max_hamming,
+                cap_dst=cap_dst)
         st = self.store
         covis, _ = st.covisibility(cand, min_weight=5)
         window = np.concatenate([[cand], covis[:5]]).astype(np.int64)

@@ -29,12 +29,34 @@ from .tracking import OK, Tracker
 _DECOMPRESS = None
 
 
+def _pack_rgbd(gray: np.ndarray, depth: np.ndarray, dec: int = 1):
+    """Host half of the packed upload: quantize (u8 gray / u16 millimeter
+    depth — native sensor precision), decimate the depth map by ``dec``
+    (fresh-content upload bandwidth through the tunnel is ~37 MB/s — the
+    per-frame byte count IS the frame budget; depth is smooth and the
+    consumers sample it at keypoints) and pack both into one uint32
+    buffer. Returns None on unsupported geometry."""
+    g8 = np.ascontiguousarray(np.asarray(gray))
+    if g8.dtype != np.uint8:
+        g8 = np.clip(g8, 0, 255).astype(np.uint8)
+    h, w = g8.shape
+    if (h * w) % 4 or h % dec or w % dec:
+        return None
+    d = np.asarray(depth, np.float32)[::dec, ::dec]
+    if (d.size) % 2:
+        return None
+    d16 = (np.clip(d, 0.0, 65.0) * 1000.0).astype(np.uint16)
+    n8 = h * w // 4
+    buf = np.empty(n8 + d.size // 2, np.uint32)
+    buf[:n8] = g8.reshape(-1).view(np.uint32)
+    buf[n8:] = d16.reshape(-1).view(np.uint32)
+    return buf
+
+
 def _upload_rgbd(gray: np.ndarray, depth: np.ndarray):
-    """Quantize on host (u8 gray / u16 millimeter depth — native sensor
-    precision), pack BOTH images into one uint32 buffer, transfer once, and
-    decompress to f32 on device in one fused jit. One RPC instead of two:
-    through the tunnel's slow mode every blocking transfer costs a full
-    ~25 ms round trip, so the per-frame RPC count is the frame budget."""
+    """Packed single-RPC image upload + on-device decompression to f32.
+    One transfer instead of two: through the tunnel's slow mode every
+    blocking transfer costs a full round trip."""
     global _DECOMPRESS
     if _DECOMPRESS is None:
         import functools
@@ -43,30 +65,20 @@ def _upload_rgbd(gray: np.ndarray, depth: np.ndarray):
 
         @functools.partial(jax.jit, static_argnames=("h", "w"))
         def dec(buf, h, w):
-            n8 = h * w // 4
-            g8 = jax.lax.bitcast_convert_type(
-                buf[:n8], jnp.uint8).reshape(h, w)
-            d16 = jax.lax.bitcast_convert_type(
-                buf[n8:], jnp.uint16).reshape(h, w)
-            return (g8.astype(jnp.float32),
-                    d16.astype(jnp.float32) * jnp.float32(0.001))
+            from .tracking import _decompress_packed
+
+            return _decompress_packed(buf, h, w)
 
         _DECOMPRESS = dec
-    g8 = np.ascontiguousarray(np.asarray(gray))
-    if g8.dtype != np.uint8:
-        g8 = np.clip(g8, 0, 255).astype(np.uint8)
-    d16 = (np.clip(np.asarray(depth, np.float32), 0.0, 65.0)
-           * 1000.0).astype(np.uint16)
-    h, w = g8.shape
-    if (h * w) % 4:
+    buf = _pack_rgbd(gray, depth)
+    if buf is None:
         # odd geometry: fall back to two plain transfers
-        import jax
-
+        d16 = (np.clip(np.asarray(depth, np.float32), 0.0, 65.0)
+               * 1000.0).astype(np.uint16)
+        g8 = np.clip(np.asarray(gray), 0, 255).astype(np.uint8)
         return (jnp.asarray(g8.astype(np.float32)),
                 jnp.asarray(d16.astype(np.float32) * 0.001))
-    buf = np.empty(h * w // 4 + h * w // 2, np.uint32)
-    buf[: h * w // 4] = g8.reshape(-1).view(np.uint32)
-    buf[h * w // 4:] = d16.reshape(-1).view(np.uint32)
+    h, w = gray.shape
     return _DECOMPRESS(jnp.asarray(buf), h, w)
 
 
@@ -134,6 +146,19 @@ class SystemConfig:
     # equivalent of the reference's single-threaded g2o global solves
     # (SURVEY.md §5.8). No-op with one device.
     sharded_backend: bool = False
+    # depth-map upload decimation on the packed fast path: depth ships at
+    # 1/N resolution and is nearest-upsampled on device (fresh-content
+    # upload bandwidth through a remote-device link is the per-frame
+    # budget; depth is smooth and consumed at keypoint samples). 1 = full.
+    depth_upload_decimation: int = 2
+    # image-level stereo rectification for calibrated NON-rectified pairs
+    # (reference: Camera.needRectification, src/Settings.cc:205-207,280):
+    # both frames are warped through precomputed maps to a common
+    # row-aligned pinhole pair, and the whole rectified fast path (row-scan
+    # stereo matcher, dense census/SGM engine) applies. Alternative to the
+    # keypoint-level rig path (which matches across the epipolar geometry
+    # without warping).
+    rectify: bool = False
 
 
 class System:
@@ -165,6 +190,15 @@ class System:
             cam = cam_mod.scale_camera(cam, c.image_scale)
             if cam2 is not None:
                 cam2 = cam_mod.scale_camera(cam2, c.image_scale)
+        self.rectifier = None
+        if c.rectify and cam2 is not None and T_c1_c2 is not None:
+            from ..geometry.rectify import StereoRectifier
+
+            self.rectifier = StereoRectifier(cam, cam2,
+                                             np.asarray(T_c1_c2, np.float32))
+            cam = self.rectifier.cam       # common row-aligned pinhole
+            cam2 = None                    # downstream sees rectified stereo
+            T_c1_c2 = None
         self.cam = cam
         self.cam2 = cam2
         self.R_lr = self.t_lr = None
@@ -204,6 +238,8 @@ class System:
         self.tracker.only_tracking = c.only_tracking
         self.tracker.scale = c.scale
         self.tracker.n_levels = c.n_levels
+        self.tracker.max_keylines = c.max_lines
+        self.tracker.depth_decimation = c.depth_upload_decimation
         self.tracker.pipelined = c.pipelined and not c.use_imu
         self.tracker.pipeline_depth = max(1, c.pipeline_depth)
         self.tracker.on_resolved = self._on_resolved
@@ -223,7 +259,8 @@ class System:
             kf_culling=not c.use_imu,
         )
         self.loop_closer = (
-            LoopCloser(self.store, kfdb=self.kfdb) if c.loop_closing else None
+            LoopCloser(self.store, kfdb=self.kfdb, cam=cam)
+            if c.loop_closing else None
         )
         self.mesh = None
         if c.sharded_backend:
@@ -337,6 +374,7 @@ class System:
 
         if self.inertial is None:
             return
+        self.tracker.prior_info = None
         if imu_samples is not None:
             self.inertial.add_samples(imu_samples)
         if self._last_frame_ts is None:
@@ -355,6 +393,11 @@ class System:
             self.tracker.vel_t = (
                 t_pred - self.tracker.vel_R @ self.tracker.t).astype(
                     np.float32)
+            # the IMU prediction enters the per-frame SOLVE, not just the
+            # initial guess: marginalized-prior inertial term (reference:
+            # PoseInertialOptimizationLastFrame, src/Optimizer.cc:10137)
+            if self.inertial.per_frame_prior:
+                self.tracker.prior_info = self.inertial.pose_prior_info(p)
         else:
             R_pred = self.inertial.predict_rotation(self.tracker.R, p)
             self.tracker.vel_R = (
@@ -413,6 +456,13 @@ class System:
     def _backend_keyframe(self, kf_id: int, dense_payload=None):
         """Everything downstream of keyframe creation. Runs inline in
         synchronous mode, on the MapperActor thread in async mode."""
+        # queue the BoW vocabulary descent NOW: its completion rides the
+        # local mapper's batched await, so the loop closer's add() pays no
+        # extra link round trip
+        bow_fut = None
+        if self.loop_closer is not None:
+            st = self.store
+            bow_fut = self.kfdb.dispatch_quantize(st.kf_kp_desc[kf_id])
         if self.config.local_ba:
             with self.stopwatch.scope("local_mapping"):
                 self.local_mapper.process_keyframe(kf_id)
@@ -441,7 +491,7 @@ class System:
             self.kfdb.add(kf_id)
             return None
         with self.stopwatch.scope("loop_closing"):
-            info = self.loop_closer.process_keyframe(kf_id)
+            info = self.loop_closer.process_keyframe(kf_id, bow_fut=bow_fut)
         if info is not None:
             self.loops_closed.append((kf_id, info))
             if (info.get("merge") and self.inertial is not None
@@ -548,24 +598,33 @@ class System:
         if self.actor is not None:
             self.actor.apply_pending_correction()
         self._resolve_pipeline()
-        with self.stopwatch.scope("frame_build"):
-            # upload each image ONCE, quantized (gray u8, depth u16 mm —
-            # what the sensors deliver anyway), and decompress to f32 on
-            # device: 2.4 MB -> 0.9 MB per frame over the tunnel, shared
-            # between the point and line extractors
-            gray_d, depth_d = _upload_rgbd(gray, depth)
-            fr = frame_mod.build_frame_rgbd(
-                gray_d, depth_d,
-                self.cam, self.config.num_features, self.config.n_levels,
-                self.config.scale,
-            )
-            fl = None
-            if self.config.use_lines:
-                fl = frame_mod.build_frame_lines(
-                    gray_d, depth_d, self.cam, self.config.max_lines,
+        # steady-state fast path: the WHOLE frame (decompress + extract +
+        # match + solve) is one packed upload + one executable — per-frame
+        # program-launch latency through a remote link is the real frame
+        # budget, not device compute (~1 ms total)
+        res = None
+        if self.tracker.state == OK:
+            buf = _pack_rgbd(gray, depth, self.config.depth_upload_decimation)
+            if buf is not None:
+                with self.stopwatch.scope("track"):
+                    res = self.tracker.process_frame_packed(
+                        buf, gray.shape[0], gray.shape[1], timestamp)
+        if res is None:
+            # fallback (init / reloc / odd geometry): separate build
+            with self.stopwatch.scope("frame_build"):
+                gray_d, depth_d = _upload_rgbd(gray, depth)
+                fr = frame_mod.build_frame_rgbd(
+                    gray_d, depth_d,
+                    self.cam, self.config.num_features, self.config.n_levels,
+                    self.config.scale,
                 )
-        with self.stopwatch.scope("track"):
-            res = self.tracker.process_frame(fr, timestamp, fl)
+                fl = None
+                if self.config.use_lines:
+                    fl = frame_mod.build_frame_lines(
+                        gray_d, depth_d, self.cam, self.config.max_lines,
+                    )
+            with self.stopwatch.scope("track"):
+                res = self.tracker.process_frame(fr, timestamp, fl)
         payload = ("rgbd", gray, depth) if self.dense_mapper else None
         return self._finish_frame(res, timestamp, payload)
 
@@ -596,8 +655,13 @@ class System:
         """Track one rectified stereo pair (reference: System::TrackStereo,
         src/System.cc:460; with imu_samples it is the stereo-inertial entry
         point, reference: Examples/Stereo-Inertial mains)."""
-        gray_l = self._maybe_scale(gray_l)
-        gray_r = self._maybe_scale(gray_r)
+        if self.rectifier is not None:
+            # warp the calibrated non-rectified pair to the common
+            # row-aligned pinhole pair (one jitted gather per image)
+            gray_l, gray_r = self.rectifier(gray_l, gray_r)
+        else:
+            gray_l = self._maybe_scale(gray_l)
+            gray_r = self._maybe_scale(gray_r)
         self._imu_pre_frame(timestamp, imu_samples)
         if self.actor is not None:
             self.actor.apply_pending_correction()

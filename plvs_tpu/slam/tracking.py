@@ -86,8 +86,13 @@ def _match_and_optimize(
     scale: float = 1.2,
     pts_normal=None, pts_min_dist=None, pts_max_dist=None,
     pts_angle=None, kp_angle=None, check_rotation: bool = False,
+    prior_info=None, prior_R=None, prior_t=None,
 ):
     """Project candidates into predicted pose, guided-match, pose-optimize.
+
+    ``prior_info`` [6,6]: information of an SE3 prior at (prior_R, prior_t)
+    (defaults to the prediction) — the per-frame marginalized-IMU term
+    (see pose_opt.pose_optimize).
 
     Returns (R, t, match_idx [M] (-1=none), n_inliers, kp_inlier [N]).
     """
@@ -121,7 +126,13 @@ def _match_and_optimize(
     obs = pose_opt.make_pose_obs(
         Xw, kp_uvr, kp_inv_sigma2, obs_mask & kp_mask
     )
-    R, t, inl, _, n_inl = pose_opt.pose_optimize(cam, R_pred, t_pred, obs)
+    if prior_info is not None and prior_R is None:
+        prior_R, prior_t = R_pred, t_pred
+    R, t, inl, _, n_inl = pose_opt.pose_optimize(
+        cam, R_pred, t_pred, obs,
+        prior_R=None if prior_info is None else prior_R,
+        prior_t=None if prior_info is None else prior_t,
+        prior_info=prior_info)
     return R, t, idx, n_inl, inl & obs_mask, kp_pt
 
 
@@ -141,6 +152,7 @@ def _match_and_optimize_pl(
     d_tol: float = 20.0,
     pts_normal=None, pts_min_dist=None, pts_max_dist=None,
     pts_angle=None, kp_angle=None, check_rotation: bool = False,
+    prior_info=None, prior_R=None, prior_t=None,
 ):
     """Joint point+line guided matching and pose optimization.
 
@@ -245,19 +257,25 @@ def _match_and_optimize_pl(
         line_inv_sigma2=l_is2,
         line_mask=l_mask & kl_mask,
     )
+    if prior_info is not None and prior_R is None:
+        prior_R, prior_t = R_pred, t_pred
     R, t, inl, l_inl, n_inl = pose_opt.pose_optimize(
-        cam, R_pred, t_pred, obs, line_weight=line_weight)
+        cam, R_pred, t_pred, obs, line_weight=line_weight,
+        prior_R=None if prior_info is None else prior_R,
+        prior_t=None if prior_info is None else prior_t,
+        prior_info=prior_info)
     kp_pt = jnp.where(inl & obs_mask, kp_pt, -1)
     kl_ln = jnp.where(l_inl & l_mask, kl_ln, -1)
     return R, t, n_inl, kp_pt, kl_ln
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "check_rotation"))
-def _track_frame_fused_pts(
+def _track_frame_fused_pts(  # noqa: C901
     cam, R_pred, t_pred,
     b1, b2,              # step-1 / step-2 point blocks (tuples from gather)
     kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
     check_rotation: bool = False,
+    prior_info=None,
 ):
     """Whole visual tracking step in ONE dispatch: motion-model projection
     match + pose solve against last frame's points (with the on-device
@@ -275,18 +293,23 @@ def _track_frame_fused_pts(
             cam, R_pred, t_pred, xyz1, desc1, oct1, val1,
             kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
             radius, pts_normal=nrm1, pts_min_dist=mind1, pts_max_dist=maxd1,
-            pts_angle=ang1, kp_angle=kp_angle, check_rotation=check_rotation)
+            pts_angle=ang1, kp_angle=kp_angle, check_rotation=check_rotation,
+            prior_info=prior_info)
         return R, t, n
 
     R1, t1, n1 = _step1(15.0)
     R1, t1, n1 = jax.lax.cond(
         n1 < 20, lambda: _step1(30.0), lambda: (R1, t1, n1))
 
+    # the inertial prior stays anchored at the PREDICTED pose in both
+    # solves (reference: the marginalized prior is relative to the IMU
+    # propagation, not the intermediate visual estimate)
     R2, t2, _idx, n2, kp_inl, kp_pt_local = _match_and_optimize(
         cam, R1, t1, xyz2, desc2, oct2, val2,
         kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
         4.0, pts_normal=nrm2, pts_min_dist=mind2, pts_max_dist=maxd2,
-        pts_angle=ang2, kp_angle=kp_angle, check_rotation=check_rotation)
+        pts_angle=ang2, kp_angle=kp_angle, check_rotation=check_rotation,
+        prior_info=prior_info, prior_R=R_pred, prior_t=t_pred)
     kp_pt_local = jnp.where(kp_inl, kp_pt_local, -1)
     return R2, t2, n1, n2, kp_pt_local
 
@@ -300,6 +323,7 @@ def _track_frame_fused_pl(
     kl_sp, kl_ep, kl_desc, kl_mask,
     line_weight: float = 1.0,
     check_rotation: bool = False,
+    prior_info=None,
 ):
     """Fused tracking step with the joint point+line local-map solve
     (see _track_frame_fused_pts; reference: line edges in the same
@@ -312,7 +336,8 @@ def _track_frame_fused_pl(
             cam, R_pred, t_pred, xyz1, desc1, oct1, val1,
             kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2,
             radius, pts_normal=nrm1, pts_min_dist=mind1, pts_max_dist=maxd1,
-            pts_angle=ang1, kp_angle=kp_angle, check_rotation=check_rotation)
+            pts_angle=ang1, kp_angle=kp_angle, check_rotation=check_rotation,
+            prior_info=prior_info)
         return R, t, n
 
     R1, t1, n1 = _step1(15.0)
@@ -326,7 +351,8 @@ def _track_frame_fused_pl(
         kl_sp, kl_ep, kl_desc, kl_mask,
         4.0, line_weight=line_weight,
         pts_normal=nrm2, pts_min_dist=mind2, pts_max_dist=maxd2,
-        pts_angle=ang2, kp_angle=kp_angle, check_rotation=check_rotation)
+        pts_angle=ang2, kp_angle=kp_angle, check_rotation=check_rotation,
+        prior_info=prior_info, prior_R=R_pred, prior_t=t_pred)
     return R2, t2, n1, n2, kp_pt_local, kl_ln_local
 
 
@@ -388,6 +414,7 @@ def _track_frame_tables_pts(
     kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
     icap: int = 1024,
     check_rotation: bool = False,
+    prior_info=None,
 ):
     ids12, _, R_pred, t_pred = _unpack_meta(meta, icap, 0)
     b1 = _block_from_tables(pt_tbl, ids12[0])
@@ -395,7 +422,7 @@ def _track_frame_tables_pts(
     R2, t2, n1, n2, kp_pt_local = _track_frame_fused_pts(
         cam, R_pred, t_pred, b1, b2,
         kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
-        check_rotation=check_rotation)
+        check_rotation=check_rotation, prior_info=prior_info)
     return _pack_track_out(R2, t2, n1, n2, kp_pt_local)
 
 
@@ -408,6 +435,7 @@ def _track_frame_tables_pl(
     icap: int = 1024, lcap: int = 128,
     line_weight: float = 1.0,
     check_rotation: bool = False,
+    prior_info=None,
 ):
     ids12, lids, R_pred, t_pred = _unpack_meta(meta, icap, lcap)
     b1 = _block_from_tables(pt_tbl, ids12[0])
@@ -420,8 +448,114 @@ def _track_frame_tables_pl(
         Xs_t[lsafe], Xe_t[lsafe], ldesc_t[lsafe], lvalid,
         kp_xy, kp_desc, kp_octave, kp_mask, kp_uvr, kp_inv_sigma2, kp_angle,
         kl_sp, kl_ep, kl_desc, kl_mask,
-        line_weight=line_weight, check_rotation=check_rotation)
+        line_weight=line_weight, check_rotation=check_rotation,
+        prior_info=prior_info)
     return _pack_track_out(R2, t2, n1, n2, kp_pt_local, kl_ln_local)
+
+
+def _packed_len(h: int, w: int, dec: int = 1) -> int:
+    """uint32 words of a packed frame: u8 gray full-res + u16 mm depth at
+    1/dec resolution."""
+    return h * w // 4 + (h // dec) * (w // dec) // 2
+
+
+def _decompress_packed(buf, h: int, w: int, dec: int = 1):
+    """[_packed_len] uint32 (u8 gray + u16 mm depth, depth decimated by
+    ``dec``) -> (gray [h,w] f32, depth [h,w] f32 meters). Depth rides the
+    link at 1/dec^2 of the bytes and is nearest-upsampled on device —
+    fresh-content upload bandwidth (~37 MB/s measured through the tunnel,
+    NOT the cached-content probe number) is the per-frame budget."""
+    n8 = h * w // 4
+    g8 = jax.lax.bitcast_convert_type(buf[:n8], jnp.uint8).reshape(h, w)
+    hd, wd = h // dec, w // dec
+    d16 = jax.lax.bitcast_convert_type(
+        buf[n8:], jnp.uint16).reshape(hd, wd)
+    if dec > 1:
+        d16 = jnp.repeat(jnp.repeat(d16, dec, axis=0), dec, axis=1)
+    return (g8.astype(jnp.float32),
+            d16.astype(jnp.float32) * jnp.float32(0.001))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cam", "h", "w", "num_features", "n_levels", "scale", "max_lines",
+    "icap", "lcap", "line_weight", "check_rotation", "dec"))
+def _frame_track_rgbd_pl(
+    cam, bufs, idx, pt_tbl, ln_tbl,
+    h: int, w: int, num_features: int, n_levels: int, scale: float,
+    max_lines: int, icap: int, lcap: int,
+    line_weight: float = 1.0, check_rotation: bool = False,
+    prior_info=None, dec: int = 1,
+):
+    """THE per-frame RGB-D program: image decompression + ORB extraction +
+    line extraction + guided matching + joint pose solve — everything the
+    30 Hz hot path does on the device, in ONE executable. Through a remote
+    accelerator link the per-PROGRAM latency (not compute: the whole chain
+    is ~1 ms of device time) dominates the frame budget, so one executable
+    per frame is the difference between ~10 and ~40 fps (reference: the
+    whole of Frame construction + Track(), src/Frame.cc:405- +
+    src/Tracking.cc:2097, which the reference spreads over 4 CPU threads).
+
+    Returns (packed_track_out, Frame, FrameLines) — the frame snapshots
+    stay device-resident; the host fetches them only at keyframe rate.
+
+    ``bufs`` [G, n_img + n_meta]: a WINDOW of frames' packed
+    [image words | meta words] rows stacked into ONE upload, ``idx``
+    selecting this frame's row. Fresh-content upload bandwidth through the
+    tunnel (~37 MB/s measured) is the per-frame budget, so images ship
+    quantized with decimated depth, and execution is deferred until the
+    first await anyway — the pipeline uploads the whole in-flight window
+    at once at resolve time."""
+    n_img = _packed_len(h, w, dec)
+    buf_all = bufs[idx]
+    gray, depth = _decompress_packed(buf_all[:n_img], h, w, dec)
+    meta = jax.lax.bitcast_convert_type(buf_all[n_img:], jnp.int32)
+    fr = frame_mod.build_frame_rgbd(gray, depth, cam, num_features,
+                                    n_levels, scale)
+    fl = frame_mod.build_frame_lines(gray, depth, cam, max_lines)
+    ids12, lids, R_pred, t_pred = _unpack_meta(meta, icap, lcap)
+    b1 = _block_from_tables(pt_tbl, ids12[0])
+    b2 = _block_from_tables(pt_tbl, ids12[1])
+    Xs_t, Xe_t, ldesc_t, lmask_t = ln_tbl
+    lsafe = jnp.clip(lids, 0, Xs_t.shape[0] - 1)
+    lvalid = (lids >= 0) & lmask_t[lsafe]
+    R2, t2, n1, n2, kp_pt_local, kl_ln_local = _track_frame_fused_pl(
+        cam, R_pred, t_pred, b1, b2,
+        Xs_t[lsafe], Xe_t[lsafe], ldesc_t[lsafe], lvalid,
+        fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+        fr.inv_sigma2, fr.kp.angle,
+        fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
+        line_weight=line_weight, check_rotation=check_rotation,
+        prior_info=prior_info)
+    out = _pack_track_out(R2, t2, n1, n2, kp_pt_local, kl_ln_local)
+    return out, fr, fl
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cam", "h", "w", "num_features", "n_levels", "scale", "icap",
+    "check_rotation", "dec"))
+def _frame_track_rgbd_pts(
+    cam, bufs, idx, pt_tbl,
+    h: int, w: int, num_features: int, n_levels: int, scale: float,
+    icap: int, check_rotation: bool = False,
+    prior_info=None, dec: int = 1,
+):
+    """Points-only variant of _frame_track_rgbd_pl (lines off)."""
+    n_img = _packed_len(h, w, dec)
+    buf_all = bufs[idx]
+    gray, depth = _decompress_packed(buf_all[:n_img], h, w, dec)
+    meta = jax.lax.bitcast_convert_type(buf_all[n_img:], jnp.int32)
+    fr = frame_mod.build_frame_rgbd(gray, depth, cam, num_features,
+                                    n_levels, scale)
+    ids12, _, R_pred, t_pred = _unpack_meta(meta, icap, 0)
+    b1 = _block_from_tables(pt_tbl, ids12[0])
+    b2 = _block_from_tables(pt_tbl, ids12[1])
+    R2, t2, n1, n2, kp_pt_local = _track_frame_fused_pts(
+        cam, R_pred, t_pred, b1, b2,
+        fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+        fr.inv_sigma2, fr.kp.angle,
+        check_rotation=check_rotation, prior_info=prior_info)
+    out = _pack_track_out(R2, t2, n1, n2, kp_pt_local)
+    return out, fr
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -526,6 +660,12 @@ class Tracker:
         # pyramid geometry for scale-invariance distance bands
         self.scale = 1.2
         self.n_levels = 8
+        # per-frame keyline capacity for the whole-frame fused program
+        # (set by the System from SystemConfig.max_lines)
+        self.max_keylines = 128
+        # depth-upload decimation for the packed fast path (set by the
+        # System; fresh-content upload bandwidth is the frame budget)
+        self.depth_decimation = 1
         self.kfdb = kfdb  # KeyFrameDatabase, for relocalization
         self.sensor = sensor
         self._init_frame = None  # monocular initializer reference frame
@@ -563,6 +703,11 @@ class Tracker:
         # coasting, src/Tracking.cc:2318)
         self.imu_coast = False
         self._lost_ts = 0.0
+        # per-frame SE3 pose-prior information at the motion/IMU prediction
+        # (set each frame by the inertial runtime once initialized; None =
+        # vision-only solve). Reference: the marginalized inertial term of
+        # PoseInertialOptimizationLastFrame, src/Optimizer.cc:10137.
+        self.prior_info: np.ndarray | None = None
         # localization-only mode: track against the frozen map, never grow it
         # (reference: System::ActivateLocalizationMode ->
         # Tracking::InformOnlyTracking, include/System.h:157-159)
@@ -838,11 +983,10 @@ class Tracker:
         return TrackResult(self.state, self.R, self.t, len(pt_ids), kp_pt, True, kf_id)
 
     # ------------------------------------------------------------------
-    def _dispatch_fused(self, fr: frame_mod.Frame, timestamp: float, fl):
-        """Assemble + dispatch the single fused tracking program. Returns a
-        context dict holding the in-flight device outputs and everything the
-        host needs to interpret them later, or None when the fused-path
-        preconditions fail (no candidates yet)."""
+    def _assemble_fused(self, use_pl: bool):
+        """Candidate/prediction assembly shared by both fused dispatch
+        paths (separate-frame and whole-frame-packed). Returns None when
+        the fused preconditions fail (no candidates yet)."""
         # motion-model prediction, extrapolated across any unresolved
         # pipeline lag (self.R/vel describe the last RESOLVED frame)
         lag = len(self._pending) if self.pipelined else 0
@@ -851,9 +995,10 @@ class Tracker:
             t_pred = (self.vel_R @ t_pred + self.vel_t).astype(np.float32)
             R_pred = (self.vel_R @ R_pred).astype(np.float32)
         last_ids = self.last_kp_pt_id
+        if last_ids is None:
+            return None
         cand = np.unique(last_ids[last_ids >= 0])
         local_pts = self._local_points()
-        use_pl = self.use_lines and fl is not None
         if len(cand) == 0 or len(local_pts) == 0:
             return None
         cand1 = cand[: self.local_pts_cap]
@@ -868,6 +1013,7 @@ class Tracker:
              np.asarray(t_pred, np.float32)]).view(np.int32)
         cand_lines = np.zeros((0,), np.int64)
         ml = 0
+        lcap = 0
         if use_pl:
             local_lns = self._local_lines()
             lcap = self._cap_bucket(
@@ -879,31 +1025,142 @@ class Tracker:
             meta[icap: icap + m2] = cand2
             meta[2 * icap: 2 * icap + ml] = cand_lines
             meta[2 * icap + lcap:] = Rt_bits
-            out = _track_frame_tables_pl(
-                self.cam, jnp.asarray(meta), pt_tbl, ln_tbl,
-                fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
-                fr.inv_sigma2, fr.kp.angle,
-                fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
-                icap=icap, lcap=lcap,
-                line_weight=self.line_track_weight,
-                check_rotation=self.check_rotation)
         else:
             meta = np.full((2 * icap + 12,), -1, np.int32)
             meta[:len(cand1)] = cand1
             meta[icap: icap + m2] = cand2
             meta[2 * icap:] = Rt_bits
-            out = _track_frame_tables_pts(
-                self.cam, jnp.asarray(meta), pt_tbl,
+        return dict(meta=meta, icap=icap, lcap=lcap, pt_tbl=pt_tbl,
+                    ln_tbl=ln_tbl, cand=cand, cand2=cand2, m2=m2,
+                    cand_lines=cand_lines, ml=ml, local_pts=local_pts,
+                    R_pred=R_pred, t_pred=t_pred,
+                    prior=(None if self.prior_info is None
+                           else jnp.asarray(self.prior_info)))
+
+    def _ctx_from(self, asm, out, fr, fl, timestamp, use_pl):
+        return dict(out=out, fr=fr, fl=fl, timestamp=timestamp,
+                    use_pl=use_pl, cand=asm["cand"], cand2=asm["cand2"],
+                    m2=asm["m2"], cand_lines=asm["cand_lines"],
+                    ml=asm["ml"], n_kp=int(fr.kp.xy.shape[0]),
+                    n_kl=(int(fl.kl.sp.shape[0]) if use_pl else None),
+                    local_pts=asm["local_pts"], R_pred=asm["R_pred"],
+                    t_pred=asm["t_pred"], seq=self.frame_id)
+
+    def _dispatch_fused(self, fr: frame_mod.Frame, timestamp: float, fl):
+        """Assemble + dispatch the fused tracking program against ALREADY
+        BUILT frame arrays. Returns a context dict holding the in-flight
+        device outputs, or None when the fused preconditions fail."""
+        use_pl = self.use_lines and fl is not None
+        asm = self._assemble_fused(use_pl)
+        if asm is None:
+            return None
+        if use_pl:
+            out = _track_frame_tables_pl(
+                self.cam, jnp.asarray(asm["meta"]), asm["pt_tbl"],
+                asm["ln_tbl"],
                 fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
                 fr.inv_sigma2, fr.kp.angle,
-                icap=icap, check_rotation=self.check_rotation)
-        return dict(out=out, fr=fr, fl=fl, timestamp=timestamp,
-                    use_pl=use_pl, cand=cand, cand2=cand2, m2=m2,
-                    cand_lines=cand_lines, ml=ml,
-                    n_kp=int(fr.kp.xy.shape[0]),
-                    n_kl=(int(fl.kl.sp.shape[0]) if use_pl else None),
-                    local_pts=local_pts, R_pred=R_pred, t_pred=t_pred,
-                    seq=self.frame_id)
+                fl.kl.sp, fl.kl.ep, fl.kl.desc, fl.kl.mask,
+                icap=asm["icap"], lcap=asm["lcap"],
+                line_weight=self.line_track_weight,
+                check_rotation=self.check_rotation,
+                prior_info=asm["prior"])
+        else:
+            out = _track_frame_tables_pts(
+                self.cam, jnp.asarray(asm["meta"]), asm["pt_tbl"],
+                fr.kp.xy, fr.kp.desc, fr.kp.octave, fr.kp.mask, fr.uvr,
+                fr.inv_sigma2, fr.kp.angle,
+                icap=asm["icap"], check_rotation=self.check_rotation,
+                prior_info=asm["prior"])
+        return self._ctx_from(asm, out, fr, fl, timestamp, use_pl)
+
+    def _prepare_fused_packed(self, buf: np.ndarray, h: int, w: int,
+                              timestamp: float):
+        """Assemble the whole-frame packed context WITHOUT touching the
+        device: the [image | meta] row is held host-side and uploaded as
+        part of the window's ONE stacked transfer at resolve time (the
+        tunnel defers execution to the first await anyway, and one stacked
+        upload costs ~60%% of separate per-frame uploads — measured)."""
+        use_pl = self.use_lines
+        asm = self._assemble_fused(use_pl)
+        if asm is None:
+            return None
+        buf_all = np.concatenate([buf, asm["meta"].view(np.uint32)])
+        ctx = dict(out=None, fr=None, fl=None, buf=buf_all, asm=asm,
+                   h=h, w=w, timestamp=timestamp, use_pl=use_pl,
+                   cand=asm["cand"], cand2=asm["cand2"], m2=asm["m2"],
+                   cand_lines=asm["cand_lines"], ml=asm["ml"],
+                   n_kp=self.num_features,
+                   n_kl=(self.max_keylines if use_pl else None),
+                   local_pts=asm["local_pts"], R_pred=asm["R_pred"],
+                   t_pred=asm["t_pred"], seq=self.frame_id)
+        return ctx
+
+    def _launch_group(self, group):
+        """Stack the group's packed [image|meta] rows into ONE upload and
+        dispatch each frame's whole-frame program (fills ctx out/fr/fl)."""
+        G = 1
+        while G < len(group):
+            G *= 2
+        rows = [c["buf"] for c in group]
+        rows += [rows[-1]] * (G - len(rows))  # pad rows are ignored
+        Bd = jnp.asarray(np.stack(rows))
+        for i, c in enumerate(group):
+            asm = c["asm"]
+            if c["use_pl"]:
+                out, fr, fl = _frame_track_rgbd_pl(
+                    self.cam, Bd, i, asm["pt_tbl"], asm["ln_tbl"],
+                    h=c["h"], w=c["w"], num_features=self.num_features,
+                    n_levels=self.n_levels, scale=self.scale,
+                    max_lines=self.max_keylines,
+                    icap=asm["icap"], lcap=asm["lcap"],
+                    line_weight=self.line_track_weight,
+                    check_rotation=self.check_rotation,
+                    prior_info=asm["prior"], dec=self.depth_decimation)
+                c["out"], c["fr"], c["fl"] = out, fr, fl
+            else:
+                out, fr = _frame_track_rgbd_pts(
+                    self.cam, Bd, i, asm["pt_tbl"],
+                    h=c["h"], w=c["w"], num_features=self.num_features,
+                    n_levels=self.n_levels, scale=self.scale,
+                    icap=asm["icap"], check_rotation=self.check_rotation,
+                    prior_info=asm["prior"], dec=self.depth_decimation)
+                c["out"], c["fr"] = out, fr
+
+    def _group_key(self, c):
+        """Shape signature for batching pending solves into one transfer."""
+        if c.get("buf") is None:
+            return ("dispatched", tuple(c["out"].shape))
+        asm = c["asm"]
+        return ("packed", c["use_pl"], len(c["buf"]), asm["icap"],
+                asm["lcap"], c["h"], c["w"], asm["pt_tbl"][0].shape[0],
+                (asm["ln_tbl"][0].shape[0] if c["use_pl"] else 0),
+                asm["prior"] is None)
+
+    def process_frame_packed(self, buf: np.ndarray, h: int, w: int,
+                             timestamp: float):
+        """Fast path for the steady OK state: the whole frame (decompress +
+        extract + match + solve) is one executable, its input one row of
+        the window's stacked upload. Returns a TrackResult, or None when
+        the caller must fall back to the separate-build path (non-OK state,
+        no candidates)."""
+        if self.state != OK:
+            return None
+        ctx = self._prepare_fused_packed(buf, h, w, timestamp)
+        if ctx is None:
+            return None
+        self.last_frame = None  # frame arrays materialize at resolve
+        if self.pipelined:
+            self._pending.append(ctx)
+            self.frame_id += 1
+            return TrackResult(OK, np.asarray(ctx["R_pred"]),
+                               np.asarray(ctx["t_pred"]), -1, None)
+        self._launch_group([ctx])
+        res = self._finish_fused(np.asarray(jax.device_get(ctx["out"])), ctx)
+        self.last_frame = ctx["fr"]
+        self.lost_frames = 1 if res.state == LOST else 0
+        self.frame_id += 1
+        return res
 
     def _finish_fused(self, buf, ctx) -> TrackResult:
         """Interpret the fused program's packed output (sync or deferred)."""
@@ -949,19 +1206,23 @@ class Tracker:
         if not force and len(self._pending) < self.pipeline_depth:
             return 0
         pending, self._pending = self._pending, []
-        # group consecutive frames whose packed outputs share a shape
-        # (capacity buckets change rarely); each group costs one transfer
+        # group consecutive frames sharing a shape signature (capacity
+        # buckets change rarely); each group costs one stacked upload +
+        # one transfer
         done = 0
         i = 0
         while i < len(pending):
             j = i + 1
-            shape = pending[i]["out"].shape
-            while j < len(pending) and pending[j]["out"].shape == shape:
+            key = self._group_key(pending[i])
+            while j < len(pending) and self._group_key(pending[j]) == key:
                 j += 1
             group = pending[i:j]
             import time as _time
 
             t0 = _time.perf_counter()
+            deferred = [c for c in group if c.get("out") is None]
+            if deferred:
+                self._launch_group(deferred)
             # one device_get call fetches the whole group in one latency tick
             bufs = jax.device_get(tuple(p["out"] for p in group))
             t1 = _time.perf_counter()

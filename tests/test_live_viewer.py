@@ -37,11 +37,19 @@ class TestLiveViewer:
         try:
             page = _get(viewer.port, "/")
             assert b"canvas" in page
+            assert b"webgl" in page  # 3-D renderer served
             state = json.loads(_get(viewer.port, "/state.json"))
             assert state["stats"]["keyframes"] >= 1
             assert len(state["trajectory"]) == 6
             assert len(state["points"]) > 0
             assert state["pose"] is not None
+            # 3-D payload: line landmarks, covisibility edges, camera
+            # frustum (reference: MapDrawer draws all three)
+            assert "lines" in state and "covis" in state
+            assert state["frustum"] is not None
+            assert len(state["frustum"]) == 12
+            mesh = json.loads(_get(viewer.port, "/mesh.json"))
+            assert "tris" in mesh  # empty without a dense mapper
             # the camera moved along +x; the last pose must reflect that
             assert state["trajectory"][-1][0] > state["trajectory"][0][0]
 

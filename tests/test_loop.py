@@ -342,10 +342,13 @@ class TestCoincidenceGate:
         st.pt_ref_kf[p1] = kf2
         kf3 = add_kf((-drift + np.array([0.04, 0, 0])).astype(np.float32),
                      p1, 201)
+        # strong_inliers disabled: these tests exercise the coincidence
+        # STREAK logic specifically (the overwhelming-support shortcut is
+        # covered by test_strong_single_hit_closes_immediately)
         closer = LoopCloser(
             st, kfdb=KeyFrameDatabase(st, min_train_descs=128,
                                       vocab_train_descs=512),
-            required_coincidences=required)
+            required_coincidences=required, strong_inliers=10 ** 9)
         for k in (kf0, 1):
             closer.kfdb.add(k)
         return st, closer, kf2, kf3
@@ -361,17 +364,34 @@ class TestCoincidenceGate:
     def test_gap_resets_pending(self, rng):
         st, closer, kf2, kf3 = self._build(rng, required=2)
         assert closer.process_keyframe(kf2) is None
-        # a keyframe seeing nothing recognisable breaks the streak
-        kf4 = st.alloc_kf()
-        st.kf_mask[kf4] = True
-        st.kf_R[kf4] = np.eye(3, dtype=np.float32)
-        st.kf_t[kf4] = np.array([50.0, 0, 0], np.float32)
-        st.kf_frame_id[kf4] = 202
-        st.kf_kp_desc[kf4, :64] = rng.integers(
-            0, 2**32, (64, 8), dtype=np.uint32)
-        st.kf_kp_mask[kf4, :64] = True
-        closer.process_keyframe(kf4)
+
+        def blank_kf(frame_id):
+            k = st.alloc_kf()
+            st.kf_mask[k] = True
+            st.kf_R[k] = np.eye(3, dtype=np.float32)
+            st.kf_t[k] = np.array([50.0, 0, 0], np.float32)
+            st.kf_frame_id[k] = frame_id
+            st.kf_kp_desc[k, :64] = rng.integers(
+                0, 2**32, (64, 8), dtype=np.uint32)
+            st.kf_kp_mask[k, :64] = True
+            return k
+
+        # ONE unrecognisable keyframe is tolerated (sparse keyframes can
+        # skip a revisit frame)...
+        closer.process_keyframe(blank_kf(202))
+        assert closer._pending is not None
+        # ...but a second consecutive miss breaks the streak
+        closer.process_keyframe(blank_kf(203))
         assert closer._pending is None
+
+    def test_strong_single_hit_closes_immediately(self, rng):
+        """Overwhelming expanded support (>= strong_inliers) closes without
+        waiting for a second coincidence."""
+        st, closer, kf2, _ = self._build(rng, required=2)
+        closer.strong_inliers = 60
+        info = closer.process_keyframe(kf2)
+        assert info is not None
+        assert info["inliers"] >= 60
 
     def test_single_coincidence_closes_immediately(self, rng):
         st, closer, kf2, _ = self._build(rng, required=1)
