@@ -101,7 +101,11 @@ def detect_lines(
     assert h % 2 == 0 and w % 2 == 0, "line detector expects even dims"
     h2, w2 = h // 2, w // 2
     if n_iters is None:
-        n_iters = (h2 + w2) // 2
+        # reach = n_iters CELLS = n_iters*2 full-res px along a component;
+        # (h2+w2)/3 covers any realistic segment (a longer one keeps its
+        # first stretch — still a valid, slightly shortened keyline) and
+        # the sweep loop is the remaining cost of the detector
+        n_iters = (h2 + w2) // 3
     # orientation pooling in DOUBLE-ANGLE space (orientations live mod pi:
     # the two anti-parallel gradient edges of a thick bar must reinforce,
     # not cancel, when a 2x2 cell straddles the bar)
@@ -150,7 +154,10 @@ def detect_lines(
             m = jnp.minimum(m, jnp.where(connect[ci], nb, m))
         return m
 
-    labels_h = jax.lax.fori_loop(0, n_iters, body, init)
+    # unroll several sweeps per loop step: each tiny sweep kernel's launch
+    # overhead dominates at half-res sizes, and unrolling lets XLA fuse
+    # consecutive sweeps
+    labels_h = jax.lax.fori_loop(0, n_iters, body, init, unroll=4)
     lab_c = labels_h.reshape(-1)  # [n_cell] cell labels (invalid = n_cell)
 
     ys, xs = jnp.mgrid[0:h, 0:w]

@@ -140,11 +140,16 @@ class SyntheticRoom:
     """
 
     def __init__(self, cam: cam_mod.Camera, half: float = 3.0,
-                 tex_size: int = 1024, tex_scale: float = 180.0,
+                 tex_size: int = 1024, tex_scale: float | None = None,
                  seed: int = 0, structured: bool = True):
         self.cam = cam
         self.half = half
-        self.tex_scale = tex_scale
+        # default: one texture period spans the wall EXACTLY — a repeating
+        # (wrapped) texture makes place recognition alias between wall
+        # positions one period apart, which manifests as catastrophic
+        # false loop closures (observed: a 5.12 m period on a 6 m wall)
+        self.tex_scale = (tex_size / (2.0 * half)
+                          if tex_scale is None else tex_scale)
         make = make_structured_texture if structured else make_texture
         self.texs = [make(tex_size, np.random.default_rng(seed + i))
                      for i in range(4)]
@@ -204,13 +209,15 @@ class SyntheticRoom:
 
 
 def orbit_loop_trajectory(n_frames: int = 96, radius: float = 1.0,
-                          wobble: float = 0.05):
-    """Camera orbits the room center looking outward, a full 360-degree
-    turn back to the start pose: mid-orbit frames share NO walls with the
-    start, so the return leg is a true place-recognition loop."""
+                          wobble: float = 0.05, laps: float = 1.0):
+    """Camera orbits the room center looking outward: mid-orbit frames
+    share NO walls with the start, so returning past 360 degrees is a true
+    place-recognition loop. ``laps`` > 1 keeps revisiting (the classic
+    loop-closure evaluation — sustained overlap lets the consecutive-
+    coincidence gate engage, like a corridor walked twice)."""
     poses = []
     for i in range(n_frames):
-        s = i / n_frames
+        s = i / (n_frames / laps)
         ang = 2.0 * np.pi * s
         # camera center on a circle, looking radially outward (+z toward
         # the wall it faces)

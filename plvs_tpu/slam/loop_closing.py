@@ -36,7 +36,10 @@ class LoopCloser:
     # 3D-proximity expansion
     cam: object | None = None
     min_score_ratio: float = 0.75
-    min_inliers: int = 25
+    # final acceptance support (reference: the Sim3 stage accepts at >= 20
+    # inliers, src/LoopClosing.cc — the consecutive-coincidence streak is
+    # the false-positive guard, not this count)
+    min_inliers: int = 20
     min_kf_gap: int = 10          # don't close against recent KFs
     fix_scale: bool = True        # RGB-D / stereo
     # consecutive-coincidence gate (reference: NewDetectCommonRegions
@@ -56,6 +59,14 @@ class LoopCloser:
     # DetectAndReffineSim3FromLastKF re-verifies from the predicted Sim3)
     coincidence_rot_tol: float = 0.17   # rad (~10 deg)
     coincidence_trans_tol: float = 0.5  # meters
+    # PLAUSIBILITY gate on the implied world drift of a verified loop
+    # within ONE map: odometry drift of a continuously tracked map is small
+    # — a verification implying a near-180-degree rotation is structural
+    # aliasing (observed: self-similar panel corners on opposite walls fit
+    # 25 RANSAC inliers), not a loop. Cross-map merges are exempt (a lost
+    # + re-initialized map really can be arbitrarily misaligned).
+    max_drift_rot: float = 0.6    # rad (~34 deg)
+    max_drift_trans: float = 2.0  # meters
     # world gravity vector once the IMU is initialized: switches the
     # essential-graph correction to the 4-DoF (yaw+translation) form so the
     # loop cannot bend the gravity-observable roll/pitch (reference:
@@ -136,6 +147,13 @@ class LoopCloser:
             self._pending_miss()
             return None
         G_R, G_t = self._drift_transform(kf_id, cand, R_rel, t_rel)
+        if st.kf_map[cand] == st.kf_map[kf_id]:
+            ang = float(np.arccos(np.clip((np.trace(G_R) - 1) / 2,
+                                          -1.0, 1.0)))
+            if (ang > self.max_drift_rot
+                    or np.linalg.norm(G_t) > self.max_drift_trans):
+                self._pending_miss()
+                return None
 
         pend = self._pending
         if pend is not None and self._consistent(pend, cand, G_R, G_t):
@@ -326,7 +344,7 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _expand_pairs_projective(self, kf_id: int, cand: int, pairs,
-                                 G_R, G_t, radius_px: float = 12.0,
+                                 G_R, G_t, radius_px: float = 25.0,
                                  max_hamming: int = 55,
                                  cap_dst: int = 4096):
         """Sim3-guided PROJECTION expansion (the reference's

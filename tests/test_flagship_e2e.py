@@ -76,14 +76,44 @@ class TestFlagshipLoop:
         assert st.num_lines >= 0  # lines allowed but not required on texture
 
     def test_loop_closure_improves_drifty_trajectory(self):
-        """Quadratic depth noise makes the odometry drift; the loop closure
-        + retro-corrected export must IMPROVE full-trajectory ATE — not
+        """A genuine place-recognition loop (four-wall room, 1.375-lap
+        orbit: mid-orbit keyframes share NO landmarks with the start, the
+        second pass re-recognizes it) under depth noise. The loop closure +
+        retro-corrected export must IMPROVE full-trajectory ATE — not
         merely not hurt (reference: trajectory export reconstructs every
         frame through the loop-corrected keyframe poses,
-        src/System.cc:860-1006)."""
-        sys_on, rmse_on, _ = _run(loop_closing=True, depth_noise=0.004)
-        _, rmse_off, _ = _run(loop_closing=False, depth_noise=0.004)
-        assert len(sys_on.loops_closed) >= 1, "drifty loop was not closed"
+        src/System.cc:860-1006; a single always-covisible wall can never
+        exercise this code path, which is why this scenario is a room)."""
+        from plvs_tpu.io import evaluation
+
+        def run_room(loop_closing: bool):
+            # texture resolution must outresolve the camera (a 1024-px
+            # texture at 640x480 is blurry -> weak descriptors -> false
+            # loop matches)
+            room = synthetic.SyntheticRoom(CAM, half=3.0, tex_size=2048,
+                                           seed=3)
+            poses = synthetic.orbit_loop_trajectory(
+                n_frames=132, radius=1.0, laps=1.375)
+            cfg = SystemConfig(
+                num_features=1024, n_levels=8, max_kf=128, max_pts=65536,
+                use_lines=False, local_ba=True, loop_closing=loop_closing)
+            system = System(CAM, cfg)
+            gt = []
+            for i, (ts, gray, depth, R_gt, t_gt) in enumerate(
+                    room.sequence(poses)):
+                rng = np.random.default_rng(1000 + i)
+                depth = depth + rng.normal(
+                    0, 0.01, depth.shape).astype(np.float32) * depth ** 2
+                system.track_rgbd(gray, depth, ts)
+                gt.append(-R_gt.T @ t_gt)
+            traj = system.trajectory_tum()
+            rmse = evaluation.ate_rmse(traj[:, 1:4], np.stack(gt),
+                                       align=True)
+            return system, rmse
+
+        sys_on, rmse_on = run_room(True)
+        _, rmse_off = run_room(False)
+        assert len(sys_on.loops_closed) >= 1, "loop was not closed"
         assert rmse_off > 0.01, (
             f"scenario not drifty enough to be meaningful: {rmse_off}")
         assert rmse_on < 0.6 * rmse_off, (rmse_on, rmse_off)

@@ -20,7 +20,7 @@ CAM = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320, height=240,
 N_FRAMES = 30
 
 
-def _run(use_lines: bool, sensor: str = "rgbd"):
+def _run(use_lines: bool, sensor: str = "rgbd", depth_noise: float = 0.0):
     tex = synthetic.make_line_texture(rng=seed_rng())
     scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, texture=tex)
     cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
@@ -29,12 +29,18 @@ def _run(use_lines: bool, sensor: str = "rgbd"):
     system = System(CAM, cfg)
     gt = []
     baseline = CAM.bf / float(CAM.params[0])  # meters
-    for ts, gray, depth, R_gt, t_gt in scene.sequence(n_frames=N_FRAMES):
+    for i, (ts, gray, depth, R_gt, t_gt) in enumerate(
+            scene.sequence(n_frames=N_FRAMES)):
         if sensor == "stereo":
             t_r = t_gt - np.array([baseline, 0, 0], np.float32)
             gray_r, _ = scene.render(R_gt, t_r)
             system.track_stereo(gray, gray_r, ts)
         else:
+            if depth_noise:
+                rng = np.random.default_rng(77 + i)
+                depth = depth + rng.normal(
+                    0, depth_noise, depth.shape).astype(np.float32) \
+                    * depth ** 2
             system.track_rgbd(gray, depth, ts)
         gt.append((R_gt, t_gt))
     traj = system.trajectory_tum()
@@ -72,6 +78,16 @@ class TestLinesReduceATE:
         # scene should measurably improve it
         assert ate_pl <= ate_pts * 1.05, (ate_pl, ate_pts)
         assert ate_pl < 0.05, ate_pl
+
+    def test_lines_strictly_lower_ate_under_depth_noise(self):
+        """With noisy depth the few blob corners drift; the bar landmarks'
+        joint point+line solve must LOWER ATE, strictly (reference claim:
+        PLVS lines improve robustness on low-texture man-made scenes,
+        README.md:14 / src/LineMatcher.cc suite)."""
+        _, ate_pts = _run(use_lines=False, depth_noise=0.006)
+        sys_pl, ate_pl = _run(use_lines=True, depth_noise=0.006)
+        assert sys_pl.store.num_lines >= 5
+        assert ate_pl < ate_pts, (ate_pl, ate_pts)
 
 
 @pytest.mark.slow
