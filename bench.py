@@ -46,10 +46,11 @@ def build_system():
 
     # realtime configuration: the backend (local BA / loop closing) can
     # overlap tracking on the mapper actor thread, like the reference's
-    # LocalMapping/LoopClosing threads during its 30 fps runs. Through a
-    # remote-tunnel TPU client every dispatch serializes on one connection
-    # (~26 ms/round-trip measured), so a second submitting thread stalls the
-    # tracker more than it helps — default to the synchronous pipeline and
+    # LocalMapping/LoopClosing threads during its 30 fps runs. Through the
+    # remote-tunnel TPU client every await serializes on one connection at
+    # a flat ~25 ms per real execution chain (see utils/tunnel.py), so a
+    # second submitting thread stalls the tracker more than it helps —
+    # default to the synchronous pipeline with batched backend awaits and
     # let PLVS_BENCH_ASYNC=1 opt in on locally-attached hardware.
     use_async = os.environ.get("PLVS_BENCH_ASYNC", "0") == "1"
     del jax

@@ -1,0 +1,143 @@
+"""Run the reference's statistical benchmark protocol and write
+BENCHMARK.json.
+
+Protocol (reference: Benchmarking/benchmark_tum.sh NUM_RUNS_X_DATASET=10 +
+Benchmarking/generate_results.py:16,40-57): each sequence runs 10x, runs
+with >5% tracking-lost frames are discarded, >2 such runs fails the
+sequence; reported are median/sigma ATE-RMSE over kept runs plus mean/sigma
+per-frame track time and sampled CPU/RAM.
+
+Sequences: this environment has no network egress and ships no real
+TUM/EuRoC/KITTI data, so the protocol runs on the two deterministic
+synthetic fixtures (per-run variation = per-run depth-noise seeds, the
+synthetic stand-in for sensor nondeterminism):
+  * wall_sweep  — structured-panel wall, lateral sweep (odometry accuracy)
+  * room_orbit  — four-wall room, 1.375-lap orbit (drift + genuine loop
+    closure + retro-corrected export)
+The same functions consume real datasets through plvs_tpu.io.datasets
+(TUM/EuRoC/KITTI loaders) when data is present — see plvs_tpu/run_slam.py.
+
+Run: python scripts/run_benchmark_protocol.py [--runs 10] [--out BENCHMARK.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "BENCHMARK.json"))
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--features", type=int, default=512)
+    args = ap.parse_args()
+
+    from plvs_tpu.geometry import cameras
+    from plvs_tpu.io import benchmark, synthetic
+    from plvs_tpu.slam import System, SystemConfig
+
+    cam = cameras.pinhole(
+        260.0 * args.width / 320, 260.0 * args.width / 320,
+        args.width / 2.0, args.height / 2.0,
+        width=args.width, height=args.height, bf=20.0 * args.width / 320)
+
+    out = {
+        "protocol": ("median ATE-RMSE over N runs, runs with >5% lost "
+                     "frames discarded, >2 discarded => sequence failed "
+                     "(reference: Benchmarking/generate_results.py:16,40-57)"),
+        "n_runs": args.runs,
+        "resolution": [args.width, args.height],
+        "num_features": args.features,
+        "data": ("synthetic fixtures — no real TUM/EuRoC/KITTI data is "
+                 "available in this zero-egress environment; "
+                 "plvs_tpu.io.datasets runs the identical protocol on real "
+                 "sequences when present"),
+        "sequences": {},
+    }
+
+    # -- wall_sweep ---------------------------------------------------------
+    tex = synthetic.make_structured_texture(1024)
+    wall = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0, texture=tex,
+                                   tex_scale=220.0)
+    wall_frames = [(ts, g, d, R, t)
+                   for ts, g, d, R, t in wall.sequence(n_frames=90)]
+    wall_gt = np.stack([-R.T @ t for _, _, _, R, t in wall_frames])
+
+    def wall_once(seed: int) -> benchmark.RunResult:
+        def frames():
+            for i, (ts, g, d, _R, _t) in enumerate(wall_frames):
+                rng = np.random.default_rng(seed * 1000 + i)
+                dn = d + rng.normal(0, 0.004, d.shape).astype(
+                    np.float32) * d ** 2
+                yield ts, g, dn
+
+        def factory():
+            return System(cam, SystemConfig(
+                num_features=args.features, n_levels=4, max_kf=96,
+                max_pts=32768, use_lines=True, max_lines=64,
+                local_ba=True, loop_closing=True))
+
+        return benchmark.run_system_once(factory, frames, gt_xyz=wall_gt)
+
+    print("running wall_sweep ...", flush=True)
+    out["sequences"]["wall_sweep"] = benchmark.run_sequence_benchmark(
+        wall_once, n_runs=args.runs)
+    print(json.dumps(out["sequences"]["wall_sweep"], indent=1)[:400],
+          flush=True)
+
+    # -- room_orbit (loop closure) -----------------------------------------
+    room = synthetic.SyntheticRoom(cam, half=3.0, tex_size=1024, seed=3)
+    poses = synthetic.orbit_loop_trajectory(n_frames=132, radius=1.0,
+                                            laps=1.375)
+    room_frames = [(ts, g, d, R, t) for ts, g, d, R, t in
+                   room.sequence(poses)]
+    room_gt = np.stack([-R.T @ t for _, _, _, R, t in room_frames])
+
+    n_loops = []
+
+    def room_once(seed: int) -> benchmark.RunResult:
+        def frames():
+            for i, (ts, g, d, _R, _t) in enumerate(room_frames):
+                rng = np.random.default_rng(seed * 1000 + i)
+                dn = d + rng.normal(0, 0.004, d.shape).astype(
+                    np.float32) * d ** 2
+                yield ts, g, dn
+
+        holder = {}
+
+        def factory():
+            holder["sys"] = System(cam, SystemConfig(
+                num_features=args.features, n_levels=4, max_kf=128,
+                max_pts=65536, use_lines=False,
+                local_ba=True, loop_closing=True))
+            return holder["sys"]
+
+        r = benchmark.run_system_once(factory, frames, gt_xyz=room_gt)
+        n_loops.append(len(holder["sys"].loops_closed))
+        return r
+
+    print("running room_orbit ...", flush=True)
+    out["sequences"]["room_orbit"] = benchmark.run_sequence_benchmark(
+        room_once, n_runs=args.runs)
+    out["sequences"]["room_orbit"]["loops_closed_per_run"] = n_loops
+    print(json.dumps(out["sequences"]["room_orbit"], indent=1)[:400],
+          flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
