@@ -140,6 +140,11 @@ def _make_sampling_matrix() -> np.ndarray:
 
 
 _SAMPLING_S = _make_sampling_matrix()
+# rows (patch pixels) never touched by ANY steering bin are all-zero —
+# the rotated pattern lives in a radius-~19 disc of the 41x41 patch, so
+# pruning them cuts the descriptor matmul's K dimension ~30%
+_S_ROWS = np.nonzero(_SAMPLING_S.any(axis=1))[0].astype(np.int32)
+_SAMPLING_S_PRUNED = np.ascontiguousarray(_SAMPLING_S[_S_ROWS])
 
 
 def descriptors(patches_blurred: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
@@ -152,9 +157,12 @@ def descriptors(patches_blurred: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarra
     rotated pattern pointer-wise per keypoint.)
     """
     n = patches_blurred.shape[0]
-    flat = patches_blurred.reshape(n, -1)
-    S = jnp.asarray(_SAMPLING_S, jnp.bfloat16)
-    v = jnp.dot(flat.astype(jnp.bfloat16), S,
+    flat = patches_blurred.reshape(n, -1)[:, jnp.asarray(_S_ROWS)]
+    # bf16 keeps the matmul on the MXU; XLA:CPU's DotThunk rejects raw
+    # bf16 dots in this (post-gather) layout, so the CPU oracle stays f32
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    S = jnp.asarray(_SAMPLING_S_PRUNED, dt)
+    v = jnp.dot(flat.astype(dt), S,
                 preferred_element_type=jnp.float32)  # [N, 30*512]
     v = v.reshape(n, N_ANGLE_BINS, N_BITS, 2)
     bits_all = v[..., 0] < v[..., 1]                  # [N, 30, 256]

