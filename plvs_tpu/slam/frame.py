@@ -59,7 +59,12 @@ def build_frame_rgbd(
     kp = orb.extract(gray, num_features, n_levels, scale)
     xi = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
     yi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
-    d = depth_img[yi, xi]
+    # depth may arrive DECIMATED (packed-upload path): nearest-sample it by
+    # scaling the gather indices — upsampling the map on device would cost
+    # a lane-interleave relayout for nothing
+    dy = gray.shape[0] // depth_img.shape[0]
+    dx = gray.shape[1] // depth_img.shape[1]
+    d = depth_img[yi // dy, xi // dx]
     has_depth = (d > 0.0) & kp.mask
     z_safe = jnp.where(has_depth, d, 1.0)
     uR = jnp.where(has_depth, kp.xy[:, 0] - cam.bf / z_safe, -1.0)
@@ -340,7 +345,10 @@ def build_frame_lines(
     def sample_depth(xy):
         xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
         yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
-        return depth_img[yi, xi]
+        # decimated-depth aware (see build_frame_rgbd)
+        dy = gray.shape[0] // depth_img.shape[0]
+        dx = gray.shape[1] // depth_img.shape[1]
+        return depth_img[yi // dy, xi // dx]
 
     ds = sample_depth(kl.sp)
     de = sample_depth(kl.ep)

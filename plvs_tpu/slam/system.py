@@ -40,16 +40,20 @@ def _pack_rgbd(gray: np.ndarray, depth: np.ndarray, dec: int = 1):
     if g8.dtype != np.uint8:
         g8 = np.clip(g8, 0, 255).astype(np.uint8)
     h, w = g8.shape
-    if (h * w) % 4 or h % dec or w % dec:
+    if h % 4 or h % dec or w % dec or (h // dec) % 2:
         return None
-    d = np.asarray(depth, np.float32)[::dec, ::dec]
-    if (d.size) % 2:
-        return None
-    d16 = (np.clip(d, 0.0, 65.0) * 1000.0).astype(np.uint16)
+    # PLANE packing: byte p of word j is pixel p*n8+j (quarter-image
+    # planes), NOT pixel 4j+p — the device unpack is then shifts + a
+    # major-axis concat with no lane interleave (an interleaved layout
+    # costs a ~3.4 ms relayout on the chip per frame; measured)
+    q = g8.reshape(4, -1).astype(np.uint32)
     n8 = h * w // 4
+    d = np.asarray(depth, np.float32)[::dec, ::dec]
+    d16 = (np.clip(d, 0.0, 65.0) * 1000.0).astype(np.uint16)
+    dh = d16.reshape(2, -1).astype(np.uint32)
     buf = np.empty(n8 + d.size // 2, np.uint32)
-    buf[:n8] = g8.reshape(-1).view(np.uint32)
-    buf[n8:] = d16.reshape(-1).view(np.uint32)
+    buf[:n8] = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+    buf[n8:] = dh[0] | (dh[1] << 16)
     return buf
 
 

@@ -461,17 +461,27 @@ def _packed_len(h: int, w: int, dec: int = 1) -> int:
 
 def _decompress_packed(buf, h: int, w: int, dec: int = 1):
     """[_packed_len] uint32 (u8 gray + u16 mm depth, depth decimated by
-    ``dec``) -> (gray [h,w] f32, depth [h,w] f32 meters). Depth rides the
-    link at 1/dec^2 of the bytes and is nearest-upsampled on device —
-    fresh-content upload bandwidth (~37 MB/s measured through the tunnel,
-    NOT the cached-content probe number) is the per-frame budget."""
+    ``dec``) -> (gray [h,w] f32, depth [h/dec,w/dec] f32 meters). Depth
+    rides the link at 1/dec^2 of the bytes and STAYS decimated — the
+    consumers nearest-sample it by index scaling. Fresh-content upload
+    bandwidth (~37 MB/s measured through the tunnel, NOT the
+    cached-content probe number) is the per-frame budget."""
     n8 = h * w // 4
-    g8 = jax.lax.bitcast_convert_type(buf[:n8], jnp.uint8).reshape(h, w)
+    # PLANE-packed (see system._pack_rgbd): byte p of word j is pixel
+    # p*n8+j, so the unpack is four shifts + a MAJOR-axis concat — no
+    # lane interleave (an interleaved byte layout costs a ~3.4 ms
+    # relayout on the chip; measured)
+    w32 = buf[:n8].reshape(1, h // 4, w)
+    g8 = jnp.concatenate(
+        [(w32 >> (8 * p)) & jnp.uint32(0xFF) for p in range(4)],
+        axis=0).reshape(h, w)
     hd, wd = h // dec, w // dec
-    d16 = jax.lax.bitcast_convert_type(
-        buf[n8:], jnp.uint16).reshape(hd, wd)
-    if dec > 1:
-        d16 = jnp.repeat(jnp.repeat(d16, dec, axis=0), dec, axis=1)
+    wd32 = buf[n8:].reshape(1, hd // 2, wd)
+    d16 = jnp.concatenate(
+        [wd32 & jnp.uint32(0xFFFF), wd32 >> 16], axis=0).reshape(hd, wd)
+    # depth stays DECIMATED [h/dec, w/dec]: the consumers nearest-sample
+    # it by index scaling (frame.build_frame_rgbd/_lines), so upsampling
+    # here would only buy a lane-interleave relayout
     return (g8.astype(jnp.float32),
             d16.astype(jnp.float32) * jnp.float32(0.001))
 
