@@ -138,10 +138,20 @@ def _integrate_resident(
         bc, tsdf_full[:nb], weight_full[:nb], color_full[:nb],
         depth_img, color_img, Rcw, tcw, cam, voxel_size, trunc,
         block_valid=valid)
+    # exact per-block change mask (weight can saturate at max_weight while
+    # tsdf/color still move, so compare all three) — this is what the
+    # incremental mesher's version bump keys off; a sampled/approximate set
+    # misses blocks covered only by skipped pixels
+    changed = (
+        jnp.any(t != tsdf_full[:nb], axis=(1, 2, 3))
+        | jnp.any(w != weight_full[:nb], axis=(1, 2, 3))
+        | jnp.any(c != color_full[:nb], axis=(1, 2, 3, 4))
+    )
     return (
         tsdf_full.at[:nb].set(t),
         weight_full.at[:nb].set(w),
         color_full.at[:nb].set(c),
+        changed,
     )
 
 
@@ -360,7 +370,6 @@ class TSDFVolume:
         vs, us = np.mgrid[0:h:ss, 0:w:ss]
         d = depth[vs, us]
         ok = (d > 0) & (d < self.max_depth)
-        self._last_touched_idx = np.zeros((0,), np.int64)
         if not ok.any():
             return
         if self._alloc_rays is None or self._alloc_rays.shape[:2] != d.shape:
@@ -379,23 +388,16 @@ class TSDFVolume:
         bc = np.floor(P / (BLOCK * self.voxel_size)).astype(np.int32)
         uniq = np.unique(bc, axis=0)
         n0 = self.n_blocks
-        touched = []
         for c in map(tuple, uniq.tolist()):
-            i = self.block_map.get(c)
-            if i is None:
-                if self.n_blocks >= self.max_blocks:
-                    continue  # capacity — stop allocating (bounded map)
-                i = self.n_blocks
-                self.block_map[c] = i
-                self.block_coords[i] = c
-                self.block_alloc_frame[i] = self.frame_idx
-                self.n_blocks += 1
-            touched.append(i)
-        # the truncation-band sample set IS the set of blocks this frame's
-        # integration can change — remembered for _mark_touched so the
-        # incremental mesher re-extracts only those (not every allocated
-        # block inside the camera's depth range)
-        self._last_touched_idx = np.asarray(touched, np.int64)
+            if c in self.block_map:
+                continue
+            if self.n_blocks >= self.max_blocks:
+                continue  # capacity — stop allocating (bounded map)
+            i = self.n_blocks
+            self.block_map[c] = i
+            self.block_coords[i] = c
+            self.block_alloc_frame[i] = self.frame_idx
+            self.n_blocks += 1
         if self.n_blocks != n0:
             self._coords_d = None  # device copy stale
 
@@ -412,7 +414,7 @@ class TSDFVolume:
             self._coords_d = self._put(self.block_coords)
         nb = _next_bucket(n, 512, self.max_blocks)
         d = self._dev
-        t, w, c = _integrate_resident(
+        t, w, c, changed = _integrate_resident(
             self._coords_d, d["tsdf"], d["weight"], d["color"],
             self._put(n, np.int32),
             self._put(depth, np.float32), self._put(color, np.float32),
@@ -422,15 +424,18 @@ class TSDFVolume:
         d["tsdf"], d["weight"], d["color"] = t, w, c
         self._mirror = None
         self.frame_idx += 1
-        self._mark_touched(Rcw, tcw)
+        self._mark_touched(Rcw, tcw, changed=changed)
 
-    def _mark_touched(self, Rcw, tcw):
+    def _mark_touched(self, Rcw, tcw, changed=None):
         """Bump the version of exactly the blocks the integration pass
-        visited (the truncation-band sample set recorded by
-        _allocate_for_frame); falls back to a conservative camera-range test
-        when allocation was skipped."""
-        idx = getattr(self, "_last_touched_idx", None)
-        if idx is not None:
+        changed. ``changed`` is the exact per-block mask computed on the
+        device by _integrate_resident (full depth resolution — NOT the
+        stride-subsampled allocation sample set, which misses blocks covered
+        only by skipped pixels); falls back to a conservative camera-range
+        test when no mask is available."""
+        if changed is not None:
+            ch = np.asarray(changed)
+            idx = np.nonzero(ch)[0]
             if len(idx):
                 self.block_version[idx] = self.frame_idx
             return

@@ -49,8 +49,9 @@ class LoopCloser:
     # agreeing detections adds the reference's multi-keyframe confirmation
     # against repeated-texture false positives.
     required_coincidences: int = 2
-    # a single detection whose EXPANDED support reaches this many inliers
-    # closes immediately (the guided-projection stage already verified the
+    # a detection whose EXPANDED support reaches this many inliers closes
+    # after ONE confirming coincidence even if required_coincidences is
+    # configured higher (the guided-projection stage already verified the
     # whole local map agrees; the reference similarly shortcuts on
     # overwhelming support in DetectCommonRegionsFromBoW)
     strong_inliers: int = 60
@@ -162,8 +163,12 @@ class LoopCloser:
             count = 1
         self._pending = dict(cand=cand, kf=kf_id, count=count,
                              G_R=G_R, G_t=G_t)
-        if count < self.required_coincidences \
-                and int(n_inl) < self.strong_inliers:
+        # strong expanded support shortcuts a LONG streak requirement but
+        # never closes on a single detection: one confirming coincidence is
+        # always required (a single aliased 60-inlier match on repeated
+        # texture inside the drift envelope must not close immediately)
+        strong = int(n_inl) >= self.strong_inliers and count >= 2
+        if count < self.required_coincidences and not strong:
             return None
         self._pending = None
 
@@ -569,19 +574,30 @@ class LoopCloser:
 
         # -- apply (short lock) ---------------------------------------------
         i_end = loc[kf_id]  # chain-end delta for everything born mid-solve
+        map_id = int(st.kf_map[kf_id])
         with st.lock:
             # correct map points through their reference keyframe's pose
-            # change: X' = T_new^-1 ∘ T_old ∘ X (reference: CorrectLoop)
+            # change: X' = T_new^-1 ∘ T_old ∘ X (reference: CorrectLoop).
+            # Only landmarks whose reference KF belongs to the CORRECTED map
+            # move — landmarks of other atlas maps (spawned on tracking loss,
+            # or a frozen loaded atlas) must not be warped by a within-map
+            # correction. Refs born/culled mid-solve within this map get the
+            # chain-end delta (they were tracked in the drifted world).
             pts = np.nonzero(st.pt_mask)[0]
             ref = st.pt_ref_kf[pts]
-            ref_loc = np.asarray([loc.get(int(r), i_end) for r in ref])
-            R_old = R_before[ref_loc]
-            t_old = t_before[ref_loc]
-            R_new = Rn[ref_loc]
-            t_new = tn[ref_loc]
-            X = st.pt_xyz[pts]
-            Xc = np.einsum("nij,nj->ni", R_old, X) + t_old
-            st.pt_xyz[pts] = np.einsum("nji,nj->ni", R_new, Xc - t_new)
+            in_map = st.kf_map[ref] == map_id
+            pts = pts[in_map]
+            ref = ref[in_map]
+            ref_loc = np.asarray([loc.get(int(r), i_end) for r in ref],
+                                 dtype=np.int64)
+            if len(pts):
+                R_old = R_before[ref_loc]
+                t_old = t_before[ref_loc]
+                R_new = Rn[ref_loc]
+                t_new = tn[ref_loc]
+                X = st.pt_xyz[pts]
+                Xc = np.einsum("nij,nj->ni", R_old, X) + t_old
+                st.pt_xyz[pts] = np.einsum("nji,nj->ni", R_new, Xc - t_new)
             st.version += 1
 
             # line landmarks move with their reference keyframe exactly like
@@ -589,8 +605,11 @@ class LoopCloser:
             # src/LoopClosing.cc:1260-1584)
             lns = np.nonzero(st.ln_mask)[0]
             if len(lns):
+                lns = lns[st.kf_map[st.ln_ref_kf[lns]] == map_id]
+            if len(lns):
                 lref_loc = np.asarray(
-                    [loc.get(int(r), i_end) for r in st.ln_ref_kf[lns]])
+                    [loc.get(int(r), i_end) for r in st.ln_ref_kf[lns]],
+                    dtype=np.int64)
                 R_o, t_o = R_before[lref_loc], t_before[lref_loc]
                 R_n2, t_n2 = Rn[lref_loc], tn[lref_loc]
                 for arr in (st.ln_Xs, st.ln_Xe):

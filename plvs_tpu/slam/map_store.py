@@ -598,10 +598,18 @@ class MapStore:
         loc = np.full(self.max_kf, -1, np.int64)
         loc[live] = np.arange(len(live))
         upt, pinv = np.unique(opt, return_inverse=True)
-        A = np.zeros((len(upt), len(live)), np.float32)
         ok = loc[okf] >= 0
-        A[pinv[ok], loc[okf[ok]]] = 1.0
-        W = (A.T @ A).astype(np.int64)
+        # sparse indicator product: a dense [P, K] matrix is O(P*K) memory
+        # and O(P*K^2) time under the store lock on large maps; the K x K
+        # co-observation count is all that is ever needed
+        from scipy.sparse import coo_matrix
+
+        A = coo_matrix(
+            (np.ones(int(ok.sum()), np.int64),
+             (pinv[ok], loc[okf[ok]])),
+            shape=(len(upt), len(live)),
+        ).tocsr()
+        W = np.asarray((A.T @ A).todense(), np.int64)
         np.fill_diagonal(W, 0)
         ii, jj = np.nonzero(np.triu(W) >= min_weight)
         return (live[ii].astype(np.int32), live[jj].astype(np.int32),

@@ -384,13 +384,19 @@ class TestCoincidenceGate:
         closer.process_keyframe(blank_kf(203))
         assert closer._pending is None
 
-    def test_strong_single_hit_closes_immediately(self, rng):
-        """Overwhelming expanded support (>= strong_inliers) closes without
-        waiting for a second coincidence."""
-        st, closer, kf2, _ = self._build(rng, required=2)
+    def test_strong_support_shortcuts_long_streak(self, rng):
+        """Overwhelming expanded support (>= strong_inliers) closes after
+        ONE confirming coincidence even when required_coincidences is
+        higher — but NEVER on a single detection (a single aliased
+        strong match on repeated texture must not close immediately)."""
+        st, closer, kf2, kf3 = self._build(rng, required=3)
         closer.strong_inliers = 60
         info = closer.process_keyframe(kf2)
-        assert info is not None
+        assert info is None, "strong single detection must not close"
+        assert closer._pending is not None
+        info = closer.process_keyframe(kf3)
+        assert info is not None, \
+            "strong support + one confirmation should shortcut required=3"
         assert info["inliers"] >= 60
 
     def test_single_coincidence_closes_immediately(self, rng):
