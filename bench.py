@@ -63,12 +63,25 @@ def build_system():
         max_kf=256, max_pts=65536,
         use_lines=True, max_lines=128,
         local_ba=True, loop_closing=True,
+        # dense volumetric mapping runs IN the measured loop (TSDF
+        # integrate + incremental mesh per keyframe), like the reference's
+        # PointCloudMapping thread during benchmarked sequences
+        # (src/PointCloudMapping.cc:466-495); PLVS_BENCH_DENSE=0 reverts
+        dense_mapping=os.environ.get("PLVS_BENCH_DENSE", "1") == "1",
+        dense_voxel_size=0.02,
+        # one precompiled shape per backend solve: a fresh problem-size
+        # bucket mid-sequence would pay a multi-second XLA compile inside
+        # the TIMED pass (the timed scene is a different seed than the
+        # prepass, so its map growth can cross bucket boundaries)
+        backend_fixed_shapes=True,
         async_mapping=use_async,
-        # depth-1 deferred-resolution pipeline: hides the tunnel's flat
-        # per-fetch latency (the realtime configuration, like the
+        # deferred-resolution pipeline + double-buffered fetch: hides the
+        # tunnel's flat per-fetch latency and overlaps device execution
+        # with the host-side backend (the realtime configuration, like the
         # reference's threaded runtime; PLVS_BENCH_PIPELINED=0 reverts)
         pipelined=os.environ.get("PLVS_BENCH_PIPELINED", "1") == "1",
         pipeline_depth=int(os.environ.get("PLVS_BENCH_PIPE_DEPTH", "4")),
+        pipeline_overlap=os.environ.get("PLVS_BENCH_OVERLAP", "1") == "1",
     )
     return cam, System(cam, cfg)
 
@@ -117,14 +130,23 @@ def main():
     # structured-panel scene: long straight borders exercise the LINE
     # pipeline at scale (the "L" in PLVS) alongside dense corner blobs for
     # points — the reference's line claims target structured interiors
-    tex = synthetic.make_structured_texture(2048)
-    scene = synthetic.SyntheticRGBD(cam, wall_z=3.0, seed=0, texture=tex,
-                                    tex_scale=420.0)
-    frames = []
-    for ts, gray, depth, R, t in scene.sequence(n_frames=N_FRAMES):
-        frames.append((ts, gray, depth))
+    def make_frames(seed: int):
+        tex = synthetic.make_structured_texture(
+            2048, rng=np.random.default_rng(7 + seed))
+        scene = synthetic.SyntheticRGBD(cam, wall_z=3.0,
+                                        texture=tex, tex_scale=420.0)
+        return [(ts, gray, depth)
+                for ts, gray, depth, R, t in scene.sequence(
+                    n_frames=N_FRAMES)]
 
     # -- pre-pass: compile every shape the sequence will hit --------------
+    # DEDUP GUARD: the tunnel caches identical (executable, input)
+    # executions server-side across passes and processes, so the timed
+    # pass replays a DIFFERENT-SEED scene (same shapes -> same compiled
+    # programs, different content -> no cross-pass dedup hits). Measured
+    # insensitivity to the seed swap is the de-poisoning evidence
+    # (VERDICT r3 item 2).
+    frames = make_frames(seed=0)
     t0 = time.perf_counter()
     for ts, gray, depth in frames:
         system.track_rgbd(gray, depth, ts)
@@ -136,7 +158,8 @@ def main():
     if system.actor is not None:
         system.actor.wait_idle(300.0)
 
-    # -- timed pass: fresh system, warm caches ----------------------------
+    # -- timed pass: fresh system, warm caches, fresh-seed scene ----------
+    frames = make_frames(seed=int(os.environ.get("PLVS_BENCH_SEED", "1")))
     cam, system = build_system()
     system.tracker.timing = []  # (fetch_s, finish_s, group) per resolve
     t0 = time.perf_counter()
@@ -158,9 +181,37 @@ def main():
     if tm:
         fe = sum(t[0] for t in tm)
         fi = sum(t[1] for t in tm)
-        print(f"resolve split: device-fetch {fe:.2f}s, host-finish "
+        print(f"resolve split: blocked-on-fetch {fe:.2f}s, host-finish "
               f"{fi:.2f}s over {len(tm)} batches "
               f"({sum(t[2] for t in tm)} frames)", file=sys.stderr)
+    # per-frame resolve latency incl. p99 (round-2 bar: loop keyframes must
+    # not spike the tracker; the lock-light loop correction runs outside
+    # the store lock)
+    res_times = system.stopwatch.samples.get("resolve", [])
+    if res_times:
+        rs = np.sort(np.asarray(res_times)) * 1e3
+        print(f"resolve latency ms: p50={rs[int(0.50 * (len(rs) - 1))]:.1f} "
+              f"p99={rs[int(0.99 * (len(rs) - 1))]:.1f} max={rs[-1]:.1f} "
+              f"(n={len(rs)}, loops_closed={len(system.loops_closed)})",
+              file=sys.stderr)
+    n_lines = int(stats.get("lines", 0))
+    if n_lines < 100:
+        print(f"WARNING: live line landmarks {n_lines} < 100 bar",
+              file=sys.stderr)
+    # per-KF series of the heavy backend stages, in order: an isolated
+    # multi-second sample is a mid-run XLA compile (a new problem-shape
+    # bucket) — the fixed-shape floors exist to keep this list flat
+    for k in ("lm.ba", "dense.integrate", "dense.mesh", "local_mapping"):
+        v = system.stopwatch.samples.get(k, [])
+        if v:
+            print(f"{k} series ms: "
+                  + " ".join(f"{x * 1e3:.0f}" for x in v), file=sys.stderr)
+    if system.dense_mapper is not None:
+        print("dense remeshed blocks/KF: "
+              + " ".join(str(c) for c in system.dense_mapper.remesh_counts),
+              file=sys.stderr)
+        print(f"dense blocks total: {system.dense_mapper.volume.n_blocks}",
+              file=sys.stderr)
 
     # roofline evidence for the hot Pallas kernels (BASELINE.md kernel-speed
     # row): achieved GB/s / GFLOP/s vs the chip's speed-of-light bound

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,17 @@ class DenseKeyFrame:
     kf_id: int
     depth: np.ndarray
     color: np.ndarray  # [H, W, 3] float
+
+
+@jax.jit
+def _unpack_filter_depth(d16):
+    return processing.filter_depth(d16.astype(jnp.float32) * 1e-3)
+
+
+@jax.jit
+def _unpack_filter_rgbd(d16, g8):
+    return (processing.filter_depth(d16.astype(jnp.float32) * 1e-3),
+            g8.astype(jnp.float32))
 
 
 @dataclasses.dataclass
@@ -50,11 +62,19 @@ class DenseMapper:
     # unstable-voxel removal cadence in keyframes (0 = off); reference:
     # octree_point's unstable-point removal
     carve_every: int = 0
+    # incremental-mesh cadence in keyframes (0 = on demand only);
+    # reference: the dense thread meshes continuously during a run
+    mesh_every: int = 0
+    # one precompiled integrator shape for the whole run (realtime)
+    fixed_shapes: bool = False
+    stopwatch: object | None = None  # optional fine-grained stage timing
 
     def __post_init__(self):
         self.volume = TSDFVolume(self.cam, voxel_size=self.voxel_size,
                                  max_blocks=self.max_blocks,
-                                 with_labels=self.use_segmentation)
+                                 with_labels=self.use_segmentation,
+                                 bucket_floor=(1024 if self.fixed_shapes
+                                               else 512))
         self.coarse = None
         if self.multi_res:
             self.coarse = TSDFVolume(
@@ -64,6 +84,7 @@ class DenseMapper:
         from .meshing import IncrementalMesher
 
         self.mesher = IncrementalMesher(self.volume)
+        self.remesh_counts: list[int] = []
         self.keyframes: list[DenseKeyFrame] = []
         self.labels: dict[int, np.ndarray] = {}
         self._n_inserted = 0
@@ -97,24 +118,63 @@ class DenseMapper:
     def insert_keyframe_rgbd(self, kf_id: int, color: np.ndarray,
                              depth: np.ndarray, Rcw: np.ndarray,
                              tcw: np.ndarray):
-        if self.filter_depth:
-            depth = np.asarray(processing.filter_depth(jnp.asarray(depth)))
-        self.keyframes.append(DenseKeyFrame(kf_id, depth, color))
-        self._integrate_split(depth, color, Rcw, tcw)
+        """``color`` may be [H, W, 3] RGB or [H, W] grayscale (broadcast
+        into the color volume on device — a replicated RGB upload costs 3x
+        the link bytes for nothing)."""
+        raw = np.asarray(depth, np.float32)
+        if self.filter_depth and self.use_segmentation:
+            # segmentation consumes the filtered depth on host
+            depth = np.asarray(processing.filter_depth(jnp.asarray(raw)))
+            alloc = depth
+        elif self.filter_depth:
+            # quantized upload (u16 mm depth + u8 gray — fresh-content
+            # bulk bandwidth through the link is the per-KF budget, and a
+            # float32 pair costs ~3x the bytes), unpacked + filtered ON
+            # DEVICE in one program; the integrator consumes the device
+            # result directly. Block allocation scans the raw host depth
+            # (the filter smooths within the raw depth's truncation band).
+            d16 = np.clip(raw * 1000.0, 0, 65535).astype(np.uint16)
+            if color is not None and color.ndim == 2:
+                g8 = np.clip(color, 0, 255).astype(np.uint8)
+                depth, color = _unpack_filter_rgbd(jnp.asarray(d16),
+                                                   jnp.asarray(g8))
+            else:
+                depth = _unpack_filter_depth(jnp.asarray(d16))
+            alloc = raw
+        else:
+            depth = raw
+            alloc = raw
+        self.keyframes.append(DenseKeyFrame(kf_id, raw, color))
+        with self._scope("dense.integrate"):
+            self._integrate_split(depth, color, Rcw, tcw, alloc)
         if self.use_segmentation:
-            self._segment_and_fuse(kf_id, depth, Rcw, tcw)
+            self._segment_and_fuse(kf_id, np.asarray(depth), Rcw, tcw)
         self._n_inserted += 1
         if self.carve_every and self._n_inserted % self.carve_every == 0:
             self.volume.remove_unstable()
             if self.coarse is not None:
                 self.coarse.remove_unstable()
+        if self.mesh_every and self._n_inserted % self.mesh_every == 0:
+            self.mesher.stopwatch = self.stopwatch
+            with self._scope("dense.mesh"):
+                self.mesher.update(assemble=False)
+            self.remesh_counts.append(self.mesher.last_n_remeshed)
 
-    def _integrate_split(self, depth, color, Rcw, tcw):
+    def _scope(self, name: str):
+        if self.stopwatch is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.stopwatch.scope(name)
+
+    def _integrate_split(self, depth, color, Rcw, tcw, alloc_depth=None):
         """Fine volume takes the near field; the coarse companion (if
         enabled) takes everything beyond split_depth."""
         if self.coarse is None:
-            self.volume.integrate(depth, color, Rcw, tcw)
+            self.volume.integrate(depth, color, Rcw, tcw,
+                                  alloc_depth=alloc_depth)
             return
+        depth = np.asarray(depth)
         near = np.where(depth <= self.split_depth, depth, 0.0)
         far = np.where(depth > self.split_depth, depth, 0.0)
         self.volume.integrate(near, color, Rcw, tcw)
@@ -146,7 +206,13 @@ class DenseMapper:
             Rcw, tcw = get_pose(dkf.kf_id)
             if Rcw is None:
                 continue
-            self._integrate_split(dkf.depth, dkf.color, Rcw, tcw)
+            d = dkf.depth
+            if self.filter_depth:
+                # stored depths are raw; re-apply the filter like the
+                # original insertion did
+                d = processing.filter_depth(jnp.asarray(d))
+            self._integrate_split(d, dkf.color, Rcw, tcw,
+                                  alloc_depth=dkf.depth)
             if self.use_segmentation and dkf.kf_id in self.labels:
                 # re-fuse the stored global label images (already associated)
                 self.volume.integrate_labels(

@@ -11,6 +11,8 @@ Slightly more triangles than MC for the same grid; identical surfaces.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .tsdf import BLOCK, TSDFVolume
@@ -51,29 +53,84 @@ _NEIGHBOR_FILLS = [
 ]
 
 
-def _padded_fields(volume: TSDFVolume, slots: np.ndarray):
-    """Each listed block's [S+1]^3 tsdf/weight with the +x/+y/+z neighbor
-    faces pulled in through the block table, so cubes straddling block
-    boundaries are meshed too (cross-block seams — voxblox's MeshIntegrator
-    handles the same case with neighbor lookups)."""
-    S = BLOCK
-    n = len(slots)
-    pt = np.ones((n, S + 1, S + 1, S + 1), np.float32)
-    pw = np.zeros((n, S + 1, S + 1, S + 1), np.float32)
-    pt[:, :S, :S, :S] = volume.tsdf[slots]
-    pw[:, :S, :S, :S] = volume.weight[slots]
+import functools
 
+
+@functools.partial(jax.jit, static_argnames=("min_weight",))
+def _gather_padded(tsdf, weight, idx, nbidx, min_weight: float = 1.0):
+    """Device half of the incremental mesher's data path: gather the listed
+    blocks + their face-neighbor slabs into [S+1]^3 padded fields AND
+    compute the surface-cube mask (all 8 corners observed, sign change) so
+    the host touches only the ~5-10% of cubes that actually carry surface.
+    One fixed-shape program (idx is bucket-padded by the caller)."""
+    S = BLOCK
+    t = tsdf[idx]
+    w = weight[idx]
+    pt = jnp.ones(idx.shape + (S + 1, S + 1, S + 1), tsdf.dtype)
+    pw = jnp.zeros_like(pt)
+    pt = pt.at[:, :S, :S, :S].set(t)
+    pw = pw.at[:, :S, :S, :S].set(w)
+    for j, (off, dst, src) in enumerate(_NEIGHBOR_FILLS):
+        nb = nbidx[:, j]
+        ok = nb >= 0
+        tn = tsdf[jnp.maximum(nb, 0)][(slice(None),) + src]
+        wn = weight[jnp.maximum(nb, 0)][(slice(None),) + src]
+        okb = ok.reshape((-1,) + (1,) * (tn.ndim - 1))
+        sel = (slice(None),) + dst
+        pt = pt.at[sel].set(jnp.where(okb, tn, pt[sel]))
+        pw = pw.at[sel].set(jnp.where(okb, wn, pw[sel]))
+    vmin = jnp.full(idx.shape + (S, S, S), jnp.inf, tsdf.dtype)
+    vmax = -vmin
+    wmin = vmin
+    for ox, oy, oz in np.asarray(_CORNER_OFF):
+        sub_t = pt[:, oz:oz + S, oy:oy + S, ox:ox + S]
+        sub_w = pw[:, oz:oz + S, oy:oy + S, ox:ox + S]
+        vmin = jnp.minimum(vmin, sub_t)
+        vmax = jnp.maximum(vmax, sub_t)
+        wmin = jnp.minimum(wmin, sub_w)
+    mask = (wmin > min_weight) & (vmin < 0) & (vmax > 0)
+    return pt, pw, mask
+
+
+def _padded_fields(volume: TSDFVolume, slots: np.ndarray,
+                   min_weight: float = 1.0):
+    """Each listed block's [S+1]^3 tsdf/weight (neighbor faces pulled in
+    through the block table, so cubes straddling block boundaries are
+    meshed too — voxblox's MeshIntegrator handles the same case with
+    neighbor lookups) plus the surface-cube mask.
+
+    The gather + padding + cube detection run ON DEVICE over only the
+    listed blocks (a full-volume mirror is tens of MB and invalidated by
+    every integrate; building padded corner stacks host-side was most of
+    the per-KF mesh time)."""
+    n = len(slots)
     coords = volume.block_coords[slots]
     bmap = volume.block_map
-    for off, dst, src in _NEIGHBOR_FILLS:
+    nb_idx = np.full((n, len(_NEIGHBOR_FILLS)), -1, np.int64)
+    for j, (off, dst, src) in enumerate(_NEIGHBOR_FILLS):
         for i in range(n):
             nb = bmap.get((int(coords[i, 0] + off[0]),
                            int(coords[i, 1] + off[1]),
                            int(coords[i, 2] + off[2])))
             if nb is not None:
-                pt[i][dst] = volume.tsdf[nb][src]
-                pw[i][dst] = volume.weight[nb][src]
-    return pt, pw
+                nb_idx[i, j] = nb
+    d = volume._dev
+    # bucketed fixed-shape gather: an eagerly-shaped index array would
+    # trigger a fresh XLA compile for every distinct dirty-set size
+    # (multi-second stalls mid-sequence; measured)
+    cap = 64
+    while cap < n:
+        cap *= 2
+    cap = min(cap, d["tsdf"].shape[0])
+    idx_p = np.zeros((cap,), np.int64)
+    idx_p[:n] = slots
+    nb_p = np.full((cap, len(_NEIGHBOR_FILLS)), -1, np.int64)
+    nb_p[:n] = nb_idx
+    pt, pw, mask = jax.device_get(_gather_padded(
+        d["tsdf"], d["weight"], jnp.asarray(idx_p), jnp.asarray(nb_p),
+        min_weight=float(min_weight)))
+    return (np.asarray(pt)[:n], np.asarray(pw)[:n],
+            np.asarray(mask)[:n])
 
 
 def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
@@ -89,21 +146,18 @@ def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
     S = BLOCK
     vs = volume.voxel_size
 
-    tsdf, weight = _padded_fields(volume, slots)
-    n = len(slots)
-    # cube corner values for every S^3 cube of every (padded) block
-    cs = S
-    corners_v = np.empty((n, cs, cs, cs, 8), np.float32)
-    corners_w = np.empty((n, cs, cs, cs, 8), np.float32)
-    for ci, (ox, oy, oz) in enumerate(_CORNER_OFF):
-        corners_v[..., ci] = tsdf[:, oz : oz + cs, oy : oy + cs, ox : ox + cs]
-        corners_w[..., ci] = weight[:, oz : oz + cs, oy : oy + cs, ox : ox + cs]
-
-    valid_cube = (corners_w > min_weight).all(-1)
-    has_surface = (corners_v.min(-1) < 0) & (corners_v.max(-1) > 0)
-    b, zi, yi, xi = np.nonzero(valid_cube & has_surface)
+    tsdf, weight, cube_mask = _padded_fields(volume, slots, min_weight)
+    b, zi, yi, xi = np.nonzero(cube_mask)
     if len(b) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
+
+    # corner values ONLY for the surface cubes (the device computed the
+    # mask; building full [n, S^3, 8] corner stacks host-side was most of
+    # the per-KF incremental mesh time)
+    M = len(b)
+    cval = np.empty((M, 8), np.float32)
+    for ci, (ox, oy, oz) in enumerate(_CORNER_OFF):
+        cval[:, ci] = tsdf[b, zi + oz, yi + oy, xi + ox]
 
     # cube corner world positions [M, 8, 3]
     base = (
@@ -111,7 +165,6 @@ def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
         + (np.stack([xi, yi, zi], -1) + 0.5) * vs
     )
     cpos = base[:, None, :] + _CORNER_OFF[None, :, :] * vs
-    cval = corners_v[b, zi, yi, xi]  # [M, 8]
 
     verts_out = []
     slot_out = []
@@ -227,9 +280,18 @@ class IncrementalMesher:
         self._block_tris: dict[int, np.ndarray] = {}  # slot -> [F,3,3]
         self._meshed_version: dict[int, int] = {}
         self.last_n_remeshed = 0
+        self.stopwatch = None  # optional fine-grained stage timing
+
+    def _scope(self, name: str):
+        if self.stopwatch is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.stopwatch.scope(name)
 
     def _dirty_slots(self) -> np.ndarray:
         vol = self.volume
+        vol.flush_touched()  # apply deferred changed-block version bumps
         n = vol.n_blocks
         ver = vol.block_version[:n]
         coords = vol.block_coords[:n]
@@ -251,22 +313,37 @@ class IncrementalMesher:
             dirty[list(extra)] = True
         return np.nonzero(dirty)[0]
 
-    def update(self):
+    def update(self, assemble: bool = True):
         """Re-mesh dirty blocks; returns (vertices [V,3], faces [F,3])
-        for the full up-to-date mesh."""
+        for the full up-to-date mesh (``assemble=False`` skips the
+        full-mesh concatenation — per-KF incremental refreshes only need
+        the per-block caches updated)."""
         vol = self.volume
-        slots = self._dirty_slots()
+        with self._scope("dense.mesh.dirty"):
+            slots = self._dirty_slots()
         self.last_n_remeshed = len(slots)
         if len(slots):
-            tri, tri_slot = _extract_triangles(vol, slots, self.min_weight)
-            for s in slots:
-                self._block_tris[int(s)] = tri[tri_slot == s]
+            with self._scope("dense.mesh.extract"):
+                tri, tri_slot = _extract_triangles(vol, slots,
+                                                   self.min_weight)
+            # one sort + split instead of a per-slot boolean scan (that scan
+            # is O(slots * tris) and dominated per-KF incremental meshing)
+            order = np.argsort(tri_slot, kind="stable")
+            tri_s = tri[order]
+            slot_s = tri_slot[order]
+            bounds = np.searchsorted(slot_s, np.asarray(slots, slot_s.dtype))
+            bounds_hi = np.searchsorted(slot_s, np.asarray(slots, slot_s.dtype),
+                                        side="right")
+            for s, lo, hi in zip(slots, bounds, bounds_hi):
+                self._block_tris[int(s)] = tri_s[lo:hi]
                 self._meshed_version[int(s)] = int(vol.block_version[s])
         # drop cache entries for blocks that no longer exist (reset/rebuild)
         live = vol.n_blocks
         for s in [k for k in self._block_tris if k >= live]:
             del self._block_tris[s]
             self._meshed_version.pop(s, None)
+        if not assemble:
+            return None, None
         if not self._block_tris:
             return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
         tris = [t for t in self._block_tris.values() if len(t)]

@@ -68,6 +68,10 @@ def _tsdf_update(
     vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
     d = depth_img[vi, ui]
     col = color_img[vi, ui]
+    if color_img.ndim == 2:
+        # grayscale input: broadcast to the RGB color volume (uploading a
+        # replicated [H, W, 3] float image cost 3x the link bytes)
+        col = col[..., None]
 
     in_img = cam_mod.in_image(cam, uv) & (z > 0.05) & (d > 0.0)
     sdf = d - z
@@ -138,14 +142,19 @@ def _integrate_resident(
         bc, tsdf_full[:nb], weight_full[:nb], color_full[:nb],
         depth_img, color_img, Rcw, tcw, cam, voxel_size, trunc,
         block_valid=valid)
-    # exact per-block change mask (weight can saturate at max_weight while
-    # tsdf/color still move, so compare all three) — this is what the
-    # incremental mesher's version bump keys off; a sampled/approximate set
-    # misses blocks covered only by skipped pixels
+    # per-block MEANINGFUL-change mask at full depth resolution — this is
+    # what the incremental mesher's version bump keys off. Mesh vertices
+    # depend on the tsdf values and on cubes crossing the mesher's validity
+    # weight, so a block is dirty when its tsdf moved visibly or a voxel
+    # just became mesh-valid; weight-only accumulation on a converged
+    # surface (every observed block, every frame) must NOT dirty it or the
+    # "incremental" mesher re-extracts the whole visible map per keyframe.
+    MESH_W = 1.0   # IncrementalMesher min_weight default
+    EPS = 0.01     # 1% of the truncation range ~ sub-voxel-size shift
     changed = (
-        jnp.any(t != tsdf_full[:nb], axis=(1, 2, 3))
-        | jnp.any(w != weight_full[:nb], axis=(1, 2, 3))
-        | jnp.any(c != color_full[:nb], axis=(1, 2, 3, 4))
+        jnp.any(jnp.abs(t - tsdf_full[:nb]) > EPS, axis=(1, 2, 3))
+        | jnp.any((weight_full[:nb] <= MESH_W) & (w > MESH_W),
+                  axis=(1, 2, 3))
     )
     return (
         tsdf_full.at[:nb].set(t),
@@ -264,6 +273,10 @@ class TSDFVolume:
     max_blocks: int = 8192
     depth_subsample: int = 4       # allocation raycast stride
     max_depth: float = 8.0
+    # power-of-two bucket floor for the resident integrator's block-count
+    # shape: raise it (e.g. 4096) on realtime runs so the whole sequence
+    # compiles ONE integrator instead of one per growth bucket
+    bucket_floor: int = 512
     with_labels: bool = False      # per-voxel segment labels (octree_point)
     device: object = None          # pin state to a device (pipelining)
 
@@ -295,12 +308,17 @@ class TSDFVolume:
         self._coords_d = None          # device copy, refreshed on allocation
         self._mirror: dict | None = None  # lazy host copy for queries/save
         self._alloc_rays = None        # cached subsampled unprojection rays
+        self._pending_touch = []       # deferred (frame_idx, changed-mask)
 
     @property
     def trunc(self):
         return self.trunc_factor * self.voxel_size
 
     def _put(self, x, dtype=None):
+        if isinstance(x, jax.Array):
+            # already device-resident (e.g. the filtered depth straight
+            # from the filter program): never round-trip through the host
+            return x.astype(dtype) if dtype is not None else x
         a = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
         if self.device is not None:
             return jax.device_put(a, self.device)
@@ -309,6 +327,7 @@ class TSDFVolume:
     # -- host views (read-only; pulled from device lazily, invalidated by
     # integrate). Mutating these does NOT write back — use load_state. ------
     def _pull(self):
+        self.flush_touched()
         if self._mirror is None:
             self._mirror = {k: np.asarray(v) for k, v in self._dev.items()}
         return self._mirror
@@ -360,6 +379,7 @@ class TSDFVolume:
             self._dev[key] = self._put(full)
         self._coords_d = None
         self._mirror = None
+        self._pending_touch = []
 
     # -- allocation ---------------------------------------------------------
     def _allocate_for_frame(self, depth, Rcw, tcw):
@@ -402,17 +422,26 @@ class TSDFVolume:
             self._coords_d = None  # device copy stale
 
     # -- integration --------------------------------------------------------
-    def integrate(self, depth: np.ndarray, color: np.ndarray,
-                  Rcw: np.ndarray, tcw: np.ndarray):
+    def integrate(self, depth, color, Rcw: np.ndarray, tcw: np.ndarray,
+                  alloc_depth: np.ndarray | None = None):
         """Fuse one registered RGB-D frame (device-resident hot path: the
-        only per-frame host→device traffic is the images + pose)."""
-        self._allocate_for_frame(depth, Rcw, tcw)
+        only per-frame host→device traffic is the images + pose, and the
+        call does NOT synchronize — the exact changed-block mask is fetched
+        lazily at the first block_version read).
+
+        ``depth``/``color`` may be device arrays (e.g. straight out of the
+        depth filter program); ``alloc_depth`` is the host-side depth used
+        for block allocation (defaults to ``depth`` fetched; pass the raw
+        host depth to keep the filtered depth on device)."""
+        if alloc_depth is None:
+            alloc_depth = np.asarray(depth)
+        self._allocate_for_frame(alloc_depth, Rcw, tcw)
         n = self.n_blocks
         if n == 0:
             return
         if self._coords_d is None:
             self._coords_d = self._put(self.block_coords)
-        nb = _next_bucket(n, 512, self.max_blocks)
+        nb = _next_bucket(n, self.bucket_floor, self.max_blocks)
         d = self._dev
         t, w, c, changed = _integrate_resident(
             self._coords_d, d["tsdf"], d["weight"], d["color"],
@@ -424,7 +453,21 @@ class TSDFVolume:
         d["tsdf"], d["weight"], d["color"] = t, w, c
         self._mirror = None
         self.frame_idx += 1
-        self._mark_touched(Rcw, tcw, changed=changed)
+        # LAZY version bump: fetching ``changed`` here would synchronize on
+        # the whole integrate chain (a flat ~25 ms link fetch per KF);
+        # consumers of block_version call flush_touched() first
+        self._pending_touch.append((self.frame_idx, changed))
+
+    def flush_touched(self):
+        """Apply deferred changed-block version bumps (one batched fetch)."""
+        if not self._pending_touch:
+            return
+        pending, self._pending_touch = self._pending_touch, []
+        masks = jax.device_get(tuple(ch for _, ch in pending))
+        for (fidx, _), ch in zip(pending, masks):
+            idx = np.nonzero(np.asarray(ch))[0]
+            if len(idx):
+                self.block_version[idx] = fidx
 
     def _mark_touched(self, Rcw, tcw, changed=None):
         """Bump the version of exactly the blocks the integration pass

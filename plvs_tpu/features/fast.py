@@ -29,31 +29,59 @@ CIRCLE = np.array(
 ARC_LEN = 9  # FAST-9/16 segment test
 
 
+def _arc16(bits: jnp.ndarray) -> jnp.ndarray:
+    """True where the 16-bit circle mask has >= ARC_LEN consecutive set bits
+    (cyclic). The mask is duplicated into the high half so the wrap-around
+    run test is a plain shift-AND chain on one uint32 per pixel — 16x less
+    traffic than materializing [16, ...] boolean stacks."""
+    mm = bits | (bits << 16)
+    r = mm
+    for i in range(1, ARC_LEN):
+        r = r & (mm >> i)
+    return (r & jnp.uint32(0xFFFF)) != 0
+
+
+def fast_score2(img: jnp.ndarray, t_lo: float, t_hi: float):
+    """Per-pixel FAST-9/16 scores at BOTH thresholds in one pass over the
+    circle (the 16 rolled-image diffs are the bandwidth cost; computing the
+    two thresholds separately paid it twice).
+
+    Returns (s_lo, s_hi): s_lo is the lo-threshold corner score (0 where no
+    corner), s_hi is s_lo gated to pixels that also pass the hi-threshold
+    segment test (the reference's iniThFAST/minThFAST scheme). Works on
+    [..., H, W] (rolls are over the last two axes), so the whole pyramid
+    stack goes through one pass.
+    """
+    zero_b = jnp.zeros(img.shape, jnp.uint32)
+    acc_b = jnp.zeros(img.shape, img.dtype)
+    acc_d = jnp.zeros(img.shape, img.dtype)
+    bits_b_lo = zero_b
+    bits_d_lo = zero_b
+    bits_b_hi = zero_b
+    bits_d_hi = zero_b
+    for i, (dy, dx) in enumerate(CIRCLE):
+        d = jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1)) - img
+        acc_b = acc_b + jnp.maximum(d - t_lo, 0.0)
+        acc_d = acc_d + jnp.maximum(-d - t_lo, 0.0)
+        sh = jnp.uint32(i)
+        bits_b_lo = bits_b_lo | ((d > t_lo).astype(jnp.uint32) << sh)
+        bits_d_lo = bits_d_lo | ((d < -t_lo).astype(jnp.uint32) << sh)
+        bits_b_hi = bits_b_hi | ((d > t_hi).astype(jnp.uint32) << sh)
+        bits_d_hi = bits_d_hi | ((d < -t_hi).astype(jnp.uint32) << sh)
+    score = jnp.maximum(acc_b, acc_d)
+    corner_lo = _arc16(bits_b_lo) | _arc16(bits_d_lo)
+    corner_hi = _arc16(bits_b_hi) | _arc16(bits_d_hi)
+    s_lo = jnp.where(corner_lo, score, 0.0)
+    return s_lo, jnp.where(corner_hi, s_lo, 0.0)
+
+
 def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Per-pixel FAST-9/16 corner score (0 where not a corner).
 
     Score is the sum of |I_i - I_p| - t over the thresholded circle pixels —
     the same corner measure OpenCV uses for FAST NMS.
     """
-    diffs = []
-    for dy, dx in CIRCLE:
-        diffs.append(jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) - img)
-    d = jnp.stack(diffs)  # [16, H, W]
-
-    bright = d > threshold
-    dark = d < -threshold
-
-    def has_arc(mask):
-        r = mask
-        for i in range(1, ARC_LEN):
-            r = r & jnp.roll(mask, -i, axis=0)
-        return jnp.any(r, axis=0)
-
-    is_corner = has_arc(bright) | has_arc(dark)
-    score_b = jnp.sum(jnp.where(bright, d - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.where(dark, -d - threshold, 0.0), axis=0)
-    score = jnp.maximum(score_b, score_d)
-    return jnp.where(is_corner, score, 0.0)
+    return fast_score2(img, threshold, threshold)[0]
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
@@ -92,8 +120,7 @@ def detect(
     Returns (xy [N,2] float32 (x, y), score [N], valid [N]).
     """
     h, w = img.shape
-    s_lo = fast_score(img, threshold_lo)
-    s_hi = jnp.where(fast_score(img, threshold_hi) > 0, s_lo, 0.0)
+    s_lo, s_hi = fast_score2(img, threshold_lo, threshold_hi)
 
     # border mask (circle offsets need 3 px; descriptors need more)
     ys = jnp.arange(h)[:, None]
@@ -156,9 +183,7 @@ def detect_batched(
     K = max(num_features); rows l beyond num_features[l] are invalid.
     """
     L, H, W = stack.shape
-    s_lo = jax.vmap(lambda im: fast_score(im, threshold_lo))(stack)
-    s_hi = jax.vmap(lambda im: fast_score(im, threshold_hi))(stack)
-    s_hi = jnp.where(s_hi > 0, s_lo, 0.0)
+    s_lo, s_hi = fast_score2(stack, threshold_lo, threshold_hi)
 
     # per-level border mask over the padded canvas (host constant)
     inb = np.zeros((L, H, W), bool)

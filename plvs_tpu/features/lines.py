@@ -146,59 +146,66 @@ def detect_lines(
         edge_h, jnp.arange(n_cell, dtype=jnp.int32).reshape(h2, w2),
         jnp.int32(n_cell))
 
-    def body(_, lab):
-        shifts = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1), (1, -1), (-1, 1)]
-        m = lab
-        for ci, (sy, sx) in enumerate(shifts):
-            nb = jnp.roll(lab, (sy, sx), (0, 1))
-            m = jnp.minimum(m, jnp.where(connect[ci], nb, m))
-        return m
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas fixpoint: the whole grid is ~360 KB, so every
+        # sweep runs at VPU speed with zero HBM round trips (the XLA sweep
+        # loop below is ~16 tiny HBM-bound kernels per sweep and costed
+        # ~5-7 ms of the measured frame budget)
+        from ..ops import cc_labels as cc_mod
 
-    def _seg_min_scan(lab, link, axis):
-        # segmented min prefix-scan: ``link`` marks cells connected to
-        # their predecessor along ``axis``; the classic (head-flag, value)
-        # operator is associative, so the min label floods a whole
-        # connected run in one O(log n) scan instead of one cell per sweep
-        def op(a, b):
-            fa, va = a
-            fb, vb = b
-            return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
-        return jax.lax.associative_scan(op, (~link, lab), axis=axis)[1]
+        conn_bits = jnp.zeros((h2, w2), jnp.int32)
+        for ci in range(8):
+            conn_bits = conn_bits | (
+                connect[ci].astype(jnp.int32) << jnp.int32(ci))
+        labels_h = cc_mod.cc_min_labels(init, conn_bits)
+    else:
+        def body(_, lab):
+            shifts = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1),
+                      (1, -1), (-1, 1)]
+            m = lab
+            for ci, (sy, sx) in enumerate(shifts):
+                nb = jnp.roll(lab, (sy, sx), (0, 1))
+                m = jnp.minimum(m, jnp.where(connect[ci], nb, m))
+            return m
 
-    def scans(lab):
-        # axis-aligned runs converge instantly (connect[2]/[3] link a cell
-        # to its left/right neighbor, connect[0]/[1] up/down); the reverse
-        # direction goes through an explicit flip to keep the operator's
-        # predecessor orientation unambiguous
-        lab = _seg_min_scan(lab, connect[2], 1)
-        lab = jnp.flip(_seg_min_scan(
-            jnp.flip(lab, 1), jnp.flip(connect[3], 1), 1), 1)
-        lab = _seg_min_scan(lab, connect[0], 0)
-        return jnp.flip(_seg_min_scan(
-            jnp.flip(lab, 0), jnp.flip(connect[1], 0), 0), 0)
+        def _seg_min_scan(lab, link, axis):
+            # segmented min prefix-scan: ``link`` marks cells connected to
+            # their predecessor along ``axis``; the classic (head-flag,
+            # value) operator is associative, so the min label floods a
+            # whole connected run in one O(log n) scan
+            def op(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+            return jax.lax.associative_scan(op, (~link, lab), axis=axis)[1]
 
-    # row/col segmented scans flood straight runs in O(log) time; the
-    # 8-sweep chunks only have to carry labels around corners and along
-    # diagonal staircases, and the loop EXITS at the true fixpoint (no
-    # change across a whole chunk) instead of always paying the worst-case
-    # bound — on structured scenes that is a handful of chunks, not
-    # (h2+w2)/3 sweeps of latency-bound kernel launches
-    n_chunks = -(-n_iters // 8)
+        def scans(lab):
+            lab = _seg_min_scan(lab, connect[2], 1)
+            lab = jnp.flip(_seg_min_scan(
+                jnp.flip(lab, 1), jnp.flip(connect[3], 1), 1), 1)
+            lab = _seg_min_scan(lab, connect[0], 0)
+            return jnp.flip(_seg_min_scan(
+                jnp.flip(lab, 0), jnp.flip(connect[1], 0), 0), 0)
 
-    def wcond(s):
-        i, lab, go = s
-        return go & (i < n_chunks)
+        # row/col segmented scans flood straight runs in O(log) time; the
+        # 8-sweep chunks carry labels around corners and along diagonal
+        # staircases, and the loop EXITS at the true fixpoint
+        n_chunks = -(-n_iters // 8)
 
-    def wbody(s):
-        i, lab, _ = s
-        lab2 = lab
-        for _ in range(8):
-            lab2 = body(0, lab2)
-        lab2 = scans(lab2)
-        return i + 1, lab2, jnp.any(lab2 != lab)
+        def wcond(s):
+            i, lab, go = s
+            return go & (i < n_chunks)
 
-    _, labels_h, _ = jax.lax.while_loop(
-        wcond, wbody, (jnp.int32(0), scans(init), jnp.bool_(True)))
+        def wbody(s):
+            i, lab, _ = s
+            lab2 = lab
+            for _ in range(8):
+                lab2 = body(0, lab2)
+            lab2 = scans(lab2)
+            return i + 1, lab2, jnp.any(lab2 != lab)
+
+        _, labels_h, _ = jax.lax.while_loop(
+            wcond, wbody, (jnp.int32(0), scans(init), jnp.bool_(True)))
     lab_c = labels_h.reshape(-1)  # [n_cell] cell labels (invalid = n_cell)
 
     ys, xs = jnp.mgrid[0:h, 0:w]
@@ -222,20 +229,29 @@ def detect_lines(
     def pool_sum(a):
         return a.reshape(h2, 2, w2, 2).sum((1, 3)).reshape(-1)
 
+    # ONE scalar segment_sum picks the top components by support count;
+    # the expensive 7-payload moment reduction then runs ONLY for those
+    # max_lines winners as a [max_lines, n_cell] masked matmul on the MXU
+    # (a full segment_sum/min/max suite over 76k segments is scatter-bound
+    # on TPU and was most of the measured line-detection device time)
+    cnt_all = jax.ops.segment_sum(pool_sum(ones), lab_c,
+                                  num_segments=n_seg)
+    top_cnt, top_lab = jax.lax.top_k(cnt_all[:n_cell], max_lines)
+
+    eq = (lab_c[None, :] == top_lab[:, None])          # [K, n_cell]
     payload = jnp.stack(
-        [pool_sum(ones), pool_sum(wgt), pool_sum(xs * wgt),
+        [pool_sum(wgt), pool_sum(xs * wgt),
          pool_sum(ys * wgt), pool_sum(xs * xs * wgt),
          pool_sum(ys * ys * wgt), pool_sum(xs * ys * wgt)], -1)
-    sums = jax.ops.segment_sum(payload, lab_c, num_segments=n_seg)
-    cnt, wsum, sx_, sy_, sxx, syy, sxy = (sums[:, i] for i in range(7))
-
-    top_cnt, top_lab = jax.lax.top_k(cnt[:n_cell], max_lines)
-    c = jnp.maximum(wsum[top_lab], 1e-6)
-    cx = sx_[top_lab] / c
-    cy = sy_[top_lab] / c
-    vxx = sxx[top_lab] / c - cx * cx
-    vyy = syy[top_lab] / c - cy * cy
-    vxy = sxy[top_lab] / c - cx * cy
+    sums = jnp.dot(eq.astype(jnp.float32), payload,
+                   preferred_element_type=jnp.float32)  # [K, 6]
+    wsum, sx_, sy_, sxx, syy, sxy = (sums[:, i] for i in range(6))
+    c = jnp.maximum(wsum, 1e-6)
+    cx = sx_ / c
+    cy = sy_ / c
+    vxx = sxx / c - cx * cx
+    vyy = syy / c - cy * cy
+    vxy = sxy / c - cx * cy
     # principal direction of the 2x2 covariance
     theta = 0.5 * jnp.arctan2(2 * vxy, vxx - vyy)
     dx, dy = jnp.cos(theta), jnp.sin(theta)
@@ -248,12 +264,12 @@ def detect_lines(
     straight = l2 / jnp.maximum(l1, 1e-6)
 
     # endpoints: min/max projection of support pixels on the direction.
-    # One [n_cells, 4] gather of the label's (dir, centroid), broadcast to
-    # pixels, full-res projections pooled to cell min/max, then cell-level
-    # segment min/max (same 4x scatter shrink as the moments).
-    lab_vec = jnp.zeros((n_seg, 4), jnp.float32).at[top_lab].set(
-        jnp.stack([dx, dy, cx, cy], -1))
-    cellv = lab_vec[lab_c].reshape(h2, w2, 4)
+    # Per-winner (dir, centroid) broadcast through the eq mask (no gather
+    # table, no segment min/max): full-res projections pooled to cell
+    # min/max once, then [K, n_cell] masked reductions — bandwidth-bound
+    # instead of scatter-bound.
+    eqT = eq.T.astype(jnp.float32)                     # [n_cell, K]
+    cellv = (eqT @ jnp.stack([dx, dy, cx, cy], -1)).reshape(h2, w2, 4)
     pv = jnp.repeat(jnp.repeat(cellv, 2, axis=0), 2, axis=1)
     t = (xs - pv[..., 2]) * pv[..., 0] + (ys - pv[..., 3]) * pv[..., 1]
 
@@ -261,12 +277,10 @@ def detect_lines(
         a = jnp.where(edge, a, fill)
         return red(a.reshape(h2, 2, w2, 2), axis=(1, 3)).reshape(-1)
 
-    tmin = jax.ops.segment_min(pool_ext(t, jnp.min, jnp.inf), lab_c,
-                               num_segments=n_seg)
-    tmax = jax.ops.segment_max(pool_ext(t, jnp.max, -jnp.inf), lab_c,
-                               num_segments=n_seg)
-    t0 = tmin[top_lab]
-    t1 = tmax[top_lab]
+    t_lo = pool_ext(t, jnp.min, jnp.inf)
+    t_hi = pool_ext(t, jnp.max, -jnp.inf)
+    t0 = jnp.min(jnp.where(eq, t_lo[None, :], jnp.inf), axis=1)
+    t1 = jnp.max(jnp.where(eq, t_hi[None, :], -jnp.inf), axis=1)
     sp = jnp.stack([cx + t0 * dx, cy + t0 * dy], -1)
     epn = jnp.stack([cx + t1 * dx, cy + t1 * dy], -1)
     length = t1 - t0

@@ -1,4 +1,4 @@
-"""Roofline accounting for the hot Pallas kernels.
+"""Roofline accounting for the hot kernels.
 
 Answers BASELINE.md's "kernel speed" row with evidence instead of a claim:
 for each kernel we count the HBM bytes it must move and the flops it must
@@ -6,10 +6,16 @@ execute, measure achieved time on the attached chip, and report achieved
 throughput as a fraction of the speed-of-light bound
 max(bytes / peak_bw, flops / peak_flops).
 
-Through a remote-tunnel client a single dispatch costs ~26 ms of latency,
-so each kernel is timed as N back-to-back iterations inside ONE jitted
-program (chained by a data dependency so XLA cannot elide the loop) and the
-per-iteration time is the measured total divided by N.
+Measurement method (remote-tunnel-proof, round 4):
+  * chain N iterations inside ONE jitted program (data dependency between
+    iterations so XLA cannot elide the loop) — a single awaited dispatch;
+  * the await itself costs a flat ~25 ms regardless of compute, so a
+    single chained timing still reads `flat/N` too high (at N=32 that
+    floor is ~0.8 ms/iter — larger than most kernels here!);
+  * so time the chain at N and 3N and report the DIFFERENTIAL
+    (T(3N) - T(N)) / (2N): the flat transport cost cancels exactly.
+  * every repetition perturbs the carry so the tunnel's (executable,
+    input) dedup cache can never serve a cached execution.
 """
 
 from __future__ import annotations
@@ -27,22 +33,51 @@ PEAK_FLOPS_F32 = 13e12          # VPU f32 (8 MXU-equivalent lanes)
 PEAK_HBM_GBS = 819e9
 
 
-def _time_repeated(step, carry0, iters: int = 32, reps: int = 5) -> float:
-    """Median seconds per iteration of ``carry = step(carry)`` chained
-    ``iters`` times inside one jit (one dispatch per measurement)."""
+def _time_chain(step, carry0, iters: int, reps: int) -> float:
+    """Median seconds of ONE awaited chain of ``iters`` iterations."""
 
     @jax.jit
-    def chained(c):
+    def chained(c, s):
+        c = jax.tree.map(lambda a, b: a + b.astype(a.dtype), c, s)
         return jax.lax.fori_loop(0, iters, lambda _, cc: step(cc), c)
 
-    out = chained(carry0)
-    jax.block_until_ready(out)
+    jax.block_until_ready(chained(carry0, _scale(carry0, 0)))
     ts = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(carry0))
+        jax.block_until_ready(chained(carry0, _scale(carry0, r + 1)))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / iters
+    return float(np.median(ts))
+
+
+def _scale(carry0, r):
+    """A tiny carry perturbation (dtype-appropriate) defeating dedup."""
+    leaf = jax.tree.leaves(carry0)[0]
+    if jnp.issubdtype(leaf.dtype, jnp.integer) or leaf.dtype == jnp.uint32:
+        return jax.tree.map(lambda x: jnp.full_like(x, r % 7), carry0)
+    return jax.tree.map(lambda x: jnp.full_like(x, r * 1e-6), carry0)
+
+
+def time_repeated(step, carry0, iters: int = 16, reps: int = 5) -> float:
+    """DIFFERENTIAL seconds per iteration of ``carry = step(carry)``:
+    (T(3N) - T(N)) / (2N) cancels the flat per-await transport cost."""
+    t1 = _time_chain(step, carry0, iters, reps)
+    t3 = _time_chain(step, carry0, 3 * iters, reps)
+    return max((t3 - t1) / (2 * iters), 1e-9)
+
+
+def _row(name, s_per, bytes_moved, flops, peak_flops):
+    t_bound = max(bytes_moved / PEAK_HBM_GBS, flops / peak_flops)
+    return {
+        "kernel": name,
+        "time_us": s_per * 1e6,
+        "GB/s": bytes_moved / s_per / 1e9,
+        "GFLOP/s": flops / s_per / 1e9,
+        "bound": ("bandwidth"
+                  if bytes_moved / PEAK_HBM_GBS > flops / peak_flops
+                  else "compute"),
+        "pct_of_light": 100.0 * t_bound / s_per,
+    }
 
 
 def hamming_roofline(Q: int = 1024, K: int = 1024) -> dict:
@@ -60,19 +95,12 @@ def hamming_roofline(Q: int = 1024, K: int = 1024) -> dict:
         # dependency between iterations without meaningful extra work
         return c ^ out[0, 0].astype(jnp.uint32)
 
-    s_per = _time_repeated(step, d1)
+    # fast kernel: long chains so the differential rises above timer noise
+    s_per = time_repeated(step, d1, iters=128)
     bytes_moved = (Q + K) * 32 + Q * K * 4
     flops = 2.0 * Q * K * 256
-    t_bound = max(bytes_moved / PEAK_HBM_GBS, flops / PEAK_FLOPS_BF16)
-    return {
-        "kernel": f"hamming_mxu[{Q}x{K}]",
-        "time_us": s_per * 1e6,
-        "GB/s": bytes_moved / s_per / 1e9,
-        "GFLOP/s": flops / s_per / 1e9,
-        "bound": "bandwidth" if bytes_moved / PEAK_HBM_GBS > flops / PEAK_FLOPS_BF16
-                 else "compute",
-        "pct_of_light": 100.0 * t_bound / s_per,
-    }
+    return _row(f"hamming_mxu[{Q}x{K}]", s_per, bytes_moved, flops,
+                PEAK_FLOPS_BF16)
 
 
 def stereo_roofline(H: int = 480, W: int = 640, D: int = 64,
@@ -91,29 +119,104 @@ def stereo_roofline(H: int = 480, W: int = 640, D: int = 64,
         disp = disparity_wta_pallas(c, cr, max_disp=D, agg_radius=r)
         return c ^ disp[0, 0].astype(jnp.uint32)
 
-    s_per = _time_repeated(step, cl, iters=8)
+    s_per = time_repeated(step, cl, iters=8)
     bytes_moved = 2 * H * W * 4 + H * W * 4
     flops = float(H * W * D) * 12.0
-    t_bound = max(bytes_moved / PEAK_HBM_GBS, flops / PEAK_FLOPS_F32)
-    return {
-        "kernel": f"census_wta[{H}x{W},D={D}]",
-        "time_us": s_per * 1e6,
-        "GB/s": bytes_moved / s_per / 1e9,
-        "GFLOP/s": flops / s_per / 1e9,
-        "bound": "bandwidth" if bytes_moved / PEAK_HBM_GBS > flops / PEAK_FLOPS_F32
-                 else "compute",
-        "pct_of_light": 100.0 * t_bound / s_per,
-    }
+    return _row(f"census_wta[{H}x{W},D={D}]", s_per, bytes_moved, flops,
+                PEAK_FLOPS_F32)
+
+
+def ba_roofline(K: int = 32, P: int = 4096, M: int = 16384) -> dict:
+    """One local-BA LM iteration at the bench's fixed problem shape:
+    linearize + block preconditioner + PCG (the windowed backend solve,
+    solvers/ba.py). Bytes: the observation tables re-read per CG matvec
+    (~cg_iters sweeps over J blocks); flops: matvec dominated."""
+    from ..geometry import cameras
+    from ..solvers import ba as ba_mod
+
+    cam = cameras.pinhole(520.9, 521.0, 320.0, 240.0, width=640,
+                          height=480, bf=40.0)
+    rng = np.random.default_rng(2)
+    R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)))
+    t = jnp.asarray(rng.normal(0, 0.1, (K, 3)).astype(np.float32))
+    fixed = np.zeros((K,), bool)
+    fixed[0] = True
+    pts = rng.uniform(-2, 2, (P, 3)).astype(np.float32)
+    pts[:, 2] += 4.0
+    obs_cam = rng.integers(0, K, M).astype(np.int32)
+    obs_pt = rng.integers(0, P, M).astype(np.int32)
+    uv = pts[obs_pt, :2] / pts[obs_pt, 2:3] * 520.9 + np.array([320.0, 240.0])
+    uvr = np.concatenate([uv, -np.ones((M, 1))], -1).astype(np.float32)
+    prob = ba_mod.make_problem(
+        R, t, jnp.asarray(fixed), jnp.asarray(pts),
+        jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(uvr),
+        jnp.ones((M,), jnp.float32), jnp.ones((M,), bool),
+    )
+
+    cg_iters = 20
+
+    def step(tc):
+        Rn, tn, pn, _, _, info = ba_mod.bundle_adjust(
+            cam, prob._replace(t=tc), num_iters=1, cg_iters=cg_iters,
+            scatter_free=True)
+        return tn
+
+    s_per = time_repeated(step, t, iters=4)
+    # per LM iter: ~2 J-sweeps (linearize+cost) + cg_iters matvec sweeps,
+    # each sweep reading/writing the [M] obs blocks (J 2x9 f32 + indices)
+    sweep_bytes = M * (2 * 9 * 4 + 16)
+    bytes_moved = (2 + cg_iters) * sweep_bytes
+    flops = (2 + cg_iters) * M * 2.0 * 2 * 9  # J/J^T products per sweep
+    return _row(f"ba_lm_step[K{K},P{P},M{M},cg{cg_iters}]", s_per,
+                bytes_moved, flops, PEAK_FLOPS_F32)
+
+
+def tsdf_roofline(B: int = 1024) -> dict:
+    """One TSDF integrate at the bench's fixed block shape: every voxel of
+    B blocks projected + fused (dense/tsdf.py resident integrator).
+    Bytes: tsdf+weight+color volumes read+written; flops: ~40/voxel
+    (projection + fusion)."""
+    from ..dense import tsdf as tsdf_mod
+    from ..geometry import cameras
+
+    cam = cameras.pinhole(520.9, 521.0, 320.0, 240.0, width=640,
+                          height=480, bf=40.0)
+    rng = np.random.default_rng(3)
+    S = tsdf_mod.BLOCK
+    coords = np.stack(np.meshgrid(np.arange(16), np.arange(16),
+                                  np.arange(16), indexing="ij"),
+                      -1).reshape(-1, 3)[:B].astype(np.int32)
+    depth = jnp.asarray(
+        np.full((480, 640), 2.5, np.float32)
+        + rng.normal(0, 0.01, (480, 640)).astype(np.float32))
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640)).astype(np.float32))
+    tsdf = jnp.ones((B, S, S, S), jnp.float32)
+    weight = jnp.zeros((B, S, S, S), jnp.float32)
+    colv = jnp.zeros((B, S, S, S, 3), jnp.float32)
+    Rcw = jnp.eye(3)
+    tcw = jnp.zeros(3)
+    bc = jnp.asarray(coords)
+
+    def step(carry):
+        t, w, c = carry
+        t2, w2, c2 = tsdf_mod.integrate_blocks(
+            bc, t, w, c, depth + w[0, 0, 0, 0] * 1e-9, color, Rcw, tcw,
+            cam, 0.02, 0.08)
+        return (t2, w2, c2)
+
+    s_per = time_repeated(step, (tsdf, weight, colv), iters=4)
+    nvox = B * S ** 3
+    bytes_moved = nvox * (5 * 4 * 2) + 480 * 640 * 8
+    flops = nvox * 40.0
+    return _row(f"tsdf_integrate[B{B}]", s_per, bytes_moved, flops,
+                PEAK_FLOPS_F32)
 
 
 def pipeline_device_times(width: int = 640, height: int = 480,
                           num_features: int = 1024, n_levels: int = 8,
                           max_lines: int = 128) -> dict:
-    """TRUE device time of the 30 Hz pipeline's big programs, measured as
-    chained iterations inside ONE dispatch (transport-free AND dedup-proof
-    — the remote tunnel replays cached results for repeated identical
-    executions, so naive same-input timing reads ~100x too fast;
-    measured)."""
+    """TRUE device time of the 30 Hz pipeline's big programs (differential
+    chained timing — transport-free AND dedup-proof)."""
     from ..geometry import cameras
     from ..slam import frame as frame_mod
 
@@ -123,28 +226,15 @@ def pipeline_device_times(width: int = 640, height: int = 480,
     g = jnp.asarray(rng.uniform(0, 255, (height, width)).astype(np.float32))
     d = jnp.asarray(np.full((height, width), 2.5, np.float32))
 
-    def chain(step, c0, iters=8, reps=3):
-        @jax.jit
-        def chained(c):
-            return jax.lax.fori_loop(0, iters, lambda _, cc: step(cc), c)
-
-        jax.block_until_ready(chained(c0))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(chained(c0))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) / iters * 1e3
-
     out = {}
-    out["frame_build_ms"] = chain(
+    out["frame_build_ms"] = time_repeated(
         lambda c: c + frame_mod.build_frame_rgbd(
             g + c, d, cam, num_features, n_levels, 1.2).kp.xy[0, 0] * 1e-9,
-        jnp.float32(0.0))
-    out["line_extract_ms"] = chain(
+        jnp.float32(0.0), iters=8) * 1e3
+    out["line_extract_ms"] = time_repeated(
         lambda c: c + frame_mod.build_frame_lines(
             g + c, d, cam, max_lines).kl.sp[0, 0] * 1e-9,
-        jnp.float32(0.0))
+        jnp.float32(0.0), iters=8) * 1e3
     return out
 
 
@@ -153,7 +243,8 @@ def report(file=None) -> list[dict]:
 
     file = file or sys.stderr
     rows = []
-    for fn in (hamming_roofline, stereo_roofline):
+    for fn in (hamming_roofline, stereo_roofline, ba_roofline,
+               tsdf_roofline):
         try:
             rows.append(fn())
         except Exception as e:  # pallas unavailable (CPU interpret etc.)
@@ -168,7 +259,7 @@ def report(file=None) -> list[dict]:
                 pct=row["pct_of_light"]), file=file)
     try:
         dt = pipeline_device_times()
-        print("device-time (chained, transport-free): "
+        print("device-time (chained differential, transport-free): "
               + ", ".join(f"{k}={v:.2f} ms" for k, v in dt.items()),
               file=file)
         rows.append({"kernel": "pipeline_device_times", **dt})

@@ -47,6 +47,12 @@ class InertialRuntime:
     # PoseInertialOptimizationLastFrame); False = IMU only shapes the
     # motion-model prediction (the pre-r3 behavior, kept for comparison)
     per_frame_prior: bool = True
+    # metric scale: stereo/RGB-D maps are born metric (scale fixed); a
+    # MONOCULAR map's scale is a free variable of the inertial-only
+    # optimization and the whole map is rescaled on (re-)initialization
+    # (reference: InitializeIMU's mbMonocular scale estimate +
+    # ScaleRefinement, src/LocalMapping.cc:2164-2300, 2512-2544)
+    fix_scale: bool = True
 
     def __post_init__(self):
         self.samples: list[tuple[float, np.ndarray, np.ndarray]] = []
@@ -64,6 +70,14 @@ class InertialRuntime:
         # PredictStateIMU propagates them, src/Tracking.cc:2034)
         self._cur_velocity: np.ndarray | None = None
         self._last_pose: tuple[float, np.ndarray] | None = None
+        # scale correction applied to the map by the last (re-)init, for
+        # the System to mirror onto the tracker state / trajectory buffers
+        self._pending_scale: float | None = None
+
+    def consume_scale_correction(self) -> float | None:
+        """Scale factor the map was just multiplied by (None if none)."""
+        s, self._pending_scale = self._pending_scale, None
+        return s
 
     @property
     def initialized(self) -> bool:
@@ -223,9 +237,21 @@ class InertialRuntime:
         preints = imu_init.stack_preints([self.kf_preint[b] for _, b in pairs])
         out = imu_init.inertial_only_optimize(
             jnp.asarray(np.stack(R_wb)), jnp.asarray(np.stack(p_wb)),
-            preints, fix_scale=True)
+            preints, fix_scale=self.fix_scale)
         if not bool(jnp.all(jnp.isfinite(out.gravity))):
             return False
+        if not self.fix_scale:
+            # monocular map: apply the estimated metric scale to the WHOLE
+            # map (keyframe translations, landmarks, line endpoints) —
+            # reference: InitializeIMU's map rescale + the periodic
+            # ScaleRefinement pass (src/LocalMapping.cc:2164-2300,
+            # 2512-2544). Re-initializations refine s toward 1.
+            s = float(out.scale)
+            if not np.isfinite(s) or not (0.05 < s < 20.0):
+                return False
+            if abs(s - 1.0) > 1e-3:
+                store.rescale_map(s)
+                self._pending_scale = (self._pending_scale or 1.0) * s
         self.gravity = np.asarray(out.gravity)
         self.bias_gyro = np.asarray(out.bias_gyro)
         self.bias_acc = np.asarray(out.bias_acc)

@@ -93,7 +93,15 @@ class KeyFrameDatabase:
         device array for ``sparse_bow(..., words_fut=...)``."""
         if not self.ensure_vocab():
             return None
-        return bow.quantize(self.voc, jnp.asarray(desc))
+        if getattr(self, "_quantize_jit", None) is None:
+            import jax
+
+            # ONE program for the whole tree descent: eager execution is
+            # ~20 separate primitives, each a per-execution overhead on a
+            # tunneled backend
+            self._quantize_jit = jax.jit(
+                lambda d: bow.quantize(self.voc, d))
+        return self._quantize_jit(jnp.asarray(desc))
 
     def sparse_bow(self, desc: np.ndarray, mask: np.ndarray,
                    words_fut=None):

@@ -131,6 +131,12 @@ class LocalMapper:
     # sharded_backend); windowed local BA stays single-device — its
     # problem is too small to amortize collectives
     mesh: object | None = None
+    # raise the problem-shape bucket FLOORS so every realistic local-BA
+    # problem lands in ONE precompiled shape (steady-state runtimes: a
+    # fresh bucket mid-sequence pays a multi-second XLA compile in the
+    # tracking loop; the solves are latency-bound, so padding is nearly
+    # free device-side). Growth beyond a floor still buckets by 2x.
+    fixed_shapes: bool = False
 
     def _scope(self, name: str):
         if self.stopwatch is None:
@@ -139,12 +145,14 @@ class LocalMapper:
             return contextlib.nullcontext()
         return self.stopwatch.scope(name)
 
-    def process_keyframe(self, kf_id: int):
+    def process_keyframe(self, kf_id: int, extra_fetch=None):
         """Per-keyframe backend pass. The independent device programs (line
         triangulation, neighbour fuse matching) are DISPATCHED first and
         awaited in ONE device_get — through a remote tunnel each await
         costs a flat ~25 ms regardless of compute, so the per-KF await
-        count, not kernel time, is the backend budget."""
+        count, not kernel time, is the backend budget. ``extra_fetch``: an
+        unrelated in-flight device output (e.g. the BoW quantize) fetched in
+        the same first await; its value is returned."""
         import jax as _jax
 
         lock = self.store.lock
@@ -161,8 +169,14 @@ class LocalMapper:
                        if self.use_lines else None)
             fuse_ctx = self._dispatch_fuse(kf_id)
         outs = [c["out"] for c in (tri_ctx, fuse_ctx) if c is not None]
+        extra_out = None
         with self._scope("lm.await"):
-            fetched = list(_jax.device_get(tuple(outs))) if outs else []
+            if outs or extra_fetch is not None:
+                fetched = list(_jax.device_get((tuple(outs), extra_fetch)))
+                extra_out = fetched[1]
+                fetched = list(fetched[0])
+            else:
+                fetched = []
         if tri_ctx is not None:
             with self._scope("lm.tri_lines"), lock:
                 self._apply_new_lines(kf_id, tri_ctx, fetched.pop(0))
@@ -172,16 +186,30 @@ class LocalMapper:
         with self._scope("lm.maint"), lock:
             # landmark maintenance after the observation set settled
             # (reference: ProcessNewKeyFrame + SearchInNeighbors both re-run
-            # ComputeDistinctiveDescriptors / UpdateNormalAndDepth)
+            # ComputeDistinctiveDescriptors / UpdateNormalAndDepth). The
+            # normal/scale half applies immediately; the device-side
+            # descriptor vote rides the local-BA await below (one round
+            # trip for both instead of two flat link latencies)
             pts = self.store.kf_kp_pt[kf_id]
-            self.store.update_point_maintenance(
+            maint_ctx = self.store.dispatch_point_maintenance(
                 np.unique(pts[pts >= 0]), scale=self.scale,
                 n_levels=self.n_levels)
         with self._scope("lm.ba"):
-            self.local_ba(kf_id)
+            extra = self.local_ba(
+                kf_id,
+                extra_fetch=None if maint_ctx is None else maint_ctx["out"])
+        if maint_ctx is not None:
+            with self._scope("lm.maint"), lock:
+                if extra is not None:
+                    self.store.apply_point_maintenance(maint_ctx, extra)
+                else:
+                    # BA skipped its await (degenerate window): await here
+                    self.store.apply_point_maintenance(
+                        maint_ctx, _jax.device_get(maint_ctx["out"]))
         if self.kf_culling:
             with self._scope("lm.cull_kf"), lock:
                 self.cull_keyframes(kf_id)
+        return extra_out
 
     # ------------------------------------------------------------------
     def _dispatch_new_lines(self, kf_id: int, max_neighbors: int = 3,
@@ -480,7 +508,7 @@ class LocalMapper:
         st.remove_points(pts[bad])
 
     # ------------------------------------------------------------------
-    def local_ba(self, kf_id: int):
+    def local_ba(self, kf_id: int, extra_fetch=None):
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         window = np.concatenate([[kf_id], covis[: self.window_size]]).astype(np.int64)
@@ -489,7 +517,8 @@ class LocalMapper:
         # is the largest backend kernel (measured 54 ms at 6x30 vs 32 ms at
         # 4x20 for a full window; the reference's local BA likewise runs a
         # short 5-iteration schedule, src/Optimizer.cc:3198)
-        return self._window_ba(window, num_iters=5, cg_iters=20)
+        return self._window_ba(window, num_iters=5, cg_iters=20,
+                               extra_fetch=extra_fetch)
 
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map
@@ -507,11 +536,16 @@ class LocalMapper:
                                use_mesh=self.mesh is not None)
 
     def _window_ba(self, window: np.ndarray, num_iters: int = 6,
-                   cg_iters: int = 30, use_mesh: bool = False):
+                   cg_iters: int = 30, use_mesh: bool = False,
+                   extra_fetch=None):
+        """Windowed LM solve. ``extra_fetch``: an unrelated in-flight device
+        output to fetch in the SAME device_get as the solve results (round
+        trips, not kernel time, are the backend budget); returned fetched,
+        or None when the solve was skipped."""
         with self.store.lock:
             packed = self._gather_ba(window)
         if packed is None:
-            return
+            return None
         prob, cams, pts, lns, fixed_mask, K = packed
 
         # chunked LM with abort polling between chunks: a freshly queued
@@ -534,23 +568,46 @@ class LocalMapper:
                         self.cam, prob, self.mesh, num_iters=it,
                         cg_iters=cg_iters)
             else:
+                import os as _os
+                import time as _time
+
+                _td = _time.perf_counter()
                 Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
-                    self.cam, prob, num_iters=it, cg_iters=cg_iters)
+                    self.cam, prob, num_iters=it, cg_iters=cg_iters,
+                    scatter_free=True)
+                if _os.environ.get("PLVS_DEBUG_BA_SHAPES"):
+                    import sys as _sys
+
+                    print(f"ba dispatch (trace+compile if new): "
+                          f"{(_time.perf_counter() - _td) * 1e3:.0f} ms",
+                          file=_sys.stderr)
             prob = prob._replace(R=Rn, t=tn, points=pn,
                                  lines_Xs=lXsn, lines_Xe=lXen)
             done += it
             if self.abort_check is not None and self.abort_check():
                 break
-        # ONE await for the whole solve: cost + every solved block in a
-        # single device_get (each extra await pays the link's ~25 ms flat)
-        Rn, tn, pn, lXs, lXe, cost = _jax.device_get(
+        # ONE await for the whole solve: cost + every solved block (+ any
+        # piggybacked unrelated output) in a single device_get (each extra
+        # await pays the link's ~25 ms flat)
+        import os as _os
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        Rn, tn, pn, lXs, lXe, cost, extra = _jax.device_get(
             (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe,
-             info["cost"]))
+             info["cost"], extra_fetch))
+        if _os.environ.get("PLVS_DEBUG_BA_SHAPES"):
+            import sys as _sys
+
+            print(f"ba device_get wait: "
+                  f"{(_time.perf_counter() - _t0) * 1e3:.0f} ms",
+                  file=_sys.stderr)
         if not np.isfinite(float(cost)):
-            return
+            return extra
         with self.store.lock:
             self._apply_ba((Rn, tn, pn, lXs, lXe), cams, pts, lns,
                            fixed_mask, K)
+        return extra
 
     def _apply_ba(self, fetched, cams, pts, lns, fixed_mask, K):
         st = self.store
@@ -606,9 +663,14 @@ class LocalMapper:
         if fixed_mask.all():
             return  # nothing free to optimize (fully frozen window)
 
-        Kb = _bucket(K, 16)
-        Pb = _bucket(len(pts), 256)
-        Mb = _bucket(M, 1024)
+        if self.fixed_shapes:
+            Kb = _bucket(K, 32)
+            Pb = _bucket(len(pts), 4096)
+            Mb = _bucket(M, 16384)
+        else:
+            Kb = _bucket(K, 16)
+            Pb = _bucket(len(pts), 256)
+            Mb = _bucket(M, 1024)
 
         R = np.tile(np.eye(3, dtype=np.float32), (Kb, 1, 1))
         t = np.zeros((Kb, 3), np.float32)
@@ -638,7 +700,7 @@ class LocalMapper:
 
         line_kw = {}
         lns = np.zeros((0,), np.int64)
-        if self.use_lines and st.num_lines > 0:
+        if self.use_lines and (st.num_lines > 0 or self.fixed_shapes):
             from ..features import lines as lines_mod
 
             lns = st.lines_in_kfs(window)
@@ -652,11 +714,18 @@ class LocalMapper:
             lsel = np.isin(lln, lns) & np.isin(lkf, cams)
             lo_kf, lo_ln, lo_kl = lkf[lsel], lln[lsel], lkl[lsel]
             Ml = len(lo_kf)
-            if len(lns) >= 4 and Ml >= 8:
+            # under fixed_shapes the line blocks are ALWAYS present (masked
+            # empty when the window has no usable lines): a with-lines and a
+            # points-only variant would be two multi-second XLA compiles,
+            # and which one a keyframe needs is content-dependent
+            if (len(lns) >= 4 and Ml >= 8) or self.fixed_shapes:
                 ln_local = np.full(st.max_lines, -1, np.int64)
                 ln_local[lns] = np.arange(len(lns))
-                Lb = _bucket(len(lns), 64)
-                Mlb = _bucket(Ml, 256)
+                # floors sized to the window's worst case (window_size+1
+                # KFs x max keylines): a mid-run bucket crossing costs a
+                # multi-second compile inside the tracking loop
+                Lb = _bucket(len(lns), 512 if self.fixed_shapes else 64)
+                Mlb = _bucket(Ml, 2048 if self.fixed_shapes else 256)
                 lXs = np.zeros((Lb, 3), np.float32)
                 lXe = np.zeros((Lb, 3), np.float32)
                 lXs[: len(lns)] = st.ln_Xs[lns]
@@ -670,12 +739,20 @@ class LocalMapper:
                 lobs_m = np.zeros((Mlb,), bool)
                 lobs_cam[:Ml] = kf_local[lo_kf]
                 lobs_line[:Ml] = ln_local[lo_ln]
-                import jax.numpy as _jnp
-
                 sp = st.kf_kl_sp[lo_kf, lo_kl]
                 ep = st.kf_kl_ep[lo_kf, lo_kl]
-                lobs_nld[:Ml] = np.asarray(
-                    lines_mod.line_nld(_jnp.asarray(sp), _jnp.asarray(ep)))
+                # host-side normalized image line (nx, ny, d): an EAGER
+                # device call here would compile fresh primitives for every
+                # distinct Ml (a ~4.5 s stall per new line-observation
+                # count, measured — eager ops on the tunneled backend
+                # compile per shape)
+                dvec = ep - sp
+                nrm = np.stack([-dvec[:, 1], dvec[:, 0]], -1)
+                nrm = nrm / np.maximum(
+                    np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+                lobs_nld[:Ml] = np.concatenate(
+                    [nrm, -np.sum(nrm * sp, -1, keepdims=True)],
+                    axis=-1).astype(np.float32)
                 # length-scaled information (short segments carry more
                 # angular noise on the inferred infinite line)
                 mlen = np.linalg.norm(ep - sp, axis=-1)
@@ -704,4 +781,13 @@ class LocalMapper:
             cam_mask=jnp.asarray(cam_mask), point_mask=jnp.asarray(pt_mask),
             **line_kw,
         )
+        import os as _os
+
+        if _os.environ.get("PLVS_DEBUG_BA_SHAPES"):
+            import sys as _sys
+
+            sig = {f: (tuple(getattr(prob, f).shape),
+                       str(getattr(prob, f).dtype))
+                   for f in prob._fields}
+            print(f"BA problem shapes: {sig}", file=_sys.stderr)
         return prob, cams, pts, lns, fixed_mask, K

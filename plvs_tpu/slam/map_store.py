@@ -615,11 +615,57 @@ class MapStore:
         return (live[ii].astype(np.int32), live[jj].astype(np.int32),
                 W[ii, jj].astype(np.int32))
 
+    def rescale_map(self, s: float, map_id: int | None = None):
+        """Multiply the metric scale of one map by ``s``: keyframe
+        translations, point landmarks and line endpoints (world positions
+        scale; rotations are scale-free). Reference: the monocular-inertial
+        map rescale in LocalMapping::InitializeIMU / ScaleRefinement
+        (src/LocalMapping.cc:2164-2300, 2512-2544)."""
+        with self.lock:
+            if map_id is None:
+                map_id = self.active_map
+            kfs = self.kfs_of_map(map_id)
+            self.kf_t[kfs] = (self.kf_t[kfs] * s).astype(np.float32)
+            pts = np.nonzero(self.pt_mask)[0]
+            pts = pts[self.kf_map[self.pt_ref_kf[pts]] == map_id]
+            self.pt_xyz[pts] = (self.pt_xyz[pts] * s).astype(np.float32)
+            self.pt_min_dist[pts] *= s
+            self.pt_max_dist[pts] *= s
+            lns = np.nonzero(self.ln_mask)[0]
+            lns = lns[self.kf_map[self.ln_ref_kf[lns]] == map_id]
+            self.ln_Xs[lns] = (self.ln_Xs[lns] * s).astype(np.float32)
+            self.ln_Xe[lns] = (self.ln_Xe[lns] * s).astype(np.float32)
+            self.version += 1
+
     # -- landmark maintenance ------------------------------------------------
 
     def update_point_maintenance(self, pt_ids: np.ndarray,
                                  scale: float = 1.2, n_levels: int = 8,
                                  max_obs: int = 12):
+        """Distinctive-descriptor recompute + normal/scale-range update for
+        the given landmarks (dispatch + immediate await; see
+        dispatch_point_maintenance for the split used by the KF backend to
+        share one device round trip with the local-BA fetch)."""
+        ctx = self.dispatch_point_maintenance(pt_ids, scale, n_levels,
+                                              max_obs)
+        if ctx is None:
+            return
+        import jax as _jax
+
+        self.apply_point_maintenance(ctx, _jax.device_get(ctx["out"]))
+
+    def apply_point_maintenance(self, ctx, fetched):
+        """Store the voted distinctive descriptors (host half)."""
+        P = ctx["P"]
+        uniq = ctx["uniq"]
+        best = np.asarray(fetched)[:P]
+        self.pt_desc[uniq] = ctx["desc"][np.arange(P), best]
+        self.pt_angle[uniq] = ctx["angs"][np.arange(P), best]
+        self.version += 1  # descriptors changed after the dispatch-half bump
+
+    def dispatch_point_maintenance(self, pt_ids: np.ndarray,
+                                   scale: float = 1.2, n_levels: int = 8,
+                                   max_obs: int = 12):
         """Distinctive-descriptor recompute + normal/scale-range update for
         the given landmarks.
 
@@ -630,7 +676,10 @@ class MapStore:
         keyframe's observation octave (src/MapPoint.cc). Here both run as
         ONE batched pass over every requested landmark: observations are
         padded to ``max_obs`` slots, the median-Hamming vote is a [P, M, M]
-        popcount reduction on the device.
+        popcount reduction on the device. The cheap normal/scale updates
+        apply immediately (numpy); the descriptor vote is returned as an
+        in-flight ctx so the caller can batch its await with other device
+        work (each await over the remote link costs a flat ~25 ms).
         """
         import jax.numpy as jnp
         from ..features.matching import hamming_pairs  # noqa: F401
@@ -638,12 +687,12 @@ class MapStore:
         pt_ids = np.asarray(pt_ids)
         pt_ids = pt_ids[self.pt_mask[pt_ids]]
         if len(pt_ids) == 0:
-            return
+            return None
         okf, opt, okp = self.live_obs()
         sel = np.isin(opt, pt_ids)
         o_kf, o_pt, o_kp = okf[sel], opt[sel], okp[sel]
         if len(o_pt) == 0:
-            return
+            return None
         order = np.argsort(o_pt, kind="stable")
         o_kf, o_pt, o_kp = o_kf[order], o_pt[order], o_kp[order]
         uniq, start, counts = np.unique(o_pt, return_index=True,
@@ -694,10 +743,9 @@ class MapStore:
         mask_p = np.zeros((Pb, max_obs), bool)
         desc_p[:P] = desc
         mask_p[:P] = dmask
-        best = np.asarray(_distinctive_rows(
-            jnp.asarray(desc_p), jnp.asarray(mask_p)))[:P]
-        self.pt_desc[uniq] = desc[np.arange(P), best]
-        self.pt_angle[uniq] = angs[np.arange(P), best]
+        out = _distinctive_rows(jnp.asarray(desc_p), jnp.asarray(mask_p))
+        return {"out": out, "P": P, "uniq": uniq, "desc": desc,
+                "angs": angs}
 
     @property
     def num_keyframes(self):

@@ -98,6 +98,9 @@ class SystemConfig:
     dense_mapping: bool = False
     dense_voxel_size: float = 0.02
     dense_segmentation: bool = False
+    # incremental-mesh cadence in keyframes (0 = mesh only on demand);
+    # reference: the dense thread meshes continuously during a run
+    dense_mesh_every: int = 1
     use_lines: bool = False
     max_lines: int = 128
     sensor: str = "rgbd"  # "rgbd" | "stereo" | "mono"
@@ -144,12 +147,25 @@ class SystemConfig:
     # per-fetch latency is the budget; depth N divides it by N at the cost
     # of up-to-N-frame-stale match candidates and KF decisions)
     pipeline_depth: int = 1
+    # double-buffered resolve: the window's blocking device_get runs on a
+    # helper thread so device execution + transfer of group N overlaps the
+    # host-side finish of group N-1 and the assembly of group N+1 (all
+    # dispatches and map mutations stay on the tracking thread). Raises
+    # worst-case candidate staleness to 2*pipeline_depth frames.
+    pipeline_overlap: bool = True
     # route the heavy global solves (global BA after loop closure, the
     # essential-graph correction) through the multi-device sharded backends
     # (plvs_tpu.parallel) over a mesh of all visible devices — the SPMD
     # equivalent of the reference's single-threaded g2o global solves
     # (SURVEY.md §5.8). No-op with one device.
     sharded_backend: bool = False
+    # raise the backend solve-shape bucket floors so every realistic
+    # local-BA/maintenance problem lands in ONE precompiled shape (a fresh
+    # bucket mid-sequence pays a multi-second XLA compile inside the
+    # tracking loop; the solves are latency-bound, so padding is nearly
+    # free device-side). Realtime runs want this ON; tests keep small
+    # shapes for fast CPU compiles.
+    backend_fixed_shapes: bool = False
     # depth-map upload decimation on the packed fast path: depth ships at
     # 1/N resolution and is nearest-upsampled on device (fresh-content
     # upload bandwidth through a remote-device link is the per-frame
@@ -246,6 +262,7 @@ class System:
         self.tracker.depth_decimation = c.depth_upload_decimation
         self.tracker.pipelined = c.pipelined and not c.use_imu
         self.tracker.pipeline_depth = max(1, c.pipeline_depth)
+        self.tracker.overlap_fetch = c.pipeline_overlap
         self.tracker.on_resolved = self._on_resolved
         self._pending_payloads = {}
         if self.cam2 is not None and self.t_lr is not None:
@@ -261,6 +278,7 @@ class System:
             # the temporal preintegration chain (the reference likewise
             # restricts culling of temporal neighbours in inertial mode)
             kf_culling=not c.use_imu,
+            fixed_shapes=c.backend_fixed_shapes,
         )
         self.loop_closer = (
             LoopCloser(self.store, kfdb=self.kfdb, cam=cam)
@@ -284,6 +302,8 @@ class System:
             self.dense_mapper = DenseMapper(
                 cam, voxel_size=c.dense_voxel_size,
                 use_segmentation=c.dense_segmentation,
+                mesh_every=c.dense_mesh_every,
+                fixed_shapes=c.backend_fixed_shapes,
             )
         self.inertial = None
         if c.use_imu:
@@ -297,6 +317,10 @@ class System:
                 R_bc, t_bc = T[:3, :3], T[:3, 3]
                 kwargs["R_cb"] = np.ascontiguousarray(R_bc.T)
                 kwargs["t_cb"] = (-R_bc.T @ t_bc).astype(np.float32)
+            # monocular maps are born up-to-scale: the inertial init
+            # estimates the metric scale and rescales the map (reference:
+            # the mbMonocular branch of InitializeIMU)
+            kwargs["fix_scale"] = c.sensor != "mono"
             self.inertial = InertialRuntime(**kwargs)
         # planar map objects (reference: MapObject.* yaml enables detection
         # in Tracking + Sim3 refinement in local BA, src/Tracking.cc:1510-1544)
@@ -323,6 +347,8 @@ class System:
 
         self.stopwatch = Stopwatch()
         self.local_mapper.stopwatch = self.stopwatch
+        if self.dense_mapper is not None:
+            self.dense_mapper.stopwatch = self.stopwatch
         if self.loop_closer is not None:
             self.loop_closer.stopwatch = self.stopwatch
 
@@ -422,6 +448,18 @@ class System:
         self.inertial.on_keyframe(kf_id, self._last_kf_ts, timestamp,
                                   self.store)
         self._last_kf_ts = timestamp
+        s = self.inertial.consume_scale_correction()
+        if s is not None:
+            # the monocular-inertial init rescaled the map: mirror the
+            # scale onto the tracker state and the recorded trajectory so
+            # past and future poses live in the same (now metric) frame
+            tr = self.tracker
+            tr.t = (tr.t * s).astype(np.float32)
+            tr.vel_t = (tr.vel_t * s).astype(np.float32)
+            self.trajectory = [(ts, R, (t * s).astype(np.float32))
+                               for ts, R, t in self.trajectory]
+            self._traj_rel = [(ts, uid, R, (t * s).astype(np.float32))
+                              for ts, uid, R, t in self._traj_rel]
         if self.inertial.initialized:
             self.inertial.vi_local_ba(self.cam, self.store, kf_id)
             # an initialized IMU earns predicted-pose coasting through
@@ -460,16 +498,21 @@ class System:
     def _backend_keyframe(self, kf_id: int, dense_payload=None):
         """Everything downstream of keyframe creation. Runs inline in
         synchronous mode, on the MapperActor thread in async mode."""
-        # queue the BoW vocabulary descent NOW: its completion rides the
-        # local mapper's batched await, so the loop closer's add() pays no
-        # extra link round trip
+        # queue the BoW vocabulary descent NOW: its RESULT is fetched inside
+        # the local mapper's first batched await, so the loop closer's add()
+        # pays no extra link round trip at all (a separate np.asarray on the
+        # in-flight array would still cost the ~25 ms flat fetch RPC even
+        # when the execution itself finished long ago — measured)
         bow_fut = None
         if self.loop_closer is not None:
             st = self.store
             bow_fut = self.kfdb.dispatch_quantize(st.kf_kp_desc[kf_id])
         if self.config.local_ba:
             with self.stopwatch.scope("local_mapping"):
-                self.local_mapper.process_keyframe(kf_id)
+                fetched_words = self.local_mapper.process_keyframe(
+                    kf_id, extra_fetch=bow_fut)
+                if fetched_words is not None:
+                    bow_fut = np.asarray(fetched_words)
         if self.object_store is not None:
             # Sim3 refinement against the observing keyframes (reference:
             # object vertices in local BA, src/Optimizer.cc:1115-1196)
@@ -480,10 +523,12 @@ class System:
             with self.stopwatch.scope("dense_mapping"):
                 if kind == "rgbd":
                     _, gray, depth = dense_payload
-                    color = np.repeat(
-                        np.asarray(gray, np.float32)[..., None], 3, -1)
+                    # grayscale color plane: the integrator broadcasts it
+                    # into the RGB color volume on device (a replicated
+                    # [H, W, 3] float upload costs 3x the link bytes)
                     self.dense_mapper.insert_keyframe_rgbd(
-                        kf_id, color, np.asarray(depth, np.float32),
+                        kf_id, np.asarray(gray, np.float32),
+                        np.asarray(depth, np.float32),
                         self.store.kf_R[kf_id], self.store.kf_t[kf_id])
                 else:
                     _, gl, gr = dense_payload

@@ -649,6 +649,16 @@ class Tracker:
         self.pipelined = False
         self.pipeline_depth = 1
         self._pending = []
+        # double-buffered resolve: the window's stacked device->host fetch
+        # runs on a helper thread so group N's device execution + transfer
+        # overlaps group N+1's host assembly and group N-1's host finish.
+        # ONLY the blocking device_get runs off-thread — every dispatch and
+        # every map mutation stays on the tracking thread (a second
+        # SUBMITTING thread stalls the single-connection tunnel; measured
+        # round 3)
+        self.overlap_fetch = False
+        self._inflight = []       # [(group, future|None, outs, t_dispatch)]
+        self._fetch_pool = None
         # every resolved frame is handed to this callback (the System's
         # post-track path: KF backend, trajectory) no matter which code
         # path triggered the resolution
@@ -737,7 +747,7 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_frame(self, fr: frame_mod.Frame, timestamp: float,
                       fl=None) -> TrackResult:
-        if self._pending and self.state != OK:
+        if (self._pending or self._inflight) and self.state != OK:
             # deferred solves are outstanding while the state machine left
             # OK (reset/reloc path entered out-of-band): finish them first
             self.resolve_batch(force=True)
@@ -998,8 +1008,12 @@ class Tracker:
         paths (separate-frame and whole-frame-packed). Returns None when
         the fused preconditions fail (no candidates yet)."""
         # motion-model prediction, extrapolated across any unresolved
-        # pipeline lag (self.R/vel describe the last RESOLVED frame)
-        lag = len(self._pending) if self.pipelined else 0
+        # pipeline lag (self.R/vel describe the last RESOLVED frame) —
+        # frames awaiting their in-flight fetch count toward the lag too
+        lag = 0
+        if self.pipelined:
+            lag = len(self._pending) + sum(
+                len(g) for g, _f, _o in self._inflight)
         R_pred, t_pred = self.R, self.t
         for _ in range(lag + 1):
             t_pred = (self.vel_R @ t_pred + self.vel_t).astype(np.float32)
@@ -1109,6 +1123,10 @@ class Tracker:
     def _launch_group(self, group):
         """Stack the group's packed [image|meta] rows into ONE upload and
         dispatch each frame's whole-frame program (fills ctx out/fr/fl)."""
+        import os as _os
+        import time as _time
+
+        _t0 = _time.perf_counter()
         G = 1
         while G < len(group):
             G *= 2
@@ -1136,6 +1154,14 @@ class Tracker:
                     icap=asm["icap"], check_rotation=self.check_rotation,
                     prior_info=asm["prior"], dec=self.depth_decimation)
                 c["out"], c["fr"] = out, fr
+        if _os.environ.get("PLVS_DEBUG_BA_SHAPES"):
+            import sys as _sys
+
+            el = (_time.perf_counter() - _t0) * 1e3
+            if el > 200.0:
+                print(f"launch_group SLOW (compile?): {el:.0f} ms "
+                      f"G={G} icap={group[0]['asm']['icap']} "
+                      f"n={len(group)}", file=_sys.stderr)
 
     def _group_key(self, c):
         """Shape signature for batching pending solves into one transfer."""
@@ -1208,33 +1234,56 @@ class Tracker:
 
     def resolve_batch(self, force: bool = False) -> int:
         """Deferred pipeline: when the in-flight window is full (or on
-        ``force``), fetch ALL outstanding solves in one stacked transfer and
-        finish them in order, feeding each result to ``on_resolved``.
+        ``force``), dispatch ALL outstanding solves (one stacked upload +
+        one fetch per shape group) and finish them in order, feeding each
+        result to ``on_resolved``. With ``overlap_fetch`` the blocking
+        device_get runs on a helper thread and the group is finished at the
+        NEXT drain — group N's device execution + transfer overlaps group
+        N+1's host assembly and group N's host finish overlaps group N+1's
+        device time (double buffering; at most one group stays in flight).
         Returns the number of frames resolved."""
-        if not self._pending:
-            return 0
-        if not force and len(self._pending) < self.pipeline_depth:
-            return 0
-        pending, self._pending = self._pending, []
-        # group consecutive frames sharing a shape signature (capacity
-        # buckets change rarely); each group costs one stacked upload +
-        # one transfer
-        done = 0
-        i = 0
-        while i < len(pending):
-            j = i + 1
-            key = self._group_key(pending[i])
-            while j < len(pending) and self._group_key(pending[j]) == key:
-                j += 1
-            group = pending[i:j]
-            import time as _time
+        import time as _time
 
+        if self._pending and (force
+                              or len(self._pending) >= self.pipeline_depth):
+            pending, self._pending = self._pending, []
+            # group consecutive frames sharing a shape signature (capacity
+            # buckets change rarely); each group costs one stacked upload +
+            # one transfer
+            i = 0
+            while i < len(pending):
+                j = i + 1
+                key = self._group_key(pending[i])
+                while j < len(pending) and self._group_key(pending[j]) == key:
+                    j += 1
+                group = pending[i:j]
+                deferred = [c for c in group if c.get("out") is None]
+                if deferred:
+                    self._launch_group(deferred)
+                outs = tuple(p["out"] for p in group)
+                fut = None
+                if self.overlap_fetch:
+                    if self._fetch_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        self._fetch_pool = ThreadPoolExecutor(
+                            max_workers=1, thread_name_prefix="plvs-fetch")
+                    fut = self._fetch_pool.submit(jax.device_get, outs)
+                self._inflight.append((group, fut, outs))
+                i = j
+
+        # drain in FIFO order: everything on force / non-overlap mode,
+        # otherwise leave (at most) the newest still-running group in flight
+        done = 0
+        while self._inflight:
+            if (not force and self.overlap_fetch
+                    and len(self._inflight) <= 1
+                    and not self._inflight[0][1].done()):
+                break
+            group, fut, outs = self._inflight.pop(0)
             t0 = _time.perf_counter()
-            deferred = [c for c in group if c.get("out") is None]
-            if deferred:
-                self._launch_group(deferred)
-            # one device_get call fetches the whole group in one latency tick
-            bufs = jax.device_get(tuple(p["out"] for p in group))
+            # one device_get fetches the whole group in one latency tick
+            bufs = fut.result() if fut is not None else jax.device_get(outs)
             t1 = _time.perf_counter()
             for p, buf in zip(group, bufs):
                 res = self._finish_fused(np.asarray(buf), p)
@@ -1244,7 +1293,6 @@ class Tracker:
             if self.timing is not None:
                 self.timing.append((t1 - t0, _time.perf_counter() - t1,
                                     len(group)))
-            i = j
         return done
 
     def _track(self, fr: frame_mod.Frame, timestamp: float,
@@ -1417,13 +1465,15 @@ class Tracker:
         (the tracker half of System::Reset / ResetActiveMap)."""
         # finish deferred frames first: silently dropping them would leave
         # their trajectory entries and pending dense payloads orphaned
-        if self._pending:
+        if self._pending or self._inflight:
             try:
                 self.resolve_batch(force=True)
             except Exception:
                 self._pending = []
+                self._inflight = []
         self.state = NOT_INITIALIZED
         self._pending = []
+        self._inflight = []
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
