@@ -65,6 +65,11 @@ class DenseMapper:
     # incremental-mesh cadence in keyframes (0 = on demand only);
     # reference: the dense thread meshes continuously during a run
     mesh_every: int = 0
+    # max blocks extracted per incremental mesh update (0 = unbounded);
+    # the rest carries over FIFO so per-KF mesh cost is bounded while the
+    # mesh still converges to complete (voxblox's mesh thread likewise
+    # lags the integrator)
+    mesh_budget: int = 160
     # one precompiled integrator shape for the whole run (realtime)
     fixed_shapes: bool = False
     stopwatch: object | None = None  # optional fine-grained stage timing
@@ -157,7 +162,8 @@ class DenseMapper:
         if self.mesh_every and self._n_inserted % self.mesh_every == 0:
             self.mesher.stopwatch = self.stopwatch
             with self._scope("dense.mesh"):
-                self.mesher.update(assemble=False)
+                self.mesher.update(assemble=False,
+                                   budget=self.mesh_budget or None)
             self.remesh_counts.append(self.mesher.last_n_remeshed)
 
     def _scope(self, name: str):

@@ -279,7 +279,14 @@ class IncrementalMesher:
         self.min_weight = min_weight
         self._block_tris: dict[int, np.ndarray] = {}  # slot -> [F,3,3]
         self._meshed_version: dict[int, int] = {}
+        # budgeted updates: FIFO carry-over queue of dirty slots so a
+        # bounded number of blocks is extracted per keyframe and the rest
+        # amortize over later updates (voxblox's mesh thread similarly runs
+        # at its own pace behind the integrator)
+        self._queue: list[int] = []
+        self._queued: set[int] = set()
         self.last_n_remeshed = 0
+        self.pending = 0          # dirty blocks deferred by the last budget
         self.stopwatch = None  # optional fine-grained stage timing
 
     def _scope(self, name: str):
@@ -313,14 +320,30 @@ class IncrementalMesher:
             dirty[list(extra)] = True
         return np.nonzero(dirty)[0]
 
-    def update(self, assemble: bool = True):
+    def update(self, assemble: bool = True, budget: int | None = None):
         """Re-mesh dirty blocks; returns (vertices [V,3], faces [F,3])
         for the full up-to-date mesh (``assemble=False`` skips the
         full-mesh concatenation — per-KF incremental refreshes only need
-        the per-block caches updated)."""
+        the per-block caches updated). ``budget`` bounds the number of
+        blocks extracted this call; the remainder stays queued FIFO for
+        the next update (unbudgeted calls drain everything)."""
         vol = self.volume
         with self._scope("dense.mesh.dirty"):
-            slots = self._dirty_slots()
+            for s in self._dirty_slots():
+                s = int(s)
+                if s not in self._queued:
+                    self._queued.add(s)
+                    self._queue.append(s)
+            if budget is not None and budget < len(self._queue):
+                take, self._queue = (self._queue[:budget],
+                                     self._queue[budget:])
+            else:
+                take, self._queue = self._queue, []
+            for s in take:
+                self._queued.discard(s)
+            self.pending = len(self._queue)
+            slots = np.asarray(sorted(s for s in take
+                                      if s < vol.n_blocks), np.int64)
         self.last_n_remeshed = len(slots)
         if len(slots):
             with self._scope("dense.mesh.extract"):
@@ -358,6 +381,9 @@ class IncrementalMesher:
         """Forget all cached blocks (after volume reset / rebuild)."""
         self._block_tris.clear()
         self._meshed_version.clear()
+        self._queue.clear()
+        self._queued.clear()
+        self.pending = 0
 
 
 def save_mesh_ply(path: str, V: np.ndarray, F: np.ndarray):

@@ -9,9 +9,126 @@ intersection; depth is exact.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..geometry import cameras as cam_mod
+
+
+@dataclasses.dataclass
+class SensorModel:
+    """RGB-D sensor-artifact model applied on top of the ideal renderers.
+
+    The reference is validated on real Kinect/Asus captures (TUM RGB-D,
+    SURVEY.md §6); the ideal ray-traced frames here have none of those
+    sensors' defects, so ATE gates pass in conditions no real run would
+    see. This model injects the dominant ones:
+
+    - photometric: additive Gaussian read noise + per-frame exposure gain
+      jitter (auto-exposure hunting),
+    - motion blur: 1-D blur of the gray image along the apparent image
+      motion between consecutive frames (length ~ pixel flow x shutter
+      fraction, capped),
+    - depth quantization: structured-light disparity is quantized in steps
+      (Kinect ~1/8 px), so depth comes back staircased with error growing
+      ~z^2 (d = bf/z rounding),
+    - axial depth noise: sigma_z(z) = noise_at_1m * z^2 (the standard
+      Khoshelham model shape, also the reference's SigmaZ weighting
+      include/Utils.h sigma-depth model),
+    - edge shadowing: depth invalidated in a band around strong depth
+      discontinuities (the emitter/receiver parallax shadow) plus sparse
+      random speckle dropout.
+    """
+
+    photometric_sigma: float = 2.5   # gray DN
+    exposure_jitter: float = 0.03    # multiplicative gain sd per frame
+    shutter_fraction: float = 0.5    # fraction of inter-frame motion blurred
+    blur_max_px: float = 6.0
+    disparity_step: float = 0.125    # px; 0 disables quantization
+    stereo_bf: float = 40.0          # disparity bf fallback when cam.bf == 0
+    depth_noise_at_1m: float = 0.0015  # m (sigma ~ this * z^2)
+    edge_shadow_px: int = 2          # half-width of invalid discontinuity band
+    edge_grad_m: float = 0.10        # depth-jump threshold (m / px)
+    dropout_frac: float = 0.002      # random invalid-pixel speckle
+    seed: int = 0
+
+    def _rng(self, frame_idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, frame_idx]))
+
+    # ------------------------------------------------------------------
+    def apply(self, gray: np.ndarray, depth: np.ndarray, frame_idx: int,
+              bf: float = 0.0, flow_px: np.ndarray | None = None):
+        """Return (gray', depth') with sensor artifacts. ``flow_px`` is the
+        apparent image-motion vector (du, dv) since the previous frame for
+        motion blur; None/zero skips the blur."""
+        rng = self._rng(frame_idx)
+        g = gray.astype(np.float32)
+
+        if flow_px is not None and self.shutter_fraction > 0:
+            L = float(np.hypot(*flow_px)) * self.shutter_fraction
+            L = min(L, self.blur_max_px)
+            if L >= 1.0:
+                g = _directional_blur(g, np.asarray(flow_px, np.float64), L)
+
+        gain = 1.0 + self.exposure_jitter * rng.standard_normal()
+        g = g * gain + self.photometric_sigma * \
+            rng.standard_normal(g.shape).astype(np.float32)
+        g = np.clip(g, 0.0, 255.0)
+
+        d = depth.astype(np.float32).copy()
+        valid = d > 1e-6
+
+        if self.edge_shadow_px > 0:
+            from scipy.ndimage import binary_dilation
+
+            gy, gx = np.gradient(np.where(valid, d, 0.0))
+            edge = (np.abs(gy) > self.edge_grad_m) | \
+                   (np.abs(gx) > self.edge_grad_m)
+            edge &= valid
+            if edge.any():
+                band = binary_dilation(edge, iterations=self.edge_shadow_px)
+                valid &= ~band
+
+        if self.depth_noise_at_1m > 0:
+            sig = self.depth_noise_at_1m * np.square(d)
+            d = d + sig * rng.standard_normal(d.shape).astype(np.float32)
+
+        if self.disparity_step > 0:
+            bf_eff = bf if bf > 1e-6 else self.stereo_bf
+            disp = bf_eff / np.where(valid, d, 1.0)
+            disp = np.round(disp / self.disparity_step) * self.disparity_step
+            d = np.where(disp > 1e-6, bf_eff / np.maximum(disp, 1e-6), d)
+
+        if self.dropout_frac > 0:
+            valid &= rng.random(d.shape) >= self.dropout_frac
+
+        return g, np.where(valid, d, 0.0).astype(np.float32)
+
+
+def _directional_blur(img: np.ndarray, direction: np.ndarray,
+                      length_px: float) -> np.ndarray:
+    """Box blur along ``direction`` with total extent ``length_px`` (line
+    kernel rasterized into a small 2-D stencil; linear motion blur)."""
+    from scipy.ndimage import convolve
+
+    n = max(int(np.ceil(length_px)), 1)
+    dnorm = np.linalg.norm(direction)
+    u = direction / dnorm if dnorm > 1e-9 else np.array([1.0, 0.0])
+    half = (n - 1) / 2.0
+    r = int(np.ceil(half)) + 1
+    k = np.zeros((2 * r + 1, 2 * r + 1), np.float32)
+    taps = max(2 * n, 2)
+    for s in np.linspace(-half, half, taps):
+        x, y = r + s * u[0], r + s * u[1]
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        for dy_, wy in ((0, 1 - fy), (1, fy)):
+            for dx_, wx in ((0, 1 - fx), (1, fx)):
+                k[y0 + dy_, x0 + dx_] += wx * wy
+    k /= k.sum()
+    return convolve(img, k, mode="nearest")
 
 
 def make_texture(size: int = 1024, rng: np.random.Generator | None = None) -> np.ndarray:
@@ -100,6 +217,22 @@ def make_structured_texture(size: int = 2048,
         tex[y:y + h, x:x + w] = rng.uniform(90, 250)
     tex += rng.normal(size=tex.shape).astype(np.float32) * 2.0
     return np.clip(tex, 0, 255)
+
+
+def _center_flow(cam: cam_mod.Camera, prev_R, prev_t, prev_depth,
+                 R, t) -> np.ndarray | None:
+    """Apparent image-plane motion (du, dv) of the scene point seen at the
+    image center of the previous frame — drives the motion-blur length.
+    Host-side pinhole approximation (adequate for blur even on fisheye)."""
+    d0 = float(prev_depth) if prev_depth > 1e-3 else 3.0
+    X_w = prev_R.T @ (np.array([0.0, 0.0, d0], np.float64) - prev_t)
+    X_c = R @ X_w + t
+    if X_c[2] <= 1e-6:
+        return None
+    fx, fy, cx, cy = (float(p) for p in cam.params[:4])
+    u = fx * X_c[0] / X_c[2] + cx
+    v = fy * X_c[1] / X_c[2] + cy
+    return np.array([u - cx, v - cy], np.float64)
 
 
 def _so3_exp_np(w: np.ndarray) -> np.ndarray:
@@ -202,9 +335,18 @@ class SyntheticRoom:
         depth[~np.isfinite(depth)] = 0.0
         return gray.reshape(h, w), depth.reshape(h, w)
 
-    def sequence(self, poses, fps: float = 30.0):
+    def sequence(self, poses, fps: float = 30.0,
+                 sensor: "SensorModel | None" = None):
+        prev = None
         for i, (R, t) in enumerate(poses):
             gray, depth = self.render(R, t)
+            if sensor is not None:
+                flow = None if prev is None else _center_flow(
+                    self.cam, prev[0], prev[1], prev[2], R, t)
+                h, w = depth.shape
+                prev = (R, t, float(depth[h // 2, w // 2]))
+                gray, depth = sensor.apply(gray, depth, i, bf=self.cam.bf,
+                                           flow_px=flow)
             yield i / fps, gray, depth, R, t
 
 
@@ -287,8 +429,17 @@ class SyntheticRGBD:
         depth = np.where(invalid, 0.0, depth)
         return gray, depth
 
-    def sequence(self, poses=None, n_frames: int = 60, fps: float = 30.0):
+    def sequence(self, poses=None, n_frames: int = 60, fps: float = 30.0,
+                 sensor: "SensorModel | None" = None):
         poses = poses if poses is not None else default_trajectory(n_frames)
+        prev = None
         for i, (R, t) in enumerate(poses):
             gray, depth = self.render(R, t)
+            if sensor is not None:
+                flow = None if prev is None else _center_flow(
+                    self.cam, prev[0], prev[1], prev[2], R, t)
+                h, w = depth.shape
+                prev = (R, t, float(depth[h // 2, w // 2]))
+                gray, depth = sensor.apply(gray, depth, i, bf=self.cam.bf,
+                                           flow_px=flow)
             yield i / fps, gray, depth, R, t

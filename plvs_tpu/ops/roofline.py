@@ -91,9 +91,11 @@ def hamming_roofline(Q: int = 1024, K: int = 1024) -> dict:
 
     def step(c):
         out = hamming_matrix(c, d2)
-        # fold one output element back into the carry: a true data
-        # dependency between iterations without meaningful extra work
-        return c ^ out[0, 0].astype(jnp.uint32)
+        # fold a FULL reduction of the output back into the carry: a
+        # single-element dependency (out[0,0]) lets XLA narrow the whole
+        # matmul to one row and the differential collapses to ~0 (measured
+        # as an absurd 5e5% of speed-of-light in BENCH_r04's first run)
+        return c ^ out.sum().astype(jnp.uint32)
 
     # fast kernel: long chains so the differential rises above timer noise
     s_per = time_repeated(step, d1, iters=128)
@@ -226,14 +228,23 @@ def pipeline_device_times(width: int = 640, height: int = 480,
     g = jnp.asarray(rng.uniform(0, 255, (height, width)).astype(np.float32))
     d = jnp.asarray(np.full((height, width), 2.5, np.float32))
 
+    def _all_leaves(tree):
+        # depend on EVERY output of the program: a single-element carry
+        # dependency lets XLA dead-code-eliminate whole stages (e.g. the
+        # ORB/LBD descriptor samplers) and the "device time" undercounts
+        s = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(tree):
+            s = s + jnp.sum(leaf).astype(jnp.float32) * 1e-12
+        return s
+
     out = {}
     out["frame_build_ms"] = time_repeated(
-        lambda c: c + frame_mod.build_frame_rgbd(
-            g + c, d, cam, num_features, n_levels, 1.2).kp.xy[0, 0] * 1e-9,
+        lambda c: c + _all_leaves(frame_mod.build_frame_rgbd(
+            g + c, d, cam, num_features, n_levels, 1.2)),
         jnp.float32(0.0), iters=8) * 1e3
     out["line_extract_ms"] = time_repeated(
-        lambda c: c + frame_mod.build_frame_lines(
-            g + c, d, cam, max_lines).kl.sp[0, 0] * 1e-9,
+        lambda c: c + _all_leaves(frame_mod.build_frame_lines(
+            g + c, d, cam, max_lines)),
         jnp.float32(0.0), iters=8) * 1e3
     return out
 

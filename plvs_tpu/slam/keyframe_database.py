@@ -12,10 +12,12 @@ and queries return L1 similarity + shared-word counts with the reference's
 0.8·max-common-words prefilter. A dense [K, W] numpy fallback keeps the
 module working when the native toolchain is unavailable.
 
-The default vocabulary is the shipped 10k-word tree
-(plvs_tpu/vocab/data/voc_10k.npz, built by scripts/train_vocab.py — the
-reference ships a pre-trained ~1M-leaf ORBvoc, src/System.cc:158-196);
-lazy in-session training remains the last-resort fallback.
+The default vocabulary is the largest shipped tree — voc_100k.npz (k=10,
+depth=5) when present, else voc_10k.npz — built by scripts/train_vocab.py
+(the reference ships a pre-trained ~1M-leaf ORBvoc, src/System.cc:158-196);
+lazy in-session training remains the last-resort fallback. The non-native
+fallback keeps BoW vectors SPARSE (per-KF word lists scored by set
+intersection) so a 100k-word vocabulary costs no dense [K, W] storage.
 """
 
 from __future__ import annotations
@@ -29,9 +31,17 @@ import numpy as np
 from ..vocab import bow
 from .map_store import MapStore
 
-_DEFAULT_VOCAB = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "vocab", "data",
-    "voc_10k.npz")
+_VOCAB_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "vocab", "data")
+
+
+def _default_vocab_path() -> str:
+    big = os.path.join(_VOCAB_DIR, "voc_100k.npz")
+    return big if os.path.exists(big) else os.path.join(
+        _VOCAB_DIR, "voc_10k.npz")
+
+
+_DEFAULT_VOCAB = _default_vocab_path()
 
 
 @dataclasses.dataclass
@@ -43,7 +53,7 @@ class KeyFrameDatabase:
     use_default_vocab: bool = True
 
     def __post_init__(self):
-        self.kf_bow: np.ndarray | None = None     # dense fallback [K, W]
+        self.kf_bow = None  # legacy attribute (dense fallback removed)
         self._kf_words: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._inv = None
         self._native_ok: bool | None = None
@@ -139,27 +149,12 @@ class KeyFrameDatabase:
         if self._ensure_index():
             self._inv.remove(kf_id)   # id reuse after culling
             self._inv.add(kf_id, words, weights)
-        else:
-            self._dense_add(kf_id, words, weights)
         return True
-
-    def _dense_add(self, kf_id, words, weights):
-        st = self.store
-        if self.kf_bow is None:
-            self.kf_bow = np.zeros((st.max_kf, self.voc.n_words), np.float32)
-        if self.kf_bow.shape[0] < st.max_kf:
-            grown = np.zeros((st.max_kf, self.kf_bow.shape[1]), np.float32)
-            grown[: self.kf_bow.shape[0]] = self.kf_bow
-            self.kf_bow = grown
-        self.kf_bow[kf_id] = 0.0
-        self.kf_bow[kf_id, words] = weights
 
     def remove(self, kf_id: int):
         self._kf_words.pop(kf_id, None)
         if self._inv is not None:
             self._inv.remove(kf_id)
-        if self.kf_bow is not None:
-            self.kf_bow[kf_id] = 0.0
 
     def rebuild(self):
         """Re-index every live keyframe (used after an atlas load — the
@@ -171,7 +166,6 @@ class KeyFrameDatabase:
         if self._inv is not None:
             self._inv.close()
             self._inv = None
-        self.kf_bow = None
         for k in np.nonzero(st.kf_mask)[0]:
             self.add(int(k))
         return True
@@ -190,16 +184,22 @@ class KeyFrameDatabase:
         if self._inv is not None:
             scores, shared = self._inv.query(words, weights,
                                              max_kf=st.max_kf)
-        elif self.kf_bow is not None:
-            q = np.zeros((self.kf_bow.shape[1],), np.float32)
-            q[words] = weights
-            K = self.kf_bow.shape[0]
-            scores = 1.0 - 0.5 * np.abs(self.kf_bow - q[None]).sum(-1)
-            shared = ((self.kf_bow > 0) & (q[None] > 0)).sum(-1)
-            scores = np.where(self.kf_bow.any(-1), scores, 0.0)
-            if K < st.max_kf:
-                scores = np.pad(scores, (0, st.max_kf - K))
-                shared = np.pad(shared, (0, st.max_kf - K))
+        elif self._kf_words:
+            # sparse fallback: L1 similarity over word-set intersections
+            # (sum |a| + |b| - |a - b| over common words, both normalized)
+            scores = np.zeros((st.max_kf,), np.float32)
+            shared = np.zeros((st.max_kf,), np.int32)
+            for k, (wk, vk) in self._kf_words.items():
+                if k >= st.max_kf:
+                    continue
+                ia = np.isin(wk, words, assume_unique=True)
+                if not ia.any():
+                    continue
+                ib = np.searchsorted(words, wk[ia])
+                a, b = vk[ia], weights[ib]
+                scores[k] = 0.5 * np.sum(np.abs(a) + np.abs(b)
+                                         - np.abs(a - b))
+                shared[k] = int(ia.sum())
         else:
             return []
         live = np.zeros((st.max_kf,), bool)

@@ -23,14 +23,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(1).astype(np.uint8)
+
+
 def _popcount_np(x: np.ndarray) -> np.ndarray:
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    return _POP8[x.view(np.uint8)].sum(-1, dtype=np.int32)
 
 
 def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[N,8] x [M,8] uint32 -> [N,M] int Hamming."""
-    x = a[:, None, :] ^ b[None, :, :]
-    return _popcount_np(x.reshape(x.shape[0], x.shape[1], -1))
+    """[N,8] x [M,8] uint32 -> [N,M] int Hamming (chunked over N so the
+    intermediate xor stays bounded for vocabulary-scale N)."""
+    n, m = a.shape[0], b.shape[0]
+    out = np.empty((n, m), np.int32)
+    step = max(1, (1 << 21) // max(m, 1))  # <=64 MB xor intermediates
+    for i in range(0, n, step):
+        x = a[i:i + step, None, :] ^ b[None, :, :]
+        out[i:i + step] = _POP8[x.view(np.uint8)].sum(-1, dtype=np.int32)
+    return out
 
 
 def _kmedians_binary(desc: np.ndarray, k: int, rng, iters: int = 8):

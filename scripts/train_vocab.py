@@ -1,16 +1,21 @@
-"""Train and ship the default 10k-word ORB vocabulary.
+"""Train and ship ORB vocabularies (10k-word default, 100k-word product).
 
 The reference ships a ~1M-leaf ORBvoc trained offline on real imagery
 (reference: src/System.cc:158-196 loads Vocabulary/ORBvoc.bin|txt). This
-framework ships a k=10, depth=4 (10,000-word) vocabulary trained on ORB
-descriptors extracted from a few hundred procedurally generated scenes
-(blob, line, mixed and multi-scale textures) — large enough that BoW scores
-discriminate viewpoints, small enough to live in the repo (~0.5 MB npz).
+framework ships two trees trained on ORB descriptors extracted from
+procedurally generated scenes (blob, line, mixed and multi-scale 1/f
+textures):
 
-Run:  JAX_PLATFORMS=cpu python scripts/train_vocab.py
-Out:  plvs_tpu/vocab/data/voc_10k.npz
+- voc_10k.npz  (k=10, depth=4): small, used by the test suite,
+- voc_100k.npz (k=10, depth=5): the product tree — discriminative on
+  maps of hundreds of keyframes (gated by tests/test_place_recognition's
+  large-map recall test).
+
+Run:  JAX_PLATFORMS=cpu python scripts/train_vocab.py [--words 100000]
+Out:  plvs_tpu/vocab/data/voc_{10k,100k}.npz
 """
 
+import argparse
 import os
 import sys
 import time
@@ -71,19 +76,29 @@ def gather_descriptors(n_images: int = 160, feats: int = 1024) -> np.ndarray:
 def main():
     from plvs_tpu.vocab import bow
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--words", type=int, default=10_000,
+                    choices=(10_000, 100_000))
+    ap.add_argument("--images", type=int, default=0,
+                    help="descriptor-source image count (0 = per-size default)")
+    args = ap.parse_args()
+    depth = 4 if args.words == 10_000 else 5
+    n_images = args.images or (160 if args.words == 10_000 else 520)
+    name = "voc_10k.npz" if args.words == 10_000 else "voc_100k.npz"
+
     t0 = time.time()
-    print("extracting descriptors ...", flush=True)
-    desc = gather_descriptors()
+    print(f"extracting descriptors from {n_images} images ...", flush=True)
+    desc = gather_descriptors(n_images)
     print(f"{len(desc)} descriptors in {time.time() - t0:.0f}s", flush=True)
 
     t0 = time.time()
-    print("training k=10 depth=4 vocabulary ...", flush=True)
-    voc = bow.train(desc, k=10, depth=4, seed=0)
+    print(f"training k=10 depth={depth} vocabulary ...", flush=True)
+    voc = bow.train(desc, k=10, depth=depth, seed=0)
     print(f"trained in {time.time() - t0:.0f}s; {voc.n_words} words",
           flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "..", "plvs_tpu", "vocab",
-                       "data", "voc_10k.npz")
+                       "data", name)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     voc.save(out)
     print(f"saved {out}")
