@@ -153,7 +153,8 @@ def main():
         watchdog()
     system.flush()
     prepass_s = time.perf_counter() - t0
-    print(f"prepass (incl. compiles): {prepass_s:.1f}s", file=sys.stderr)
+    print(f"prepass (incl. compiles): {prepass_s:.1f}s; map: "
+          f"{system.map_statistics()}", file=sys.stderr)
 
     if system.actor is not None:
         system.actor.wait_idle(300.0)
@@ -221,12 +222,68 @@ def main():
         watchdog()
         roofline.report()
 
+    # -- loop-closure latency scenario (round-2 bar: a loop keyframe must
+    # not spike the tracker; round-3 asked for the committed measurement).
+    # The main scene is a drift sweep with no revisit, so a second short
+    # pass orbits the four-wall room 1.375 laps — the return leg closes a
+    # genuine place-recognition loop — and reports the tracker-visible
+    # per-frame stall (resolve + backend-stage time) around it.
+    if os.environ.get("PLVS_BENCH_LOOP", "1") == "1":
+        watchdog()
+        _loop_latency_scenario(cam)
+
     print(json.dumps({
         "metric": "rgbd_full_pipeline_fps_640x480_lines",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
     }))
+
+
+def _loop_latency_scenario(cam):
+    import time as _time
+
+    from plvs_tpu.io import synthetic
+
+    _, system = build_system()
+    room = synthetic.SyntheticRoom(cam, half=3.0, tex_size=2048, seed=3)
+    poses = synthetic.orbit_loop_trajectory(n_frames=96, radius=1.0,
+                                            laps=1.375)
+    def make_frames(seed):
+        # fresh depth-noise content per pass (the tunnel dedups identical
+        # (executable, input) executions — same guard as the main metric)
+        rng = np.random.default_rng(seed)
+        out = []
+        for ts, gray, depth, R, t in room.sequence(poses):
+            depth = depth + rng.normal(0, 0.01, depth.shape).astype(
+                np.float32) * depth ** 2
+            out.append((ts, gray, depth))
+        return out
+
+    # warm-up pass: the loop-correction / pose-graph programs compile on
+    # first use (the main scene never closes a loop); report steady-state
+    for ts, gray, depth in make_frames(0):
+        system.track_rgbd(gray, depth, ts)
+    system.flush()
+    _, system = build_system()
+    stalls = []
+    for ts, gray, depth in make_frames(1):
+        t0 = _time.perf_counter()
+        system.track_rgbd(gray, depth, ts)
+        stalls.append(_time.perf_counter() - t0)
+    system.flush()
+    ss = np.sort(np.asarray(stalls[1:])) * 1e3
+    print(f"loop scenario: loops_closed={len(system.loops_closed)}, "
+          f"per-frame tracker stall ms: p50={ss[int(0.5 * (len(ss) - 1))]:.1f}"
+          f" p99={ss[int(0.99 * (len(ss) - 1))]:.1f} max={ss[-1]:.1f}",
+          file=sys.stderr)
+    res = system.stopwatch.samples.get("resolve", [])
+    if res:
+        rs = np.sort(np.asarray(res)) * 1e3
+        print(f"loop scenario resolve ms: "
+              f"p50={rs[int(0.5 * (len(rs) - 1))]:.1f} "
+              f"p99={rs[int(0.99 * (len(rs) - 1))]:.1f} max={rs[-1]:.1f}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -126,6 +126,21 @@ class DenseMapper:
         """``color`` may be [H, W, 3] RGB or [H, W] grayscale (broadcast
         into the color volume on device — a replicated RGB upload costs 3x
         the link bytes for nothing)."""
+        self._insert_rgbd_core(kf_id, color, depth, Rcw, tcw)
+        if self._mesh_due():
+            self.mesher.stopwatch = self.stopwatch
+            with self._scope("dense.mesh"):
+                self.mesher.update(assemble=False,
+                                   budget=self.mesh_budget or None)
+            self.remesh_counts.append(self.mesher.last_n_remeshed)
+
+    def _mesh_due(self) -> bool:
+        return bool(self.mesh_every
+                    and self._n_inserted % self.mesh_every == 0)
+
+    def _insert_rgbd_core(self, kf_id: int, color: np.ndarray,
+                          depth: np.ndarray, Rcw: np.ndarray,
+                          tcw: np.ndarray):
         raw = np.asarray(depth, np.float32)
         if self.filter_depth and self.use_segmentation:
             # segmentation consumes the filtered depth on host
@@ -159,12 +174,40 @@ class DenseMapper:
             self.volume.remove_unstable()
             if self.coarse is not None:
                 self.coarse.remove_unstable()
-        if self.mesh_every and self._n_inserted % self.mesh_every == 0:
-            self.mesher.stopwatch = self.stopwatch
-            with self._scope("dense.mesh"):
-                self.mesher.update(assemble=False,
-                                   budget=self.mesh_budget or None)
-            self.remesh_counts.append(self.mesher.last_n_remeshed)
+
+    def insert_stages(self, kind: str, kf_id: int, a: np.ndarray,
+                      b: np.ndarray, Rcw: np.ndarray, tcw: np.ndarray,
+                      submit):
+        """Staged insert for the interleaved backend (generator — the
+        tracking loop interleaves frames at every yield): integrate now,
+        fetch the changed-block masks on a helper thread, then mesh across
+        two later stages (gather dispatch / host triangle generation)."""
+        if kind == "rgbd":
+            self._insert_rgbd_core(kf_id, a, b, Rcw, tcw)
+        else:
+            disp = disparity(jnp.asarray(a), jnp.asarray(b), max_disp=64)
+            depth = np.asarray(disparity_to_depth(disp, self.cam.bf))
+            self._insert_rgbd_core(kf_id,
+                                   np.repeat(a[..., None], 3, axis=-1),
+                                   depth, Rcw, tcw)
+        mesh_due = self._mesh_due()
+        touched_ctx = (self.volume.dispatch_touched(submit)
+                       if mesh_due else None)
+        # yield the in-flight futures: the interleaved driver resumes each
+        # stage only once its fetch completed (see local_mapping stages)
+        yield None if touched_ctx is None else touched_ctx[1]
+        if not mesh_due:
+            return
+        self.mesher.stopwatch = self.stopwatch
+        with self._scope("dense.mesh"):
+            self.volume.apply_touched(touched_ctx)
+            ctx = self.mesher.update_begin(budget=self.mesh_budget or None)
+        fut = submit(ctx["out"]) if ctx is not None else None
+        yield fut
+        with self._scope("dense.mesh"):
+            self.mesher.update_finish(
+                ctx, None if fut is None else fut.result())
+        self.remesh_counts.append(self.mesher.last_n_remeshed)
 
     def _scope(self, name: str):
         if self.stopwatch is None:

@@ -92,17 +92,16 @@ def _gather_padded(tsdf, weight, idx, nbidx, min_weight: float = 1.0):
     return pt, pw, mask
 
 
-def _padded_fields(volume: TSDFVolume, slots: np.ndarray,
-                   min_weight: float = 1.0):
-    """Each listed block's [S+1]^3 tsdf/weight (neighbor faces pulled in
-    through the block table, so cubes straddling block boundaries are
-    meshed too — voxblox's MeshIntegrator handles the same case with
-    neighbor lookups) plus the surface-cube mask.
-
-    The gather + padding + cube detection run ON DEVICE over only the
-    listed blocks (a full-volume mirror is tens of MB and invalidated by
-    every integrate; building padded corner stacks host-side was most of
-    the per-KF mesh time)."""
+def _padded_fields_dispatch(volume: TSDFVolume, slots: np.ndarray,
+                            min_weight: float = 1.0):
+    """Dispatch half of the padded-field gather: each listed block's
+    [S+1]^3 tsdf/weight (neighbor faces pulled in through the block table,
+    so cubes straddling block boundaries are meshed too — voxblox's
+    MeshIntegrator handles the same case with neighbor lookups) plus the
+    surface-cube mask, queued ON DEVICE (a full-volume mirror is tens of
+    MB and invalidated by every integrate; building padded corner stacks
+    host-side was most of the per-KF mesh time). Returns in-flight device
+    arrays (pt, pw, mask)."""
     n = len(slots)
     coords = volume.block_coords[slots]
     bmap = volume.block_map
@@ -126,9 +125,16 @@ def _padded_fields(volume: TSDFVolume, slots: np.ndarray,
     idx_p[:n] = slots
     nb_p = np.full((cap, len(_NEIGHBOR_FILLS)), -1, np.int64)
     nb_p[:n] = nb_idx
-    pt, pw, mask = jax.device_get(_gather_padded(
+    return _gather_padded(
         d["tsdf"], d["weight"], jnp.asarray(idx_p), jnp.asarray(nb_p),
-        min_weight=float(min_weight)))
+        min_weight=float(min_weight))
+
+
+def _padded_fields(volume: TSDFVolume, slots: np.ndarray,
+                   min_weight: float = 1.0):
+    n = len(slots)
+    pt, pw, mask = jax.device_get(
+        _padded_fields_dispatch(volume, slots, min_weight))
     return (np.asarray(pt)[:n], np.asarray(pw)[:n],
             np.asarray(mask)[:n])
 
@@ -143,10 +149,15 @@ def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
     slots = np.asarray(slots, np.int64)
     if len(slots) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
+    tsdf, weight, cube_mask = _padded_fields(volume, slots, min_weight)
+    return _triangles_from_fields(volume, slots, tsdf, cube_mask)
+
+
+def _triangles_from_fields(volume: TSDFVolume, slots: np.ndarray,
+                           tsdf: np.ndarray, cube_mask: np.ndarray):
+    """Host half of marching tetrahedra, given the fetched padded fields."""
     S = BLOCK
     vs = volume.voxel_size
-
-    tsdf, weight, cube_mask = _padded_fields(volume, slots, min_weight)
     b, zi, yi, xi = np.nonzero(cube_mask)
     if len(b) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
@@ -320,13 +331,13 @@ class IncrementalMesher:
             dirty[list(extra)] = True
         return np.nonzero(dirty)[0]
 
-    def update(self, assemble: bool = True, budget: int | None = None):
-        """Re-mesh dirty blocks; returns (vertices [V,3], faces [F,3])
-        for the full up-to-date mesh (``assemble=False`` skips the
-        full-mesh concatenation — per-KF incremental refreshes only need
-        the per-block caches updated). ``budget`` bounds the number of
-        blocks extracted this call; the remainder stays queued FIFO for
-        the next update (unbudgeted calls drain everything)."""
+    def update_begin(self, budget: int | None = None):
+        """Stage 1 of a budgeted update: fold fresh dirty blocks into the
+        FIFO carry-over queue, take up to ``budget`` of them and DISPATCH
+        their padded-field gather on the device. Returns a ctx for
+        :meth:`update_finish` (its ``out`` is the in-flight device tuple —
+        interleaved callers hand it to a helper-thread fetch), or None when
+        nothing needs meshing."""
         vol = self.volume
         with self._scope("dense.mesh.dirty"):
             for s in self._dirty_slots():
@@ -345,26 +356,56 @@ class IncrementalMesher:
             slots = np.asarray(sorted(s for s in take
                                       if s < vol.n_blocks), np.int64)
         self.last_n_remeshed = len(slots)
-        if len(slots):
-            with self._scope("dense.mesh.extract"):
-                tri, tri_slot = _extract_triangles(vol, slots,
-                                                   self.min_weight)
+        if not len(slots):
+            return None
+        # snapshot versions NOW: an integrate may bump block_version between
+        # the staged begin and finish, and that newer content is NOT in the
+        # gathered fields — it must stay dirty for the next update
+        return {"slots": slots,
+                "versions": vol.block_version[slots].copy(),
+                "out": _padded_fields_dispatch(vol, slots, self.min_weight)}
+
+    def update_finish(self, ctx, fetched=None):
+        """Stage 2: host-side marching tetrahedra over the gathered fields
+        + per-block cache refresh. ``fetched``: the already-host-side
+        (pt, pw, mask) tuple from a helper-thread fetch of ctx['out']."""
+        vol = self.volume
+        if ctx is not None:
+            slots = ctx["slots"]
+            pt, _, mask = (fetched if fetched is not None
+                           else jax.device_get(ctx["out"]))
+            n = len(slots)
+            tri, tri_slot = _triangles_from_fields(
+                vol, slots, np.asarray(pt)[:n], np.asarray(mask)[:n])
             # one sort + split instead of a per-slot boolean scan (that scan
             # is O(slots * tris) and dominated per-KF incremental meshing)
             order = np.argsort(tri_slot, kind="stable")
             tri_s = tri[order]
             slot_s = tri_slot[order]
             bounds = np.searchsorted(slot_s, np.asarray(slots, slot_s.dtype))
-            bounds_hi = np.searchsorted(slot_s, np.asarray(slots, slot_s.dtype),
+            bounds_hi = np.searchsorted(slot_s,
+                                        np.asarray(slots, slot_s.dtype),
                                         side="right")
-            for s, lo, hi in zip(slots, bounds, bounds_hi):
+            for s, v, lo, hi in zip(slots, ctx["versions"], bounds,
+                                    bounds_hi):
                 self._block_tris[int(s)] = tri_s[lo:hi]
-                self._meshed_version[int(s)] = int(vol.block_version[s])
+                self._meshed_version[int(s)] = int(v)
         # drop cache entries for blocks that no longer exist (reset/rebuild)
         live = vol.n_blocks
         for s in [k for k in self._block_tris if k >= live]:
             del self._block_tris[s]
             self._meshed_version.pop(s, None)
+
+    def update(self, assemble: bool = True, budget: int | None = None):
+        """Re-mesh dirty blocks; returns (vertices [V,3], faces [F,3])
+        for the full up-to-date mesh (``assemble=False`` skips the
+        full-mesh concatenation — per-KF incremental refreshes only need
+        the per-block caches updated). ``budget`` bounds the number of
+        blocks extracted this call; the remainder stays queued FIFO for
+        the next update (unbudgeted calls drain everything)."""
+        ctx = self.update_begin(budget)
+        with self._scope("dense.mesh.extract"):
+            self.update_finish(ctx)
         if not assemble:
             return None, None
         if not self._block_tris:

@@ -464,6 +464,26 @@ class TSDFVolume:
             return
         pending, self._pending_touch = self._pending_touch, []
         masks = jax.device_get(tuple(ch for _, ch in pending))
+        self._apply_touched(pending, masks)
+
+    def dispatch_touched(self, submit):
+        """Staged alternative to flush_touched: hand the pending changed-
+        mask fetch to ``submit`` (fn(outs) -> future) so a helper thread
+        blocks on it while the tracking loop keeps running; pass the
+        returned ctx to :meth:`apply_touched` a stage later. None when
+        nothing is pending."""
+        if not self._pending_touch:
+            return None
+        pending, self._pending_touch = self._pending_touch, []
+        return (pending, submit(tuple(ch for _, ch in pending)))
+
+    def apply_touched(self, ctx):
+        if ctx is None:
+            return
+        pending, fut = ctx
+        self._apply_touched(pending, fut.result())
+
+    def _apply_touched(self, pending, masks):
         for (fidx, _), ch in zip(pending, masks):
             idx = np.nonzero(np.asarray(ch))[0]
             if len(idx):

@@ -97,8 +97,9 @@ def hamming_roofline(Q: int = 1024, K: int = 1024) -> dict:
         # as an absurd 5e5% of speed-of-light in BENCH_r04's first run)
         return c ^ out.sum().astype(jnp.uint32)
 
-    # fast kernel: long chains so the differential rises above timer noise
-    s_per = time_repeated(step, d1, iters=128)
+    # fast kernel (~3 us/iter): very long chains so the differential rises
+    # well above the ~1 ms flat-transport timing noise
+    s_per = time_repeated(step, d1, iters=1024)
     bytes_moved = (Q + K) * 32 + Q * K * 4
     flops = 2.0 * Q * K * 256
     return _row(f"hamming_mxu[{Q}x{K}]", s_per, bytes_moved, flops,

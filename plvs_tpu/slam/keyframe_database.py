@@ -43,6 +43,22 @@ def _default_vocab_path() -> str:
 
 _DEFAULT_VOCAB = _default_vocab_path()
 
+# one shared (vocabulary, jitted-quantize) per path for the whole process:
+# a per-System load + per-instance jit lambda re-traced AND re-compiled the
+# 100k-word tree descent on the first keyframe of every fresh System (a
+# ~1.4 s stall measured inside the timed bench pass)
+_SHARED_VOCABS: dict[str, tuple] = {}
+
+
+def _shared_vocab(path: str):
+    if path not in _SHARED_VOCABS:
+        import jax
+
+        voc = bow.load_vocabulary(path)
+        _SHARED_VOCABS[path] = (voc,
+                                jax.jit(lambda d: bow.quantize(voc, d)))
+    return _SHARED_VOCABS[path]
+
 
 @dataclasses.dataclass
 class KeyFrameDatabase:
@@ -63,7 +79,7 @@ class KeyFrameDatabase:
         if self.voc is not None:
             return True
         if self.use_default_vocab and os.path.exists(_DEFAULT_VOCAB):
-            self.voc = bow.Vocabulary.load(_DEFAULT_VOCAB)
+            self.voc, self._quantize_jit = _shared_vocab(_DEFAULT_VOCAB)
             return True
         # last resort: train from the session's own keyframes
         st = self.store

@@ -29,6 +29,27 @@ def _bucket(n: int, lo: int = 256) -> int:
 
 import functools as _functools  # noqa: E402
 
+
+class _LazyFuture:
+    """future-compatible wrapper that fetches on .result() (sync mode —
+    preserves the await's timing attribution)."""
+
+    def __init__(self, outs):
+        self._outs = outs
+
+    def result(self):
+        return _jax.device_get(self._outs)
+
+    def done(self):
+        return True
+
+
+class _SyncFetch:
+    """submit-compatible inline fetcher for the non-interleaved path."""
+
+    def __call__(self, outs):
+        return _LazyFuture(outs)
+
 import jax as _jax  # noqa: E402
 
 
@@ -146,15 +167,34 @@ class LocalMapper:
         return self.stopwatch.scope(name)
 
     def process_keyframe(self, kf_id: int, extra_fetch=None):
-        """Per-keyframe backend pass. The independent device programs (line
-        triangulation, neighbour fuse matching) are DISPATCHED first and
-        awaited in ONE device_get — through a remote tunnel each await
-        costs a flat ~25 ms regardless of compute, so the per-KF await
-        count, not kernel time, is the backend budget. ``extra_fetch``: an
-        unrelated in-flight device output (e.g. the BoW quantize) fetched in
-        the same first await; its value is returned."""
+        """Per-keyframe backend pass (synchronous drain of
+        :meth:`process_keyframe_stages`). ``extra_fetch``: an unrelated
+        in-flight device output (e.g. the BoW quantize) fetched in the same
+        first await; its value is returned."""
+        gen = self.process_keyframe_stages(kf_id, extra_fetch=extra_fetch)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def process_keyframe_stages(self, kf_id: int, extra_fetch=None,
+                                submit=None):
+        """Staged per-keyframe backend pass (generator; ``yield`` marks a
+        point where the tracking loop may interleave frames).
+
+        The independent device programs (line triangulation, neighbour fuse
+        matching) are DISPATCHED first and awaited in ONE device_get —
+        through a remote tunnel each await costs a flat ~25 ms regardless
+        of compute, so the per-KF await count, not kernel time, is the
+        backend budget. ``submit`` (fn(outs) -> future) offloads the
+        blocking fetches to a helper thread so a stage resumed one frame
+        later finds its data already host-side; None = fetch inline
+        (synchronous mode). The generator's return value is the fetched
+        ``extra_fetch``."""
         import jax as _jax
 
+        fetch = submit if submit is not None else _SyncFetch()
         lock = self.store.lock
         with self._scope("lm.cull"), lock:
             self.cull_points(kf_id)
@@ -169,10 +209,16 @@ class LocalMapper:
                        if self.use_lines else None)
             fuse_ctx = self._dispatch_fuse(kf_id)
         outs = [c["out"] for c in (tri_ctx, fuse_ctx) if c is not None]
+        fut = (fetch((tuple(outs), extra_fetch))
+               if outs or extra_fetch is not None else None)
+        # yield the in-flight future: the interleaved driver only resumes
+        # this generator once it completes (a stage resumed too early just
+        # blocks the tracking thread on .result())
+        yield fut
         extra_out = None
         with self._scope("lm.await"):
-            if outs or extra_fetch is not None:
-                fetched = list(_jax.device_get((tuple(outs), extra_fetch)))
+            if fut is not None:
+                fetched = list(fut.result())
                 extra_out = fetched[1]
                 fetched = list(fetched[0])
             else:
@@ -188,22 +234,35 @@ class LocalMapper:
             # (reference: ProcessNewKeyFrame + SearchInNeighbors both re-run
             # ComputeDistinctiveDescriptors / UpdateNormalAndDepth). The
             # normal/scale half applies immediately; the device-side
-            # descriptor vote rides the local-BA await below (one round
+            # descriptor vote rides the local-BA fetch below (one round
             # trip for both instead of two flat link latencies)
             pts = self.store.kf_kp_pt[kf_id]
             maint_ctx = self.store.dispatch_point_maintenance(
                 np.unique(pts[pts >= 0]), scale=self.scale,
                 n_levels=self.n_levels)
         with self._scope("lm.ba"):
-            extra = self.local_ba(
-                kf_id,
-                extra_fetch=None if maint_ctx is None else maint_ctx["out"])
+            ba_ctx = self._ba_dispatch_local(kf_id)
+        extra2 = None if maint_ctx is None else maint_ctx["out"]
+        if ba_ctx is not None:
+            ba_fut = fetch((ba_ctx["outs"], extra2))
+        elif extra2 is not None:
+            ba_fut = fetch(((), extra2))
+        else:
+            ba_fut = None
+        yield ba_fut
+        maint_fetched = None
+        if ba_fut is not None:
+            with self._scope("lm.ba" if ba_ctx is not None else "lm.await"):
+                solved, maint_fetched = ba_fut.result()
+            if ba_ctx is not None:
+                with self.store.lock:
+                    self._ba_apply(ba_ctx, solved)
         if maint_ctx is not None:
             with self._scope("lm.maint"), lock:
-                if extra is not None:
-                    self.store.apply_point_maintenance(maint_ctx, extra)
+                if maint_fetched is not None:
+                    self.store.apply_point_maintenance(maint_ctx,
+                                                       maint_fetched)
                 else:
-                    # BA skipped its await (degenerate window): await here
                     self.store.apply_point_maintenance(
                         maint_ctx, _jax.device_get(maint_ctx["out"]))
         if self.kf_culling:
@@ -509,16 +568,25 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def local_ba(self, kf_id: int, extra_fetch=None):
+        ctx = self._ba_dispatch_local(kf_id)
+        if ctx is None:
+            return None
+        solved, extra = _jax.device_get((ctx["outs"], extra_fetch))
+        with self.store.lock:
+            self._ba_apply(ctx, solved)
+        return extra
+
+    def _ba_dispatch_local(self, kf_id: int):
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
-        window = np.concatenate([[kf_id], covis[: self.window_size]]).astype(np.int64)
+        window = np.concatenate(
+            [[kf_id], covis[: self.window_size]]).astype(np.int64)
         # 5 LM x 20 CG: the windowed solve re-runs every keyframe, so its
         # marginal accuracy past this budget is noise while its device time
         # is the largest backend kernel (measured 54 ms at 6x30 vs 32 ms at
         # 4x20 for a full window; the reference's local BA likewise runs a
         # short 5-iteration schedule, src/Optimizer.cc:3198)
-        return self._window_ba(window, num_iters=5, cg_iters=20,
-                               extra_fetch=extra_fetch)
+        return self._ba_dispatch(window, num_iters=5, cg_iters=20)
 
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map
@@ -542,6 +610,24 @@ class LocalMapper:
         output to fetch in the SAME device_get as the solve results (round
         trips, not kernel time, are the backend budget); returned fetched,
         or None when the solve was skipped."""
+        ctx = self._ba_dispatch(window, num_iters=num_iters,
+                                cg_iters=cg_iters, use_mesh=use_mesh)
+        if ctx is None:
+            return None
+        # ONE await for the whole solve: cost + every solved block (+ any
+        # piggybacked unrelated output) in a single device_get (each extra
+        # await pays the link's ~25 ms flat)
+        solved, extra = _jax.device_get((ctx["outs"], extra_fetch))
+        with self.store.lock:
+            self._ba_apply(ctx, solved)
+        return extra
+
+    def _ba_dispatch(self, window: np.ndarray, num_iters: int = 6,
+                     cg_iters: int = 30, use_mesh: bool = False):
+        """Dispatch half of the windowed LM solve: snapshot, queue EVERY
+        LM iteration on the device, return a ctx whose ``outs`` await to
+        the solved blocks (staged/interleaved callers fetch them on a
+        helper thread and call :meth:`_ba_apply` a stage later)."""
         with self.store.lock:
             packed = self._gather_ba(window)
         if packed is None:
@@ -568,46 +654,28 @@ class LocalMapper:
                         self.cam, prob, self.mesh, num_iters=it,
                         cg_iters=cg_iters)
             else:
-                import os as _os
-                import time as _time
-
-                _td = _time.perf_counter()
                 Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
                     self.cam, prob, num_iters=it, cg_iters=cg_iters,
                     scatter_free=True)
-                if _os.environ.get("PLVS_DEBUG_BA_SHAPES"):
-                    import sys as _sys
-
-                    print(f"ba dispatch (trace+compile if new): "
-                          f"{(_time.perf_counter() - _td) * 1e3:.0f} ms",
-                          file=_sys.stderr)
             prob = prob._replace(R=Rn, t=tn, points=pn,
                                  lines_Xs=lXsn, lines_Xe=lXen)
             done += it
             if self.abort_check is not None and self.abort_check():
                 break
-        # ONE await for the whole solve: cost + every solved block (+ any
-        # piggybacked unrelated output) in a single device_get (each extra
-        # await pays the link's ~25 ms flat)
-        import os as _os
-        import time as _time
+        return {"outs": (prob.R, prob.t, prob.points, prob.lines_Xs,
+                         prob.lines_Xe, info["cost"]),
+                "cams": cams, "pts": pts, "lns": lns,
+                "fixed": fixed_mask, "K": K}
 
-        _t0 = _time.perf_counter()
-        Rn, tn, pn, lXs, lXe, cost, extra = _jax.device_get(
-            (prob.R, prob.t, prob.points, prob.lines_Xs, prob.lines_Xe,
-             info["cost"], extra_fetch))
-        if _os.environ.get("PLVS_DEBUG_BA_SHAPES"):
-            import sys as _sys
-
-            print(f"ba device_get wait: "
-                  f"{(_time.perf_counter() - _t0) * 1e3:.0f} ms",
-                  file=_sys.stderr)
+    def _ba_apply(self, ctx, solved):
+        """Apply half: write the solved blocks back (caller holds the store
+        lock). A non-finite cost (diverged/degenerate solve) applies
+        nothing, like the reference discarding a failed g2o solve."""
+        Rn, tn, pn, lXs, lXe, cost = solved
         if not np.isfinite(float(cost)):
-            return extra
-        with self.store.lock:
-            self._apply_ba((Rn, tn, pn, lXs, lXe), cams, pts, lns,
-                           fixed_mask, K)
-        return extra
+            return
+        self._apply_ba((Rn, tn, pn, lXs, lXe), ctx["cams"], ctx["pts"],
+                       ctx["lns"], ctx["fixed"], ctx["K"])
 
     def _apply_ba(self, fetched, cams, pts, lns, fixed_mask, K):
         st = self.store

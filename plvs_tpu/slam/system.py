@@ -153,6 +153,15 @@ class SystemConfig:
     # dispatches and map mutations stay on the tracking thread). Raises
     # worst-case candidate staleness to 2*pipeline_depth frames.
     pipeline_overlap: bool = True
+    # interleaved keyframe backend (pipelined mode, no actor): the per-KF
+    # backend pass (local mapping, dense integrate+mesh, loop closing) is a
+    # staged generator whose stages run BETWEEN frame dispatches on the
+    # tracking thread, with the blocking fetches handed to a helper thread
+    # — the tunnel-compatible equivalent of the reference's LocalMapping/
+    # LoopClosing/dense threads (one submitting thread, overlapped awaits;
+    # reference: tracking never waits for LocalMapping,
+    # src/System.cc:315-317)
+    interleaved_backend: bool = True
     # route the heavy global solves (global BA after loop closure, the
     # essential-graph correction) through the multi-device sharded backends
     # (plvs_tpu.parallel) over a mesh of all visible devices — the SPMD
@@ -330,6 +339,13 @@ class System:
             from .async_runtime import MapperActor
 
             self.actor = MapperActor(self)
+        # interleaved-backend state (SystemConfig.interleaved_backend):
+        # at most ONE staged per-KF backend generator in flight, stepped
+        # between frame dispatches on the tracking thread
+        self._backend_gen = None
+        self._backend_snap = None
+        self._backend_wait = None
+        self._backend_pool = None
         self._last_frame_ts = None
         self._last_kf_ts = None
         self.loops_closed = []
@@ -496,8 +512,25 @@ class System:
     # -- per-keyframe backend (reference: the LocalMapping + LoopClosing +
     # dense-thread work dispatched per new keyframe) -----------------------
     def _backend_keyframe(self, kf_id: int, dense_payload=None):
-        """Everything downstream of keyframe creation. Runs inline in
-        synchronous mode, on the MapperActor thread in async mode."""
+        """Everything downstream of keyframe creation, run to completion.
+        Runs inline in synchronous mode, on the MapperActor thread in
+        async mode (the interleaved mode steps _backend_stages instead)."""
+        gen = self._backend_stages(kf_id, dense_payload)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def _backend_stages(self, kf_id: int, dense_payload=None, submit=None):
+        """Staged per-keyframe backend (generator; each ``yield`` lets the
+        tracking loop interleave frames — the tunnel-compatible equivalent
+        of the reference's LocalMapping/LoopClosing/dense threads).
+        ``submit`` (fn(outs) -> future) routes blocking fetches to a helper
+        thread; None fetches inline (synchronous drain)."""
+        from .local_mapping import _SyncFetch
+
+        fetch = submit if submit is not None else _SyncFetch()
         # queue the BoW vocabulary descent NOW: its RESULT is fetched inside
         # the local mapper's first batched await, so the loop closer's add()
         # pays no extra link round trip at all (a separate np.asarray on the
@@ -508,34 +541,39 @@ class System:
             st = self.store
             bow_fut = self.kfdb.dispatch_quantize(st.kf_kp_desc[kf_id])
         if self.config.local_ba:
-            with self.stopwatch.scope("local_mapping"):
-                fetched_words = self.local_mapper.process_keyframe(
-                    kf_id, extra_fetch=bow_fut)
-                if fetched_words is not None:
-                    bow_fut = np.asarray(fetched_words)
+            lm_gen = self.local_mapper.process_keyframe_stages(
+                kf_id, extra_fetch=bow_fut, submit=submit)
+            while True:
+                try:
+                    with self.stopwatch.scope("local_mapping"):
+                        wait = next(lm_gen)
+                except StopIteration as stop:
+                    fetched_words = stop.value
+                    break
+                yield wait
+            if fetched_words is not None:
+                bow_fut = np.asarray(fetched_words)
         if self.object_store is not None:
             # Sim3 refinement against the observing keyframes (reference:
             # object vertices in local BA, src/Optimizer.cc:1115-1196)
             with self.stopwatch.scope("map_objects"):
                 self.object_store.refine(self.store)
         if self.dense_mapper is not None and dense_payload is not None:
-            kind = dense_payload[0]
-            with self.stopwatch.scope("dense_mapping"):
-                if kind == "rgbd":
-                    _, gray, depth = dense_payload
-                    # grayscale color plane: the integrator broadcasts it
-                    # into the RGB color volume on device (a replicated
-                    # [H, W, 3] float upload costs 3x the link bytes)
-                    self.dense_mapper.insert_keyframe_rgbd(
-                        kf_id, np.asarray(gray, np.float32),
-                        np.asarray(depth, np.float32),
-                        self.store.kf_R[kf_id], self.store.kf_t[kf_id])
-                else:
-                    _, gl, gr = dense_payload
-                    self.dense_mapper.insert_keyframe_stereo(
-                        kf_id, np.asarray(gl, np.float32),
-                        np.asarray(gr, np.float32),
-                        self.store.kf_R[kf_id], self.store.kf_t[kf_id])
+            kind, a, b = dense_payload
+            # grayscale color plane on the rgbd path: the integrator
+            # broadcasts it into the RGB color volume on device (a
+            # replicated [H, W, 3] float upload costs 3x the link bytes)
+            d_gen = self.dense_mapper.insert_stages(
+                kind, kf_id, np.asarray(a, np.float32),
+                np.asarray(b, np.float32),
+                self.store.kf_R[kf_id], self.store.kf_t[kf_id], fetch)
+            while True:
+                try:
+                    with self.stopwatch.scope("dense_mapping"):
+                        wait = next(d_gen)
+                except StopIteration:
+                    break
+                yield wait
         if self.loop_closer is None:
             self.kfdb.add(kf_id)
             return None
@@ -566,6 +604,88 @@ class System:
                 )
         return info
 
+    # -- interleaved backend driver (SystemConfig.interleaved_backend) -----
+    @property
+    def _interleaved(self) -> bool:
+        # pipelined visual runs only: the inertial runtime's per-KF init /
+        # VI-BA assumes a settled backend (as does the non-pipelined sync
+        # path that tests rely on for determinism)
+        return (self.config.interleaved_backend and self.actor is None
+                and self.config.pipelined and not self.config.use_imu)
+
+    def _submit_backend_fetch(self, outs):
+        """Hand a blocking device fetch to the backend helper thread; the
+        stage that resumes a frame later finds the data host-side (the
+        single-submitting-thread rule holds — only device_get runs off
+        the tracking thread, like the resolve double buffer)."""
+        if self._backend_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._backend_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="plvs-backend-fetch")
+        import jax as _jax
+
+        return self._backend_pool.submit(_jax.device_get, outs)
+
+    def _enqueue_backend(self, kf_id: int, dense_payload=None):
+        """Start the staged backend for a fresh keyframe (any previous
+        keyframe's stages finish first — keyframe order must hold)."""
+        self._drain_backend()
+        st = self.store
+        ref = self.tracker.ref_kf
+        snap = None
+        with st.lock:
+            if 0 <= ref < st.max_kf and st.kf_mask[ref]:
+                snap = (ref, st.kf_R[ref].copy(), st.kf_t[ref].copy())
+        self._backend_snap = (snap, len(self.loops_closed))
+        self._backend_wait = None
+        self._backend_gen = self._backend_stages(
+            kf_id, dense_payload, submit=self._submit_backend_fetch)
+        self._step_backend()
+
+    def _step_backend(self, force: bool = False):
+        """Run ONE backend stage (called between frame dispatches). A
+        stage whose yielded fetch future has not completed yet is left
+        alone until the next frame (resuming early would just block the
+        tracking thread on .result()); ``force`` resumes regardless."""
+        if self._backend_gen is None:
+            return
+        w = self._backend_wait
+        if w is not None and not force and not w.done():
+            return
+        self._backend_wait = None
+        try:
+            self._backend_wait = next(self._backend_gen)
+        except StopIteration:
+            self._backend_gen = None
+            self._backend_wait = None
+            self._fold_backend_correction()
+
+    def _drain_backend(self):
+        while self._backend_gen is not None:
+            self._step_backend(force=True)
+
+    def _fold_backend_correction(self):
+        """A loop closure during the staged backend moved the map under the
+        tracker: fold T_ref_old^-1 ∘ T_ref_new into the tracker's cached
+        pose (same scheme as MapperActor.apply_pending_correction)."""
+        snap, n_loops = self._backend_snap or (None, 0)
+        self._backend_snap = None
+        if snap is None or len(self.loops_closed) <= n_loops:
+            return
+        ref, R_old, t_old = snap
+        st = self.store
+        with st.lock:
+            if not st.kf_mask[ref]:
+                return
+            R_new, t_new = st.kf_R[ref].copy(), st.kf_t[ref].copy()
+        dR = R_old.T @ R_new
+        dt = R_old.T @ (t_new - t_old)
+        tr = self.tracker
+        R_f, t_f = tr.R, tr.t
+        tr.R = (R_f @ dR).astype(np.float32)
+        tr.t = (R_f @ dt + t_f).astype(np.float32)
+
     def _on_resolved(self, res, ts: float, seq=None):
         """Tracker callback: a deferred frame finished resolving (any
         trigger path) — run its full post-track path. Pending dense
@@ -577,26 +697,35 @@ class System:
     def _resolve_pipeline(self, force: bool = False):
         """Deferred-pipeline drain: when the in-flight window is full (or
         on force), fetch all outstanding solves in one stacked transfer;
-        each resolution runs through _on_resolved."""
+        each resolution runs through _on_resolved. ``force`` also settles
+        the interleaved keyframe backend."""
         with self.stopwatch.scope("resolve"):
             self.tracker.resolve_batch(force=force)
+        if force:
+            self._drain_backend()
 
     def flush(self):
         """Finalize any deferred frames (call at end of sequence;
         trajectory exports and shutdown do this automatically)."""
         self._resolve_pipeline(force=True)
+        self._drain_backend()
         if self.actor is not None:
             self.actor.wait_idle(60.0)
 
     def _finish_frame(self, res, timestamp: float, dense_payload=None):
         """Route a Track* result: provisional (deferred solve in flight) or
-        final (run the post-track path now)."""
+        final (run the post-track path now). One interleaved-backend stage
+        runs per frame AFTER this frame's own dispatch, so the stage's
+        host work overlaps the frame's device execution."""
         if self.tracker._pending:
             self._pending_payloads[self.tracker._pending[-1]["seq"]] = \
                 dense_payload
             self._last_frame_ts = timestamp
+            self._step_backend()
             return res.state, res.R, res.t
-        return self._post_track(res, timestamp, dense_payload)
+        out = self._post_track(res, timestamp, dense_payload)
+        self._step_backend()
+        return out
 
     def _post_track(self, res, timestamp: float, dense_payload=None):
         """Common tail of every Track* entry point."""
@@ -625,6 +754,12 @@ class System:
                 self._detect_objects(res.kf_id)
             if self.actor is not None:
                 self.actor.insert_keyframe(res.kf_id, dense_payload)
+                self._imu_post_kf(res.kf_id, timestamp)
+            elif self._interleaved:
+                # staged backend: stages run between subsequent frame
+                # dispatches; a loop correction folds into the tracker pose
+                # at completion (_fold_backend_correction)
+                self._enqueue_backend(res.kf_id, dense_payload)
                 self._imu_post_kf(res.kf_id, timestamp)
             else:
                 self._backend_keyframe(res.kf_id, dense_payload)

@@ -1214,10 +1214,14 @@ class Tracker:
             kl_ln_id[okl] = cand_lines[kl_ln_local[okl]]
             if not self.only_tracking and ml and int(n1) >= 20:
                 # (skipped when falling back below — _match_step_pl
-                # bumps the counters itself on that path)
+                # bumps the counters itself on that path). "visible" gated
+                # on the midpoint being in the frustum (reference:
+                # isInFrustum before IncreaseVisible — see point counters)
                 seen = np.unique(kl_ln_id[kl_ln_id >= 0])
                 st.ln_found[seen] += 1
-                st.ln_visible[cand_lines] += 1
+                mid = 0.5 * (st.ln_Xs[cand_lines] + st.ln_Xe[cand_lines])
+                st.ln_visible[cand_lines[self._in_frustum(
+                    mid, np.asarray(R2), np.asarray(t2))]] += 1
         else:
             R2, t2, n1, n2, kp_pt_local = fetched
         n1, n2 = int(n1), int(n2)
@@ -1319,6 +1323,22 @@ class Tracker:
                                np.asarray(ctx["t_pred"]), -1, None)
         return self._finish_fused(jax.device_get(ctx["out"]), ctx)
 
+    def _in_frustum(self, X_w: np.ndarray, R: np.ndarray, t: np.ndarray,
+                    margin: float = 0.0) -> np.ndarray:
+        """Host-side frustum test for visibility accounting (reference:
+        MapPoint/MapLine isInFrustum called from SearchLocal* before
+        IncreaseVisible). Pinhole projection of the candidate landmarks —
+        adequate as a gate even on fisheye rigs."""
+        Xc = X_w @ R.T + t
+        z = Xc[:, 2]
+        ok = z > 0.05
+        fx, fy, cx, cy = (float(p) for p in self.cam.params[:4])
+        zs = np.where(ok, z, 1.0)
+        u = fx * Xc[:, 0] / zs + cx
+        v = fy * Xc[:, 1] / zs + cy
+        return (ok & (u >= -margin) & (u < self.cam.width + margin)
+                & (v >= -margin) & (v < self.cam.height + margin))
+
     def _track_slow(self, fr, timestamp, fl, cand, local_pts,
                     R_pred, t_pred) -> TrackResult:
         """Rare slow path: the motion model failed (or there was nothing to
@@ -1371,11 +1391,16 @@ class Tracker:
         self.vel_t = (R2 @ tl_inv + t2).astype(np.float32)
 
         # update visibility counters (reference: IncreaseVisible/Found) —
-        # frozen in localization-only mode, where the map must not change
+        # frozen in localization-only mode, where the map must not change.
+        # "visible" counts only candidates actually IN the frame's frustum
+        # (reference: isInFrustum gates IncreaseVisible in SearchLocalPoints
+        # — counting every local-map candidate would deflate found/visible
+        # and over-cull landmarks the camera never looked at)
         if not self.only_tracking:
             seen = np.unique(kp_pt2[kp_pt2 >= 0])
             st.pt_found[seen] += 1
-            st.pt_visible[local_pts] += 1
+            vis = local_pts[self._in_frustum(st.pt_xyz[local_pts], R2, t2)]
+            st.pt_visible[vis] += 1
 
         self.frames_since_kf += 1
         self.last_kp_pt_id = kp_pt2

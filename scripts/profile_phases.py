@@ -58,8 +58,19 @@ def main():
         rows.append((name, ms))
         print(f"{name:35s} {ms:8.2f} ms", flush=True)
 
+    def leaves(tree):
+        # depend on EVERY output — a single-element carry lets XLA DCE
+        # whole stages (e.g. descriptor samplers) out of the measurement
+        s = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(tree):
+            s = s + jnp.sum(leaf).astype(jnp.float32) * 1e-12
+        return s
+
     # -- frame build total + phases --------------------------------------
-    add("frame_build_rgbd", chain(
+    add("frame_build_rgbd(all-outputs)", chain(
+        lambda c: c + leaves(frame_mod.build_frame_rgbd(
+            g + c, d, cam, NF, NL, 1.2))))
+    add("frame_build_rgbd(xy-only/DCE)", chain(
         lambda c: c + frame_mod.build_frame_rgbd(
             g + c, d, cam, NF, NL, 1.2).kp.xy[0, 0] * 1e-9))
 
@@ -78,8 +89,12 @@ def main():
         return c + xyL[0, 0, 0] * 1e-9
     add("pyramid+fast", chain(fast_step))
 
-    add("orb_extract_full", chain(
-        lambda c: c + orb_mod.extract(g + c, NF, NL, 1.2).xy[0, 0] * 1e-9))
+    add("orb_extract_full(all-outputs)", chain(
+        lambda c: c + leaves(orb_mod.extract(g + c, NF, NL, 1.2))))
+    kp_no_desc = lambda c: orb_mod.extract(g + c, NF, NL, 1.2)
+    add("orb_extract_no_desc(DCE)", chain(
+        lambda c: c + leaves(kp_no_desc(c)._replace(
+            desc=jnp.zeros((1,), jnp.uint32)))))
 
     # -- line extraction total + phases ----------------------------------
     add("lines_total(extract_lines)", chain(

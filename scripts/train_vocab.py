@@ -24,6 +24,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# force host CPU: the sandbox preregisters a remote-TPU PJRT plugin that
+# ignores JAX_PLATFORMS; config.update wins when applied before backend init
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def gather_descriptors(n_images: int = 160, feats: int = 1024) -> np.ndarray:
     import jax.numpy as jnp

@@ -105,3 +105,61 @@ class TestSelfSimilarScene:
             gray, depth = scene.render(R, t)
             system.track_rgbd(gray, depth, i / 30.0)
         assert len(system.loops_closed) == 0, system.loops_closed
+
+
+@pytest.mark.slow
+class TestLargeMapRecall:
+    def test_recall_on_500kf_map_with_repeated_structure(self):
+        """Place-recognition recall at scale (VERDICT r3 item 6): a 500-KF
+        synthetic map — two orbit laps of a 4-wall structured room whose
+        walls repeat panel/blob motifs — indexed with the shipped product
+        vocabulary. Every second-lap query must rank a first-lap keyframe
+        from (nearly) the same viewing angle among its top candidates
+        (reference scale: KeyFrameDatabase::DetectNBestCandidates over the
+        ~1M-leaf ORBvoc, include/KeyFrameDatabase.h:91)."""
+        import jax.numpy as jnp
+
+        from plvs_tpu.features import orb
+        from plvs_tpu.slam.keyframe_database import KeyFrameDatabase
+        from plvs_tpu.slam.map_store import MapStore
+
+        cam = cameras.pinhole(150.0, 150.0, 80.0, 60.0, width=160,
+                              height=120, bf=12.0)
+        room = synthetic.SyntheticRoom(cam, half=3.0, seed=2,
+                                       structured=True)
+        n_per_lap = 250
+        poses = synthetic.orbit_loop_trajectory(n_frames=2 * n_per_lap,
+                                                radius=1.0, laps=2.0)
+
+        st = MapStore(max_kf=512, max_pts=256, n_kp=192)
+        db = KeyFrameDatabase(st)
+        assert db.ensure_vocab()
+        feats = []
+        for i, (R, t) in enumerate(poses):
+            gray, _ = room.render(R, t)
+            kp = orb.extract(jnp.asarray(gray, jnp.float32), 192, 4, 1.2)
+            feats.append((np.asarray(kp.desc), np.asarray(kp.mask)))
+        # index lap 1 only
+        for i in range(n_per_lap):
+            kf = st.alloc_kf()
+            st.kf_mask[kf] = True
+            st.kf_kp_desc[kf] = feats[i][0]
+            st.kf_kp_mask[kf] = feats[i][1]
+            db.add(kf)
+        # query with lap 2: ground truth = same-angle lap-1 keyframe
+        hits = top1_err = n_q = 0
+        for i in range(n_per_lap, 2 * n_per_lap, 5):
+            true_kf = i - n_per_lap
+            cands = db.relocalization_candidates(*feats[i], top_n=5)
+            n_q += 1
+            def angdist(k):
+                d = abs(k - true_kf)
+                return min(d, n_per_lap - d)
+            if cands and any(angdist(k) <= 4 for k, _ in cands):
+                hits += 1
+            if cands and angdist(cands[0][0]) <= 4:
+                top1_err += 1
+        recall = hits / n_q
+        top1 = top1_err / n_q
+        assert recall >= 0.85, (recall, top1, n_q)
+        assert top1 >= 0.70, (recall, top1, n_q)
