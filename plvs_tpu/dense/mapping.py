@@ -14,6 +14,7 @@ milestone.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,19 @@ def _unpack_filter_depth(d16):
 
 @jax.jit
 def _unpack_filter_rgbd(d16, g8):
+    return (processing.filter_depth(d16.astype(jnp.float32) * 1e-3),
+            g8.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _unpack_filter_packed(buf, h: int, w: int):
+    """ONE packed u8 upload -> (filtered depth f32 [h,w], gray f32 [h,w]).
+    Layout: [h*w*2] little-endian u16 mm depth bytes, then [h*w] gray —
+    each separate upload pays the link's flat per-RPC cost, so the per-KF
+    dense payload ships as a single buffer."""
+    d16 = jax.lax.bitcast_convert_type(
+        buf[: h * w * 2].reshape(h * w, 2), jnp.uint16).reshape(h, w)
+    g8 = buf[h * w * 2:].reshape(h, w)
     return (processing.filter_depth(d16.astype(jnp.float32) * 1e-3),
             g8.astype(jnp.float32))
 
@@ -156,8 +170,11 @@ class DenseMapper:
             d16 = np.clip(raw * 1000.0, 0, 65535).astype(np.uint16)
             if color is not None and color.ndim == 2:
                 g8 = np.clip(color, 0, 255).astype(np.uint8)
-                depth, color = _unpack_filter_rgbd(jnp.asarray(d16),
-                                                   jnp.asarray(g8))
+                h, w = raw.shape
+                buf = np.empty(h * w * 3, np.uint8)
+                buf[: h * w * 2] = d16.astype("<u2").view(np.uint8).ravel()
+                buf[h * w * 2:] = g8.ravel()
+                depth, color = _unpack_filter_packed(jnp.asarray(buf), h, w)
             else:
                 depth = _unpack_filter_depth(jnp.asarray(d16))
             alloc = raw

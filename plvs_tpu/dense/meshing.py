@@ -35,6 +35,32 @@ _CORNER_OFF = np.array(
 )  # (x, y, z)
 
 
+def _build_tet_tables() -> np.ndarray:
+    """[16, 2, 3, 2] per-sign-code triangle table: up to 2 triangles of 3
+    vertices, each an (inside-corner, outside-corner) edge to interpolate;
+    -1 marks absent triangles. Winding matches the original per-case code
+    (1-in: fan over outs; 3-in: reversed; 2-2: quad split)."""
+    tbl = np.full((16, 2, 3, 2), -1, np.int8)
+    for c in range(1, 15):
+        ins = [i for i in range(4) if (c >> i) & 1]
+        outs = [i for i in range(4) if not (c >> i) & 1]
+        if len(ins) == 1:
+            a = ins[0]
+            tbl[c, 0] = [(a, outs[0]), (a, outs[1]), (a, outs[2])]
+        elif len(ins) == 3:
+            a = outs[0]
+            tbl[c, 0] = [(ins[0], a), (ins[2], a), (ins[1], a)]
+        else:
+            i0, i1 = ins
+            o0, o1 = outs
+            tbl[c, 0] = [(i0, o0), (i1, o0), (i1, o1)]
+            tbl[c, 1] = [(i0, o0), (i1, o1), (i0, o1)]
+    return tbl
+
+
+_TET_TRI = _build_tet_tables()
+
+
 def _interp(p0, p1, v0, v1):
     t = v0 / np.where(np.abs(v0 - v1) < 1e-12, 1e-12, v0 - v1)
     t = np.clip(t, 0.0, 1.0)[..., None]
@@ -177,48 +203,29 @@ def _triangles_from_fields(volume: TSDFVolume, slots: np.ndarray,
     )
     cpos = base[:, None, :] + _CORNER_OFF[None, :, :] * vs
 
+    # table-driven, fully vectorized over all M cubes x 6 tets (the
+    # per-tet per-case python loop was most of the per-KF mesh host time)
+    P6 = cpos[:, _TETS].reshape(-1, 4, 3)      # [M*6, 4, 3]
+    V6 = cval[:, _TETS].reshape(-1, 4)         # [M*6, 4]
+    inside = V6 < 0
+    code = (inside[:, 0].astype(np.int32) | (inside[:, 1] << 1)
+            | (inside[:, 2] << 2) | (inside[:, 3] << 3))
+    tet_slot = np.repeat(b, len(_TETS))
+
     verts_out = []
     slot_out = []
-    for tet in _TETS:
-        p = cpos[:, tet]              # [M, 4, 3]
-        v = cval[:, tet]              # [M, 4]
-        inside = v < 0
-        code = (
-            inside[:, 0].astype(np.int32)
-            | (inside[:, 1] << 1)
-            | (inside[:, 2] << 2)
-            | (inside[:, 3] << 3)
-        )
-
-        # enumerate the 14 non-trivial sign cases; generate triangles
-        for c in range(1, 15):
-            sel = np.nonzero(code == c)[0]
-            if len(sel) == 0:
-                continue
-            ins = [i for i in range(4) if (c >> i) & 1]
-            outs = [i for i in range(4) if not (c >> i) & 1]
-            ps, vv = p[sel], v[sel]
-            if len(ins) == 1:
-                a = ins[0]
-                e = [_interp(ps[:, a], ps[:, o], vv[:, a], vv[:, o]) for o in outs]
-                verts_out.append(np.stack([e[0], e[1], e[2]], 1))
-                slot_out.append(b[sel])
-            elif len(ins) == 3:
-                a = outs[0]
-                e = [_interp(ps[:, i], ps[:, a], vv[:, i], vv[:, a]) for i in ins]
-                verts_out.append(np.stack([e[0], e[2], e[1]], 1))
-                slot_out.append(b[sel])
-            else:  # 2 in / 2 out -> quad = 2 triangles
-                i0, i1 = ins
-                o0, o1 = outs
-                e00 = _interp(ps[:, i0], ps[:, o0], vv[:, i0], vv[:, o0])
-                e01 = _interp(ps[:, i0], ps[:, o1], vv[:, i0], vv[:, o1])
-                e10 = _interp(ps[:, i1], ps[:, o0], vv[:, i1], vv[:, o0])
-                e11 = _interp(ps[:, i1], ps[:, o1], vv[:, i1], vv[:, o1])
-                verts_out.append(np.stack([e00, e10, e11], 1))
-                verts_out.append(np.stack([e00, e11, e01], 1))
-                slot_out.append(b[sel])
-                slot_out.append(b[sel])
+    for s in range(2):
+        tbl = _TET_TRI[code, s]                # [M*6, 3, 2]
+        idx = np.nonzero(tbl[:, 0, 0] >= 0)[0]
+        if not len(idx):
+            continue
+        t = tbl[idx].astype(np.int64)          # [K, 3, 2]
+        va = np.take_along_axis(V6[idx], t[..., 0], axis=1)   # [K, 3]
+        vb = np.take_along_axis(V6[idx], t[..., 1], axis=1)
+        pa = np.take_along_axis(P6[idx], t[..., 0:1].repeat(3, -1), axis=1)
+        pb = np.take_along_axis(P6[idx], t[..., 1:2].repeat(3, -1), axis=1)
+        verts_out.append(_interp(pa, pb, va, vb))
+        slot_out.append(tet_slot[idx])
 
     if not verts_out:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)

@@ -100,7 +100,10 @@ def hamming_roofline(Q: int = 1024, K: int = 1024) -> dict:
     # fast kernel (~3 us/iter): very long chains so the differential rises
     # well above the ~1 ms flat-transport timing noise
     s_per = time_repeated(step, d1, iters=1024)
-    bytes_moved = (Q + K) * 32 + Q * K * 4
+    # traffic model matches what the chain moves: the [Q,K] matrix is
+    # consumed by the fused reduction on-chip (never written to HBM), so
+    # the kernel is compute-bound on the popcount matmul
+    bytes_moved = (Q + K) * 32
     flops = 2.0 * Q * K * 256
     return _row(f"hamming_mxu[{Q}x{K}]", s_per, bytes_moved, flops,
                 PEAK_FLOPS_BF16)

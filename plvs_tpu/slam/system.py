@@ -269,6 +269,7 @@ class System:
         self.tracker.n_levels = c.n_levels
         self.tracker.max_keylines = c.max_lines
         self.tracker.depth_decimation = c.depth_upload_decimation
+        self.tracker.fixed_shapes = c.backend_fixed_shapes
         self.tracker.pipelined = c.pipelined and not c.use_imu
         self.tracker.pipeline_depth = max(1, c.pipeline_depth)
         self.tracker.overlap_fetch = c.pipeline_overlap

@@ -664,6 +664,14 @@ class Tracker:
         # path triggered the resolution
         self.on_resolved = None
         self.timing = None  # optional list collecting (fetch_s, finish_s, n)
+        # pin the landmark-table / candidate capacity buckets high enough
+        # that a realistic sequence never crosses one mid-run (set from
+        # SystemConfig.backend_fixed_shapes): a bucket crossing recompiles
+        # the fused frame program PER GROUP SIZE, and through a remote
+        # tunnel each compile is a ~30 s stall; which (group size, bucket)
+        # combos the prepass happens to warm is timing-dependent, so the
+        # timed pass kept hitting fresh ones (measured, BENCH r4)
+        self.fixed_shapes = False
         self.num_features = num_features
         self.local_pts_cap = local_pts_cap
         self.min_kf_inliers = min_kf_inliers
@@ -1030,7 +1038,8 @@ class Tracker:
         m2 = len(cand2)
         # ONE packed upload: both candidate id sets + line ids + the
         # predicted pose, assembled host-side (see _unpack_meta)
-        icap = self._cap_bucket(max(len(cand1), m2), self.local_pts_cap)
+        icap = self._cap_bucket(max(len(cand1), m2), self.local_pts_cap,
+                                lo=2048 if self.fixed_shapes else 512)
         pt_tbl, ln_tbl = self._device_tables()
         Rt_bits = np.concatenate(
             [np.asarray(R_pred, np.float32).ravel(),
@@ -1550,8 +1559,10 @@ class Tracker:
         gathered landmark rows (16 array uploads -> 2 through the tunnel)."""
         st = self.store
         key = (st.version,
-               self._cap_bucket(max(st._n_pt, 1), st.max_pts, lo=1024),
-               self._cap_bucket(max(st._n_ln, 1), st.max_lines, lo=256))
+               self._cap_bucket(max(st._n_pt, 1), st.max_pts,
+                                lo=8192 if self.fixed_shapes else 1024),
+               self._cap_bucket(max(st._n_ln, 1), st.max_lines,
+                                lo=1024 if self.fixed_shapes else 256))
         if self._tbl_cache is not None and self._tbl_cache[0] == key:
             return self._tbl_cache[1], self._tbl_cache[2]
         P, L = key[1], key[2]
