@@ -248,8 +248,11 @@ def _loop_latency_scenario(cam):
     from plvs_tpu.io import synthetic
 
     _, system = build_system()
+    # 132 frames over 1.375 laps — the validated flagship-loop cadence
+    # (tests/test_flagship_e2e.py); fewer frames rotate too fast per frame
+    # for the coincidence-gated place recognition to engage
     room = synthetic.SyntheticRoom(cam, half=3.0, tex_size=2048, seed=3)
-    poses = synthetic.orbit_loop_trajectory(n_frames=96, radius=1.0,
+    poses = synthetic.orbit_loop_trajectory(n_frames=132, radius=1.0,
                                             laps=1.375)
     def make_frames(seed):
         # fresh depth-noise content per pass (the tunnel dedups identical

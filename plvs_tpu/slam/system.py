@@ -723,8 +723,10 @@ class System:
                 dense_payload
             self._last_frame_ts = timestamp
             self._step_backend()
+            self._step_backend()
             return res.state, res.R, res.t
         out = self._post_track(res, timestamp, dense_payload)
+        self._step_backend()
         self._step_backend()
         return out
 
