@@ -107,6 +107,8 @@ class DenseMapper:
         self.keyframes: list[DenseKeyFrame] = []
         self.labels: dict[int, np.ndarray] = {}
         self._n_inserted = 0
+        # one-KF-lagged changed-block fetch (see insert_stages)
+        self._touched_ctx = None
         if self.use_segmentation:
             from .labels import GlobalLabelMap
 
@@ -144,6 +146,7 @@ class DenseMapper:
         if self._mesh_due():
             self.mesher.stopwatch = self.stopwatch
             with self._scope("dense.mesh"):
+                self.settle_touched()
                 self.mesher.update(assemble=False,
                                    budget=self.mesh_budget or None)
             self.remesh_counts.append(self.mesher.last_n_remeshed)
@@ -208,22 +211,35 @@ class DenseMapper:
                                    np.repeat(a[..., None], 3, axis=-1),
                                    depth, Rcw, tcw)
         mesh_due = self._mesh_due()
-        touched_ctx = (self.volume.dispatch_touched(submit)
-                       if mesh_due else None)
+        # ONE-KEYFRAME-LAGGED dirty tracking: this KF's changed-block mask
+        # fetch is dispatched now but consumed by the NEXT keyframe's mesh
+        # stage — by then it completed long ago, so the apply below never
+        # blocks the tracking thread (the mesher's FIFO budget queue
+        # already tolerates lag; voxblox's mesh thread trails its
+        # integrator the same way). Only the padded-field gather remains a
+        # genuinely-waiting fetch per keyframe.
+        prev_ctx = self._touched_ctx
+        self._touched_ctx = (self.volume.dispatch_touched(submit)
+                             if mesh_due else None)
         # yield the in-flight futures: the interleaved driver resumes each
         # stage only once its fetch completed (see local_mapping stages)
-        yield None if touched_ctx is None else touched_ctx[1]
+        yield None if prev_ctx is None else prev_ctx[1]
         if not mesh_due:
             return
         self.mesher.stopwatch = self.stopwatch
         with self._scope("dense.mesh"):
-            self.volume.apply_touched(touched_ctx)
-            ctx = self.mesher.update_begin(budget=self.mesh_budget or None)
+            with self._scope("dense.mesh.apply"):
+                self.volume.apply_touched(prev_ctx)
+            with self._scope("dense.mesh.begin"):
+                ctx = self.mesher.update_begin(
+                    budget=self.mesh_budget or None)
         fut = submit(ctx["out"]) if ctx is not None else None
         yield fut
         with self._scope("dense.mesh"):
-            self.mesher.update_finish(
-                ctx, None if fut is None else fut.result())
+            with self._scope("dense.mesh.wait"):
+                fetched = None if fut is None else fut.result()
+            with self._scope("dense.mesh.tri"):
+                self.mesher.update_finish(ctx, fetched)
         self.remesh_counts.append(self.mesher.last_n_remeshed)
 
     def _scope(self, name: str):
@@ -264,6 +280,9 @@ class DenseMapper:
 
         get_pose: kf_id -> (Rcw, tcw) with the *corrected* pose.
         """
+        # discard the lagged changed-mask fetch: it refers to the volume
+        # being reset (applying it to fresh state would fake-dirty blocks)
+        self._touched_ctx = None
         self.volume.reset()
         if self.coarse is not None:
             self.coarse.reset()
@@ -307,9 +326,18 @@ class DenseMapper:
             V = np.concatenate([V, V2])
         return V, F
 
+    def settle_touched(self):
+        """Fold the one-KF-lagged changed-block fetch (insert_stages) into
+        the volume's dirty state — call before any full/incremental mesh
+        that must reflect the LAST integrate too."""
+        ctx, self._touched_ctx = self._touched_ctx, None
+        if ctx is not None:
+            self.volume.apply_touched(ctx)
+
     def mesh_incremental(self):
         """Changed-blocks-only mesh update of the fine volume (voxblox
         MeshIntegrator-style; see meshing.IncrementalMesher)."""
+        self.settle_touched()
         return self.mesher.update()
 
     def mesh_normals(self, V: np.ndarray):

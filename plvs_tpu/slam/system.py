@@ -340,12 +340,16 @@ class System:
             from .async_runtime import MapperActor
 
             self.actor = MapperActor(self)
-        # interleaved-backend state (SystemConfig.interleaved_backend):
-        # at most ONE staged per-KF backend generator in flight, stepped
-        # between frame dispatches on the tracking thread
-        self._backend_gen = None
-        self._backend_snap = None
-        self._backend_wait = None
+        # interleaved-backend state (SystemConfig.interleaved_backend): a
+        # FIFO of staged per-KF backend generators, the head stepped
+        # between frame dispatches on the tracking thread. Queueing (vs
+        # draining on the next KF) lets a stage's device fetch span the
+        # keyframe boundary instead of force-blocking — the reference's
+        # LocalMapping likewise consumes a keyframe QUEUE at its own pace
+        # (mlNewKeyFrames, src/LocalMapping.cc InsertKeyFrame)
+        import collections as _collections
+
+        self._backend_q = _collections.deque()
         self._backend_pool = None
         self._last_frame_ts = None
         self._last_kf_ts = None
@@ -629,49 +633,60 @@ class System:
         return self._backend_pool.submit(_jax.device_get, outs)
 
     def _enqueue_backend(self, kf_id: int, dense_payload=None):
-        """Start the staged backend for a fresh keyframe (any previous
-        keyframe's stages finish first — keyframe order must hold)."""
-        self._drain_backend()
+        """Queue the staged backend for a fresh keyframe. Generators run
+        strictly in keyframe order (only the head of the FIFO is stepped),
+        but a predecessor's in-flight fetch may span this KF boundary —
+        no force-drain, so the tracking thread never blocks on it here."""
         st = self.store
         ref = self.tracker.ref_kf
         snap = None
         with st.lock:
             if 0 <= ref < st.max_kf and st.kf_mask[ref]:
                 snap = (ref, st.kf_R[ref].copy(), st.kf_t[ref].copy())
-        self._backend_snap = (snap, len(self.loops_closed))
-        self._backend_wait = None
-        self._backend_gen = self._backend_stages(
+        gen = self._backend_stages(
             kf_id, dense_payload, submit=self._submit_backend_fetch)
+        self._backend_q.append(
+            {"gen": gen, "wait": None, "snap": (snap, len(self.loops_closed))})
+        # bound the backlog: if the backend falls more than 4 keyframes
+        # behind the tracker, force progress (keeps map maintenance /
+        # loop-closing latency bounded like the reference's blocking
+        # InsertKeyFrame when LocalMapping is saturated). The cap is
+        # deliberately loose — a force blocks the tracking thread on the
+        # head stage's device fetch, so catching up gradually via the
+        # per-frame steps is far cheaper than draining here.
+        while len(self._backend_q) > 2:
+            self._step_backend(force=True)
         self._step_backend()
 
     def _step_backend(self, force: bool = False):
-        """Run ONE backend stage (called between frame dispatches). A
-        stage whose yielded fetch future has not completed yet is left
-        alone until the next frame (resuming early would just block the
-        tracking thread on .result()); ``force`` resumes regardless."""
-        if self._backend_gen is None:
+        """Run ONE backend stage of the FIFO head (called between frame
+        dispatches). A stage whose yielded fetch future has not completed
+        yet is left alone until the next frame (resuming early would just
+        block the tracking thread on .result()); ``force`` resumes
+        regardless."""
+        if not self._backend_q:
             return
-        w = self._backend_wait
+        head = self._backend_q[0]
+        w = head["wait"]
         if w is not None and not force and not w.done():
             return
-        self._backend_wait = None
+        head["wait"] = None
         try:
-            self._backend_wait = next(self._backend_gen)
+            head["wait"] = next(head["gen"])
         except StopIteration:
-            self._backend_gen = None
-            self._backend_wait = None
-            self._fold_backend_correction()
+            if self._backend_q and self._backend_q[0] is head:
+                self._backend_q.popleft()
+            self._fold_backend_correction(head["snap"])
 
     def _drain_backend(self):
-        while self._backend_gen is not None:
+        while self._backend_q:
             self._step_backend(force=True)
 
-    def _fold_backend_correction(self):
+    def _fold_backend_correction(self, snap_entry):
         """A loop closure during the staged backend moved the map under the
         tracker: fold T_ref_old^-1 ∘ T_ref_new into the tracker's cached
         pose (same scheme as MapperActor.apply_pending_correction)."""
-        snap, n_loops = self._backend_snap or (None, 0)
-        self._backend_snap = None
+        snap, n_loops = snap_entry or (None, 0)
         if snap is None or len(self.loops_closed) <= n_loops:
             return
         ref, R_old, t_old = snap

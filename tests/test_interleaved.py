@@ -59,7 +59,7 @@ class TestInterleavedBackend:
         assert si["keyframes"] >= 2 and si["points"] > 300
         assert abs(si["keyframes"] - ss["keyframes"]) <= 2
         # the staged backend completed for every keyframe
-        assert sys_i._backend_gen is None
+        assert not sys_i._backend_q
 
     def test_dense_map_converges(self):
         sys_i, _ = _run(True)
