@@ -225,6 +225,12 @@ class DenseMapper:
         # stage only once its fetch completed (see local_mapping stages)
         yield None if prev_ctx is None else prev_ctx[1]
         if not mesh_due:
+            # still fold the previous KF's changed-block fetch into the
+            # block versions (the driver resumed us only after its future
+            # completed) — dispatch_touched already cleared _pending_touch,
+            # so dropping prev_ctx here would lose those version bumps and
+            # the incremental mesher would never re-mesh the blocks
+            self.volume.apply_touched(prev_ctx)
             return
         self.mesher.stopwatch = self.stopwatch
         with self._scope("dense.mesh"):

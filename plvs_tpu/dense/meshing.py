@@ -115,7 +115,12 @@ def _gather_padded(tsdf, weight, idx, nbidx, min_weight: float = 1.0):
         vmax = jnp.maximum(vmax, sub_t)
         wmin = jnp.minimum(wmin, sub_w)
     mask = (wmin > min_weight) & (vmin < 0) & (vmax > 0)
-    return pt, pw, mask
+    # fetch-size discipline: the caller pulls this across the host link
+    # every mesh update — the weights are fully consumed by ``mask`` here,
+    # and float16 tsdf quantization moves an interpolated vertex by well
+    # under a tenth of a voxel (both the budgeted and the reference
+    # extraction consume the same f16 field, so caches stay bit-identical)
+    return pt.astype(jnp.float16), mask
 
 
 def _padded_fields_dispatch(volume: TSDFVolume, slots: np.ndarray,
@@ -127,7 +132,7 @@ def _padded_fields_dispatch(volume: TSDFVolume, slots: np.ndarray,
     surface-cube mask, queued ON DEVICE (a full-volume mirror is tens of
     MB and invalidated by every integrate; building padded corner stacks
     host-side was most of the per-KF mesh time). Returns in-flight device
-    arrays (pt, pw, mask)."""
+    arrays (pt_f16, mask)."""
     n = len(slots)
     coords = volume.block_coords[slots]
     bmap = volume.block_map
@@ -159,10 +164,9 @@ def _padded_fields_dispatch(volume: TSDFVolume, slots: np.ndarray,
 def _padded_fields(volume: TSDFVolume, slots: np.ndarray,
                    min_weight: float = 1.0):
     n = len(slots)
-    pt, pw, mask = jax.device_get(
+    pt, mask = jax.device_get(
         _padded_fields_dispatch(volume, slots, min_weight))
-    return (np.asarray(pt)[:n], np.asarray(pw)[:n],
-            np.asarray(mask)[:n])
+    return (np.asarray(pt[:n], np.float32), np.asarray(mask)[:n])
 
 
 def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
@@ -175,7 +179,7 @@ def _extract_triangles(volume: TSDFVolume, slots: np.ndarray,
     slots = np.asarray(slots, np.int64)
     if len(slots) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32)
-    tsdf, weight, cube_mask = _padded_fields(volume, slots, min_weight)
+    tsdf, cube_mask = _padded_fields(volume, slots, min_weight)
     return _triangles_from_fields(volume, slots, tsdf, cube_mask)
 
 
@@ -379,11 +383,12 @@ class IncrementalMesher:
         vol = self.volume
         if ctx is not None:
             slots = ctx["slots"]
-            pt, _, mask = (fetched if fetched is not None
-                           else jax.device_get(ctx["out"]))
+            pt, mask = (fetched if fetched is not None
+                        else jax.device_get(ctx["out"]))
             n = len(slots)
             tri, tri_slot = _triangles_from_fields(
-                vol, slots, np.asarray(pt)[:n], np.asarray(mask)[:n])
+                vol, slots, np.asarray(pt[:n], np.float32),
+                np.asarray(mask)[:n])
             # one sort + split instead of a per-slot boolean scan (that scan
             # is O(slots * tris) and dominated per-KF incremental meshing)
             order = np.argsort(tri_slot, kind="stable")

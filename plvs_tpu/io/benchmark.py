@@ -88,7 +88,7 @@ def run_sequence_benchmark(
     n_runs: int = 10,
     lost_gate: float = 0.05,
     max_failed: int = 2,
-    warmup: bool = True,
+    warmup: bool = False,
 ) -> dict:
     """Run a sequence ``n_runs`` times and aggregate per the reference
     protocol (reference: generate_results.py — median/sigma over runs that
@@ -96,10 +96,12 @@ def run_sequence_benchmark(
     sequence; mean/σ track time over kept runs).
 
     ``run_once(seed)`` executes one full SLAM run and returns a RunResult.
-    ``warmup`` runs the sequence once untimed first so the per-frame track
-    times are steady-state (the reference's protocol excludes compile
+    ``warmup=True`` runs the sequence once untimed first so the per-frame
+    track times are steady-state (the reference's protocol excludes compile
     time; XLA compiles otherwise land inside run 0's samples — they were
-    the track_ms_std~2500 outliers in the r3 BENCHMARK.json)."""
+    the track_ms_std~2500 outliers in the r3 BENCHMARK.json). Only opt in
+    when ``run_once`` is re-invocable for an extra seed — callers that feed
+    a finite iterator must leave it off."""
     if warmup:
         run_once(n_runs)  # a seed the timed runs never use
     results = [run_once(i) for i in range(n_runs)]
@@ -239,7 +241,7 @@ def main(argv=None):
     else:
         ap.error("choose --synthetic or --tum")
 
-    report = run_sequence_benchmark(run_once, n_runs=args.runs)
+    report = run_sequence_benchmark(run_once, n_runs=args.runs, warmup=True)
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as f:

@@ -159,21 +159,26 @@ def ba_roofline(K: int = 32, P: int = 4096, M: int = 16384) -> dict:
         jnp.ones((M,), jnp.float32), jnp.ones((M,), bool),
     )
 
-    cg_iters = 20
+    # the PRODUCT local-BA path (local_mapping._ba_dispatch): explicit
+    # Schur-complement preconditioner + short PCG (schur_direct)
+    cg_iters = 8
 
     def step(tc):
         Rn, tn, pn, _, _, info = ba_mod.bundle_adjust(
             cam, prob._replace(t=tc), num_iters=1, cg_iters=cg_iters,
-            scatter_free=True)
+            scatter_free=True, schur_direct=True)
         return tn
 
     s_per = time_repeated(step, t, iters=4)
-    # per LM iter: ~2 J-sweeps (linearize+cost) + cg_iters matvec sweeps,
-    # each sweep reading/writing the [M] obs blocks (J 2x9 f32 + indices)
+    # per LM iter: ~2 J-sweeps (linearize+cost) + min(cg,10) matvec sweeps
+    # over the [M] obs blocks (J 2x9 f32 + indices), plus the dense Schur
+    # build: the [P*3, 6K] coupling matmul (U) dominates the flops
+    n_inner = min(cg_iters, 10)
     sweep_bytes = M * (2 * 9 * 4 + 16)
-    bytes_moved = (2 + cg_iters) * sweep_bytes
-    flops = (2 + cg_iters) * M * 2.0 * 2 * 9  # J/J^T products per sweep
-    return _row(f"ba_lm_step[K{K},P{P},M{M},cg{cg_iters}]", s_per,
+    bytes_moved = (2 + n_inner) * sweep_bytes + P * K * 18 * 4 * 2
+    flops = ((2 + n_inner) * M * 2.0 * 2 * 9
+             + 2.0 * (P * 3) * (6 * K) * (6 * K))  # U matmul
+    return _row(f"ba_lm_step[K{K},P{P},M{M},schur+pcg{n_inner}]", s_per,
                 bytes_moved, flops, PEAK_FLOPS_F32)
 
 

@@ -59,6 +59,13 @@ class InertialRuntime:
         self.kf_preint: dict[int, pre.Preintegrated] = {}  # kf -> preint since prev KF
         self.kf_chain: list[int] = []
         self.kf_velocity: dict[int, np.ndarray] = {}
+        # raw measurement window behind each kf_preint entry (t0, list of
+        # (t, gyro, acc)): keyframe culling re-chains the two adjacent
+        # preintegrations by re-running the scan over the concatenated raw
+        # window — exact, like the reference's Reintegrate/MergePrevious
+        # (src/ImuTypes.cc); a few hundred samples per gap is trivial host
+        # memory
+        self.kf_raw: dict[int, tuple[float, list]] = {}
         self.bias_gyro = np.zeros(3, np.float32)
         self.bias_acc = np.zeros(3, np.float32)
         self.gravity: np.ndarray | None = None  # None until initialized
@@ -96,6 +103,9 @@ class InertialRuntime:
         """Preintegrate all samples in (t0, t1] (reference:
         Tracking::PreintegrateIMU)."""
         sel = [(t, w, a) for t, w, a in self.samples if t0 < t <= t1]
+        return self._preintegrate_raw(t0, sel)
+
+    def _preintegrate_raw(self, t0: float, sel) -> pre.Preintegrated | None:
         if len(sel) < 2:
             return None
         gy = jnp.asarray(np.stack([s[1] for s in sel]))
@@ -195,11 +205,15 @@ class InertialRuntime:
             i = self.kf_chain.index(kf_id)
             for k in self.kf_chain[i:]:
                 self.kf_preint.pop(k, None)
+                self.kf_raw.pop(k, None)
             self.kf_chain = self.kf_chain[:i]
         if t_prev_kf is not None:
-            p = self.preintegrate_frame_gap(t_prev_kf, t_kf)
+            sel = [(t, w, a) for t, w, a in self.samples
+                   if t_prev_kf < t <= t_kf]
+            p = self._preintegrate_raw(t_prev_kf, sel)
             if p is not None:
                 self.kf_preint[kf_id] = p
+                self.kf_raw[kf_id] = (t_prev_kf, sel)
         self.kf_chain.append(kf_id)
         # drop consumed samples (keep a small tail for overlap)
         self.samples = [s for s in self.samples if s[0] > t_kf - 0.5]
@@ -212,6 +226,52 @@ class InertialRuntime:
             or (self.initialized and total_t < self.init_refine_until)
         ):
             self._try_initialize(store)
+
+    # ------------------------------------------------------------------
+    def max_cull_gap(self, kc: int, default: float = 3.0) -> float | None:
+        """Merged preintegration span (t_next - t_prev) that culling ``kc``
+        would create, or None if kc is not an interior chain node. The
+        caller gates culling on this staying short (reference:
+        KeyFrameCulling's inertial branch only culls when the temporal
+        neighbours are close in time, src/LocalMapping.cc)."""
+        if kc not in self.kf_chain:
+            return None
+        i = self.kf_chain.index(kc)
+        if i == 0 or i >= len(self.kf_chain) - 1:
+            return None
+        nxt = self.kf_chain[i + 1]
+        if kc not in self.kf_raw or nxt not in self.kf_raw:
+            return None
+        t_prev = self.kf_raw[kc][0]
+        raw_n = self.kf_raw[nxt][1]
+        t_next = raw_n[-1][0] if raw_n else t_prev
+        return float(t_next - t_prev)
+
+    def remove_keyframe(self, kc: int) -> bool:
+        """Re-chain the preintegrations across a culled keyframe: the next
+        chain node's preintegration becomes the exact re-integration of the
+        concatenated raw windows (prev, kc] + (kc, next] (reference:
+        KeyFrameCulling's inertial branch merges the culled KF's
+        preintegration into its next temporal neighbour,
+        src/LocalMapping.cc; ImuTypes' MergePrevious/Reintegrate)."""
+        if kc not in self.kf_chain:
+            return False
+        i = self.kf_chain.index(kc)
+        if 0 < i < len(self.kf_chain) - 1:
+            nxt = self.kf_chain[i + 1]
+            if kc in self.kf_raw and nxt in self.kf_raw:
+                t_prev, raw_a = self.kf_raw[kc]
+                raw_b = self.kf_raw[nxt][1]
+                merged = raw_a + raw_b
+                p = self._preintegrate_raw(t_prev, merged)
+                if p is not None:
+                    self.kf_preint[nxt] = p
+                    self.kf_raw[nxt] = (t_prev, merged)
+        self.kf_chain.pop(i)
+        self.kf_preint.pop(kc, None)
+        self.kf_raw.pop(kc, None)
+        self.kf_velocity.pop(kc, None)
+        return True
 
     # ------------------------------------------------------------------
     def _try_initialize(self, store) -> bool:

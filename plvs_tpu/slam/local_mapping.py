@@ -147,6 +147,13 @@ class LocalMapper:
     # src/LocalMapping.cc:139)
     abort_check: object | None = None
     ba_chunk_iters: int = 3
+    # inertial runtime (None for visual-only): keyframe culling on inertial
+    # maps must preserve the temporal IMU chain — a cull is allowed only
+    # when the merged preintegration span stays short, and the runtime
+    # re-chains the preintegrations of the culled keyframe (reference:
+    # the inertial branch of LocalMapping::KeyFrameCulling)
+    inertial: object | None = None
+    inertial_max_gap: float = 3.0  # s, reference's temporal-neighbour bound
     stopwatch: object | None = None  # optional fine-grained stage timing
     # device mesh for the sharded global-BA backend (SystemConfig.
     # sharded_backend); windowed local BA stays single-device — its
@@ -520,6 +527,9 @@ class LocalMapper:
         st = self.store
         covis, _ = st.covisibility(kf_id, min_weight=10)
         okf, opt, _ = st.live_obs()
+        iner = self.inertial
+        iner_active = iner is not None and len(
+            getattr(iner, "kf_chain", ())) > 0
         for kc in covis:
             kc = int(kc)
             if kc == 0 or kc == kf_id or st.kf_fixed[kc]:
@@ -529,7 +539,16 @@ class LocalMapper:
                 continue
             redundant = (st.pt_n_obs[pts] >= 4).mean()
             if redundant > 0.9:
+                if iner_active:
+                    # inertial map: only interior chain nodes whose merged
+                    # preintegration span stays below the temporal bound
+                    # may go (reference: KeyFrameCulling inertial branch)
+                    gap = iner.max_cull_gap(kc)
+                    if gap is None or gap > self.inertial_max_gap:
+                        continue
                 st.remove_keyframe(kc)
+                if iner_active:
+                    iner.remove_keyframe(kc)
                 if self.kfdb is not None:
                     self.kfdb.remove(kc)
 
@@ -581,12 +600,15 @@ class LocalMapper:
         covis, _ = st.covisibility(kf_id, min_weight=10)
         window = np.concatenate(
             [[kf_id], covis[: self.window_size]]).astype(np.int64)
-        # 5 LM x 20 CG: the windowed solve re-runs every keyframe, so its
-        # marginal accuracy past this budget is noise while its device time
-        # is the largest backend kernel (measured 54 ms at 6x30 vs 32 ms at
-        # 4x20 for a full window; the reference's local BA likewise runs a
-        # short 5-iteration schedule, src/Optimizer.cc:3198)
-        return self._ba_dispatch(window, num_iters=5, cg_iters=20)
+        # 5 LM x short Schur-PCG: the windowed solve re-runs every
+        # keyframe, so its marginal accuracy past this budget is noise
+        # while its device time is the largest backend kernel (the
+        # reference's local BA likewise runs a short 5-iteration schedule,
+        # src/Optimizer.cc:3198). schur=True: the explicit reduced-camera
+        # preconditioner cuts the serial matvec chain ~20 -> ~8 per LM
+        # iteration (ba.bundle_adjust schur_direct)
+        return self._ba_dispatch(window, num_iters=5, cg_iters=8,
+                                 schur=True)
 
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map
@@ -623,7 +645,8 @@ class LocalMapper:
         return extra
 
     def _ba_dispatch(self, window: np.ndarray, num_iters: int = 6,
-                     cg_iters: int = 30, use_mesh: bool = False):
+                     cg_iters: int = 30, use_mesh: bool = False,
+                     schur: bool = False):
         """Dispatch half of the windowed LM solve: snapshot, queue EVERY
         LM iteration on the device, return a ctx whose ``outs`` await to
         the solved blocks (staged/interleaved callers fetch them on a
@@ -656,7 +679,7 @@ class LocalMapper:
             else:
                 Rn, tn, pn, lXsn, lXen, info = ba.bundle_adjust_jit(
                     self.cam, prob, num_iters=it, cg_iters=cg_iters,
-                    scatter_free=True)
+                    scatter_free=True, schur_direct=schur)
             prob = prob._replace(R=Rn, t=tn, points=pn,
                                  lines_Xs=lXsn, lines_Xe=lXen)
             done += it

@@ -99,6 +99,14 @@ class LoopCloser:
         # dict(cand, kf, count, G_R, G_t) where (G_R, G_t) is the implied
         # world-drift transform of the active map
         self._pending = None
+        # optional diagnostics: when not None, process_keyframe appends one
+        # dict per call (candidates, verification outcome, streak state) —
+        # the bench loop scenario prints it to explain a silent 0-loop run
+        self.trace: list | None = None
+
+    def _trace(self, kf_id: int, **kw):
+        if self.trace is not None:
+            self.trace.append({"kf": int(kf_id), **kw})
 
     # ------------------------------------------------------------------
     def _drift_transform(self, kf_id: int, cand: int, R_rel, t_rel):
@@ -133,6 +141,7 @@ class LoopCloser:
             pc = int(self._pending["cand"])
             cands = [pc] + [c for c in cands if c != pc]
         if not cands:
+            self._trace(kf_id, stage="detect", n_cands=0)
             self._pending_miss()
             return None
         # verify candidates in order, keeping the first that passes
@@ -145,6 +154,8 @@ class LoopCloser:
                 if ok:
                     break
         if not ok:
+            self._trace(kf_id, stage="verify_fail", cands=list(map(int, cands)),
+                        last_inl=int(n_inl))
             self._pending_miss()
             return None
         G_R, G_t = self._drift_transform(kf_id, cand, R_rel, t_rel)
@@ -153,6 +164,9 @@ class LoopCloser:
                                           -1.0, 1.0)))
             if (ang > self.max_drift_rot
                     or np.linalg.norm(G_t) > self.max_drift_trans):
+                self._trace(kf_id, stage="drift_gate", cand=int(cand),
+                            inl=int(n_inl), ang=round(ang, 3),
+                            trans=round(float(np.linalg.norm(G_t)), 3))
                 self._pending_miss()
                 return None
 
@@ -168,6 +182,8 @@ class LoopCloser:
         # always required (a single aliased 60-inlier match on repeated
         # texture inside the drift envelope must not close immediately)
         strong = int(n_inl) >= self.strong_inliers and count >= 2
+        self._trace(kf_id, stage="coincidence", cand=int(cand),
+                    inl=int(n_inl), count=count, strong=strong)
         if count < self.required_coincidences and not strong:
             return None
         self._pending = None

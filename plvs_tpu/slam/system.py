@@ -194,6 +194,16 @@ class System:
     """RGB-D SLAM system (monocular/stereo variants arrive in later
     milestones; the RGB-D path exercises the full stack)."""
 
+    # interleaved-backend backlog cap: queued keyframe generators beyond
+    # this force synchronous catch-up steps (see _enqueue_backend)
+    MAX_BACKEND_BACKLOG = 2
+    # a backend stage whose helper-thread fetch is still pending after this
+    # many _step_backend polls (2 per frame) is resumed anyway, blocking on
+    # the fetch: stage advancement is thereby gated on FRAME COUNT, not
+    # wall time, so backend progress — and hence map evolution and
+    # accuracy — is load-independent up to a deterministic bound
+    BACKEND_STAGE_DEADLINE = 4
+
     def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None,
                  cam2: cam_mod.Camera | None = None, T_c1_c2=None,
                  imu_calib=None, imu_T_b_c=None):
@@ -270,8 +280,14 @@ class System:
         self.tracker.max_keylines = c.max_lines
         self.tracker.depth_decimation = c.depth_upload_decimation
         self.tracker.fixed_shapes = c.backend_fixed_shapes
-        self.tracker.pipelined = c.pipelined and not c.use_imu
-        self.tracker.pipeline_depth = max(1, c.pipeline_depth)
+        # VI runs pipelined too (reference: the stereo/mono-inertial runs
+        # feed the same realtime Track loop, src/Tracking.cc:1913-2034);
+        # the pipeline is SHALLOW for IMU — the per-frame IMU prediction is
+        # computed against the last RESOLVED pose, so depth 2 bounds its
+        # staleness while still hiding the tunnel's fetch latency
+        self.tracker.pipelined = c.pipelined
+        self.tracker.pipeline_depth = max(
+            1, min(c.pipeline_depth, 2) if c.use_imu else c.pipeline_depth)
         self.tracker.overlap_fetch = c.pipeline_overlap
         self.tracker.on_resolved = self._on_resolved
         self._pending_payloads = {}
@@ -284,10 +300,12 @@ class System:
             cam, self.store, scale=c.scale, n_levels=c.n_levels,
             use_lines=c.use_lines, kfdb=self.kfdb,
             triangulate_new_points=(c.sensor == "mono"),
-            # culling frees KF slots whose ids would be reused, corrupting
-            # the temporal preintegration chain (the reference likewise
-            # restricts culling of temporal neighbours in inertial mode)
-            kf_culling=not c.use_imu,
+            # inertial maps cull too: the runtime re-chains the culled KF's
+            # preintegration into its next temporal neighbour and the gate
+            # keeps the merged span short (reference: the inertial branch
+            # of LocalMapping::KeyFrameCulling) — see the inertial= wiring
+            # below
+            kf_culling=True,
             fixed_shapes=c.backend_fixed_shapes,
         )
         self.loop_closer = (
@@ -332,6 +350,9 @@ class System:
             # the mbMonocular branch of InitializeIMU)
             kwargs["fix_scale"] = c.sensor != "mono"
             self.inertial = InertialRuntime(**kwargs)
+            # keyframe culling must go through the inertial re-chaining
+            # gate (see LocalMapper.cull_keyframes)
+            self.local_mapper.inertial = self.inertial
         # planar map objects (reference: MapObject.* yaml enables detection
         # in Tracking + Sim3 refinement in local BA, src/Tracking.cc:1510-1544)
         self.object_store = None
@@ -647,14 +668,14 @@ class System:
             kf_id, dense_payload, submit=self._submit_backend_fetch)
         self._backend_q.append(
             {"gen": gen, "wait": None, "snap": (snap, len(self.loops_closed))})
-        # bound the backlog: if the backend falls more than 4 keyframes
-        # behind the tracker, force progress (keeps map maintenance /
-        # loop-closing latency bounded like the reference's blocking
-        # InsertKeyFrame when LocalMapping is saturated). The cap is
-        # deliberately loose — a force blocks the tracking thread on the
+        # bound the backlog: if the backend falls more than MAX_BACKLOG
+        # keyframes behind the tracker, force progress (keeps map
+        # maintenance / loop-closing latency bounded like the reference's
+        # blocking InsertKeyFrame when LocalMapping is saturated). The cap
+        # is deliberately loose — a force blocks the tracking thread on the
         # head stage's device fetch, so catching up gradually via the
         # per-frame steps is far cheaper than draining here.
-        while len(self._backend_q) > 2:
+        while len(self._backend_q) > self.MAX_BACKEND_BACKLOG:
             self._step_backend(force=True)
         self._step_backend()
 
@@ -669,7 +690,10 @@ class System:
         head = self._backend_q[0]
         w = head["wait"]
         if w is not None and not force and not w.done():
-            return
+            head["age"] = head.get("age", 0) + 1
+            if head["age"] < self.BACKEND_STAGE_DEADLINE:
+                return
+        head["age"] = 0
         head["wait"] = None
         try:
             head["wait"] = next(head["gen"])
@@ -701,6 +725,21 @@ class System:
         R_f, t_f = tr.R, tr.t
         tr.R = (R_f @ dR).astype(np.float32)
         tr.t = (R_f @ dt + t_f).astype(np.float32)
+        # the queued successors snapped PRE-correction ref poses at enqueue
+        # time; left stale, each would re-apply this same loop-closure delta
+        # when it finishes. Re-snap them against the corrected map so later
+        # folds measure only corrections that happen after this one.
+        self._refresh_backend_snaps()
+
+    def _refresh_backend_snaps(self):
+        st = self.store
+        ref = self.tracker.ref_kf
+        snap = None
+        with st.lock:
+            if 0 <= ref < st.max_kf and st.kf_mask[ref]:
+                snap = (ref, st.kf_R[ref].copy(), st.kf_t[ref].copy())
+        for entry in self._backend_q:
+            entry["snap"] = (snap, len(self.loops_closed))
 
     def _on_resolved(self, res, ts: float, seq=None):
         """Tracker callback: a deferred frame finished resolving (any
@@ -737,6 +776,25 @@ class System:
             self._pending_payloads[self.tracker._pending[-1]["seq"]] = \
                 dense_payload
             self._last_frame_ts = timestamp
+            # ADAPTIVE pipeline depth: the deferred window hides the
+            # tunnel's fetch latency, but its predictions extrapolate the
+            # motion model up to depth frames — under fast rotation the
+            # per-frame matching degrades faster than the batch resolves
+            # and tracking spirals down (measured on the room orbit:
+            # inliers 500 -> 0 over ~20 frames). Bound the staleness by
+            # the observed rotation rate, and resolve every frame while
+            # the motion model is cold (startup / reloc / weak frame).
+            tr = self.tracker
+            if tr._vel_warm < 3:
+                eff_depth = 1
+            else:
+                ang = float(np.arccos(np.clip(
+                    (np.trace(tr.vel_R) - 1.0) * 0.5, -1.0, 1.0)))
+                eff_depth = (1 if ang > 0.05 else
+                             2 if ang > 0.025 else tr.pipeline_depth)
+            if len(tr._pending) >= eff_depth:
+                with self.stopwatch.scope("resolve"):
+                    tr.resolve_batch(force=True)
             self._step_backend()
             self._step_backend()
             return res.state, res.R, res.t
@@ -787,7 +845,12 @@ class System:
                 self.tracker.R = self.store.kf_R[res.kf_id].copy()
                 self.tracker.t = self.store.kf_t[res.kf_id].copy()
         self._imu_post_frame(res.state, timestamp)
-        self._last_frame_ts = timestamp
+        # never move the frame clock BACKWARDS: in pipelined mode resolves
+        # trail dispatches, and rewinding _last_frame_ts here would make
+        # the next frame's IMU gap re-consume samples already integrated
+        # for the frames dispatched meanwhile
+        if self._last_frame_ts is None or timestamp > self._last_frame_ts:
+            self._last_frame_ts = timestamp
         self.trajectory.append((timestamp, res.R.copy(), res.t.copy()))
         return res.state, res.R, res.t
 

@@ -300,6 +300,11 @@ def _track_frame_fused_pts(  # noqa: C901
     R1, t1, n1 = _step1(15.0)
     R1, t1, n1 = jax.lax.cond(
         n1 < 20, lambda: _step1(30.0), lambda: (R1, t1, n1))
+    # second widening: a pipelined prediction can be several frames stale
+    # (deferred resolution), and under rotation the error is tens of px —
+    # 60 px absorbs ~2 frames of unmodeled motion at VGA intrinsics
+    R1, t1, n1 = jax.lax.cond(
+        n1 < 20, lambda: _step1(60.0), lambda: (R1, t1, n1))
 
     # the inertial prior stays anchored at the PREDICTED pose in both
     # solves (reference: the marginalized prior is relative to the IMU
@@ -343,6 +348,11 @@ def _track_frame_fused_pl(
     R1, t1, n1 = _step1(15.0)
     R1, t1, n1 = jax.lax.cond(
         n1 < 20, lambda: _step1(30.0), lambda: (R1, t1, n1))
+    # second widening: a pipelined prediction can be several frames stale
+    # (deferred resolution), and under rotation the error is tens of px —
+    # 60 px absorbs ~2 frames of unmodeled motion at VGA intrinsics
+    R1, t1, n1 = jax.lax.cond(
+        n1 < 20, lambda: _step1(60.0), lambda: (R1, t1, n1))
 
     R2, t2, n2, kp_pt_local, kl_ln_local = _match_and_optimize_pl(
         cam, R1, t1, xyz2, desc2, oct2, val2,
@@ -708,6 +718,11 @@ class Tracker:
         self.t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)  # motion model: T_curr_last
         self.vel_t = np.zeros(3, np.float32)
+        # consecutive STRONG resolved frames: while low, the deferred
+        # pipeline resolves every frame so the motion model re-anchors
+        # before predictions extrapolate a cold/poisoned velocity across a
+        # full batch (the observed failure mode on fast rotation)
+        self._vel_warm = 0
         self.last_frame = None
         self.last_kp_pt_id = None
         self.ref_kf = -1
@@ -807,6 +822,7 @@ class Tracker:
         self.t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
+        self._vel_warm = 0
         self.ref_kf = -1
         self.ref_kf_npts = 0
         self.frames_since_kf = 0
@@ -893,6 +909,7 @@ class Tracker:
             self.R, self.t = R2, t2
             self.vel_R = np.eye(3, dtype=np.float32)
             self.vel_t = np.zeros(3, np.float32)
+            self._vel_warm = 0
             self.state = OK
             self.ref_kf = kf_id
             self.ref_kf_npts = -1
@@ -1398,6 +1415,7 @@ class Tracker:
         Rl_inv, tl_inv = np.asarray(R_last).T, -np.asarray(R_last).T @ t_last
         self.vel_R = (R2 @ Rl_inv).astype(np.float32)
         self.vel_t = (R2 @ tl_inv + t2).astype(np.float32)
+        self._vel_warm = 0 if n2 < 50 else self._vel_warm + 1
 
         # update visibility counters (reference: IncreaseVisible/Found) —
         # frozen in localization-only mode, where the map must not change.
@@ -1512,6 +1530,7 @@ class Tracker:
         self.t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
+        self._vel_warm = 0
         self.ref_kf = -1
         self.ref_kf_npts = 0
         self.frames_since_kf = 0

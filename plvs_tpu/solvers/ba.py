@@ -199,20 +199,44 @@ def _line_terms(cam, R, t, lines_Xs, lines_Xe, prob: BAProblem):
 
 def _sorted_seg_reduce(idx: jnp.ndarray, num_segments: int):
     """Scatter-free segment-sum for a STATIC index vector: sort once, then
-    every reduction is a cumulative sum + two boundary gathers. TPU
-    scatters serialize (the CG matvec was 2.5 GB/s, 0.3% of roofline);
-    sort + cumsum are vectorized VPU passes."""
+    every reduction is a SEGMENTED associative scan + boundary gathers. TPU
+    scatters serialize (the CG matvec was 2.5 GB/s, 0.3% of roofline); the
+    log-depth scan is vectorized VPU work.
+
+    A plain global cumsum + prefix differences is numerically WRONG here:
+    the two prefixes being subtracted grow with the TOTAL over all
+    segments, so each segment's value carries absolute error ~eps * global
+    sum (measured 1e-3..1e-4 relative on bundle-adjustment Hessian blocks
+    — harmless to preconditioned CG, fatal to the exact Schur reduction).
+    The segmented scan resets the accumulation at every segment head, so
+    the error stays ~eps * segment sum."""
     order = jnp.argsort(idx)
     idx_s = idx[order]
     seg = jnp.arange(num_segments, dtype=idx.dtype)
     starts = jnp.searchsorted(idx_s, seg)
     ends = jnp.searchsorted(idx_s, seg, side="right")
+    heads = jnp.concatenate(
+        [jnp.ones((1,), bool), idx_s[1:] != idx_s[:-1]]) \
+        if idx_s.shape[0] else jnp.zeros((0,), bool)
 
     def reduce(v):
-        cs = jnp.cumsum(v[order], axis=0, dtype=v.dtype)
-        z = jnp.zeros((1,) + cs.shape[1:], cs.dtype)
-        cs = jnp.concatenate([z, cs], axis=0)
-        return cs[ends] - cs[starts]
+        vs = v[order]
+        h = heads.reshape((-1,) + (1,) * (vs.ndim - 1))
+
+        def comb(a, b):
+            ha, va = a
+            hb, vb = b
+            return ha | hb, jnp.where(hb, vb, va + vb)
+
+        _, sums = jax.lax.associative_scan(
+            comb, (jnp.broadcast_to(h, vs.shape), vs))
+        # the running segmented sum at each segment's LAST element is that
+        # segment's total; empty segments (ends == starts) read 0
+        last = jnp.clip(ends - 1, 0, max(vs.shape[0] - 1, 0))
+        out = sums[last]
+        return jnp.where(
+            (ends > starts).reshape((-1,) + (1,) * (vs.ndim - 1)),
+            out, jnp.zeros_like(out))
 
     return reduce
 
@@ -231,6 +255,9 @@ def _onehot_seg_reduce(idx: jnp.ndarray, num_segments: int):
     return reduce
 
 
+_SCHUR_DEBUG = None  # set to a dict to capture intermediates (disable_jit)
+
+
 def bundle_adjust(
     cam: cam_mod.Camera,
     prob: BAProblem,
@@ -239,6 +266,7 @@ def bundle_adjust(
     lam0: float = 1e-3,
     line_weight: float = 1.0,
     scatter_free: bool = False,
+    schur_direct: bool = False,
 ):
     """Run LM bundle adjustment; returns (R, t, points, lines_Xs, lines_Xe, info).
 
@@ -250,6 +278,17 @@ def bundle_adjust(
     sharding: the segment-sum formulation is what turns into ``psum``s when
     the observation table is sharded (plvs_tpu.parallel.sharded_ba), while
     a global argsort of a sharded index vector would be a collective sort.
+
+    ``schur_direct``: replace the PCG inner solve with the EXPLICIT reduced
+    camera system — build the camera-camera Schur complement S = Hcc -
+    Y Hpp^-1 Y^T as one dense [6K, 6K] matrix and Cholesky-solve it, then
+    back-substitute landmarks (the classic g2o/ceres SC ordering,
+    reference: g2o's BlockSolver + LinearSolverEigen in Optimizer.cc).
+    20 dependent CG matvecs are 20 serial launch-latency-bound kernels on
+    TPU; the SC build is ONE MXU matmul over the dense [P, 6K, 3] coupling
+    tensor and a tiny Cholesky — exact, fewer kernels, faster wall clock
+    for windowed problems (K <= ~64). Memory is O(P*K*18) floats, so keep
+    the CG path for global-BA scale problems and sharded runs.
 
     NOTE: call :func:`bundle_adjust_jit` from latency-sensitive paths — this
     function traces eagerly, which is fine under an outer jit (GSPMD
@@ -278,6 +317,23 @@ def bundle_adjust(
             seg_ll = lambda v: jax.ops.segment_sum(  # noqa: E731
                 v, prob.lobs_line, num_segments=L)
 
+    if schur_direct:
+        # combined (landmark, camera) segment index for the dense coupling
+        # tensors; int32 is ample (P*K and L*K are < 2^31 at windowed scale)
+        seg_cp = _sorted_seg_reduce(
+            prob.obs_pt.astype(jnp.int32) * K
+            + prob.obs_cam.astype(jnp.int32), P * K)
+        # exact per-segment camera reduces: the one-hot MXU matmul's f32
+        # accumulation error (~4e-4 relative, measured) is fine for CG's
+        # preconditioner but perturbs the reduced system's small (~lam)
+        # eigenvalues enough to wreck the exact step
+        seg_c_x = _sorted_seg_reduce(prob.obs_cam.astype(jnp.int32), K)
+        if has_lines:
+            seg_cl = _sorted_seg_reduce(
+                prob.lobs_line.astype(jnp.int32) * K
+                + prob.lobs_cam.astype(jnp.int32), L * K)
+            seg_lc_x = _sorted_seg_reduce(prob.lobs_cam.astype(jnp.int32), K)
+
     free_cam = (~prob.fixed_cam) & prob.cam_mask
 
     def robust_w(res, inv_s2, is_stereo=None):
@@ -293,12 +349,16 @@ def bundle_adjust(
         w = prob.obs_inv_sigma2 * ok
         rw, chi2 = robust_w(res * jnp.sqrt(row_w), prob.obs_inv_sigma2, is_st)
         c = jnp.sum(jnp.minimum(chi2, jnp.where(is_st, robust.CHI2_3D, robust.CHI2_2D) * 2.0) * ok)
+        n_ok = jnp.sum(ok)
         if has_lines:
             lres, _, _, lok, lrow = _line_terms(cam, R, t, lXs, lXe, prob)
             _, lchi2 = robust_w(lres * jnp.sqrt(lrow), prob.lobs_inv_sigma2)
             lthr = jnp.where(jnp.sum(lrow, -1) > 2.5, 9.488, robust.CHI2_2D)
             c = c + line_weight * jnp.sum(jnp.minimum(lchi2, lthr * 2.0) * lok)
-        return c
+        # a state that invalidates EVERY observation (landmarks behind the
+        # cameras after a runaway step) must read as infinitely bad, not as
+        # a zero-cost optimum the accept test then locks in
+        return jnp.where(n_ok > 0, c, jnp.inf)
 
     def lm_step(carry):
         R, t, points, lXs, lXe, lam, cost_prev = carry
@@ -387,37 +447,162 @@ def bundle_adjust(
             )
             return zc, zp, zl
 
-        # ---- PCG ----
-        def dot(a, b):
-            return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+        if schur_direct:
+            # ---- explicit Schur complement on cameras ----
+            # Jacobi (diagonal) scaling, ceres-style: the raw reduction in
+            # f32 is numerically fatal — a 1-2-observation landmark leaves
+            # its Hpp block near-singular, the exact Hpp^-1 puts ~1/eps
+            # magnitudes into U, and the cancellation in Hcc - U destroys
+            # positive-definiteness (the PCG path never fully converges
+            # those null directions, which is why it tolerated this).
+            # Scaling every parameter block to unit diagonal bounds the
+            # scaled Hpp's condition number by ~1/lam and keeps every
+            # S entry O(1), well inside f32's 7 digits.
+            # exact camera-side assembly (see seg_c_x above)
+            bc_x = -seg_c_x(jnp.einsum("mri,mr->mi", Jc, wr * res))
+            Hcc_x = seg_c_x(jnp.einsum("mri,mr,mrj->mij", Jc, wr, Jc))
+            if has_lines:
+                bc_x = bc_x - seg_lc_x(
+                    jnp.einsum("mri,mr->mi", lJc, lwr * lres))
+                Hcc_x = Hcc_x + seg_lc_x(
+                    jnp.einsum("mri,mr,mrj->mij", lJc, lwr, lJc))
+            bc_x = bc_x * free_cam[:, None]
+            Hcc_dx = damped(Hcc_x, 6)
+            dc = jax.lax.rsqrt(jnp.clip(
+                jnp.diagonal(Hcc_dx, axis1=-2, axis2=-1), 1e-12, None))
+            dp = jax.lax.rsqrt(jnp.clip(
+                jnp.diagonal(Hpp_d, axis1=-2, axis2=-1), 1e-12, None))
+            A = Hcc_dx * dc[:, :, None] * dc[:, None, :]
+            B = Hpp_d * dp[:, :, None] * dp[:, None, :]
+            # f32 inv of a near-singular block carries an ASYMMETRIC error
+            # ~cond*eps; U = Y Mp Y^T then loses symmetry and S loses
+            # positive-definiteness (measured: 0.1 asymmetry, -0.1 min
+            # eigenvalue, NaN Cholesky). Symmetrize the inverses and ridge
+            # the reduced system by a hair above the roundoff floor.
+            Mp_s = jnp.linalg.inv(B)
+            Mp_s = 0.5 * (Mp_s + jnp.swapaxes(Mp_s, -1, -2))
+            # dense coupling tensors Y[p, k] = sum_m J_c^T W J_p over the
+            # observations of point p in camera k (zero where unobserved)
+            Y = seg_cp(jnp.einsum("mra,mr,mrb->mab", Jc, wr, Jp)
+                       .reshape(-1, 18)).reshape(P, K, 6, 3) \
+                * dc[None, :, :, None] * dp[:, None, None, :]
+            T = jnp.einsum("pkac,pcd->pkad", Y, Mp_s)     # Y~ B~^-1
+            U = jnp.einsum("pkad,plbd->kalb", T, Y)       # [K,6,K,6]
+            if has_lines:
+                dl = jax.lax.rsqrt(jnp.clip(
+                    jnp.diagonal(Hll_d, axis1=-2, axis2=-1), 1e-12, None))
+                Bl = Hll_d * dl[:, :, None] * dl[:, None, :]
+                Ml_s = jnp.linalg.inv(Bl)
+                Ml_s = 0.5 * (Ml_s + jnp.swapaxes(Ml_s, -1, -2))
+                Yl = seg_cl(jnp.einsum("mra,mr,mrb->mab", lJc, lwr, lJl)
+                            .reshape(-1, 36)).reshape(L, K, 6, 6) \
+                    * dc[None, :, :, None] * dl[:, None, None, :]
+                Tl = jnp.einsum("lkab,lbc->lkac", Yl, Ml_s)
+                U = U + jnp.einsum("lkac,lnbc->kanb", Tl, Yl)
+            ar = jnp.arange(K)
+            S = (-U).at[ar, :, ar, :].add(A).reshape(K * 6, K * 6)
+            S = 0.5 * (S + S.T) \
+                + 1e-4 * jnp.eye(K * 6, dtype=S.dtype)
+            # gauge/fixed cameras: zero their rows+cols, unit diagonal so
+            # the factorization stays PD and their solution is exactly 0
+            ff = jnp.repeat(free_cam.astype(S.dtype), 6)
+            S = S * ff[:, None] * ff[None, :] \
+                + jnp.diag(1.0 - ff)
+            cf = jax.scipy.linalg.cho_factor(S)
 
-        x0 = (jnp.zeros_like(bc), jnp.zeros_like(bp), jnp.zeros_like(bl))
-        r0 = (bc, bp, bl)
-        z0 = precond(*r0)
-        p0 = z0
-        rz0 = dot(r0, z0)
+            def schur_solve(rc, rp, rl):
+                """Approximate (H + lam D)^-1 via the factorized reduced
+                system (forward-reduce, camera solve, back-substitute)."""
+                rc_s = rc * dc
+                rp_s = rp * dp
+                rt = rc_s - jnp.einsum("pkad,pd->ka", T, rp_s)
+                if has_lines:
+                    rl_s = rl * dl
+                    rt = rt - jnp.einsum("lkab,lb->ka", Tl, rl_s)
+                xc_s = jax.scipy.linalg.cho_solve(
+                    cf, rt.reshape(K * 6) * ff).reshape(K, 6) \
+                    * free_cam[:, None]
+                xc = xc_s * dc
+                xp = dp * jnp.einsum(
+                    "pcd,pd->pc", Mp_s,
+                    rp_s - jnp.einsum("pkac,ka->pc", Y, xc_s)) \
+                    * prob.point_mask[:, None]
+                if has_lines:
+                    xl = dl * jnp.einsum(
+                        "lcd,ld->lc", Ml_s,
+                        rl_s - jnp.einsum("lkac,ka->lc", Yl, xc_s)) \
+                        * prob.line_mask[:, None]
+                else:
+                    xl = rl
+                return xc, xp, xl
 
-        def cg_body(state):
-            x, r, p, rz, i = state
-            Ap = matvec(*p)
-            pAp = dot(p, Ap)
-            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
-            x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
-            r = tuple(ri - alpha * Api for ri, Api in zip(r, Ap))
-            z = precond(*r)
-            rz_new = dot(r, z)
-            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
-            p = tuple(zi + beta * pi for zi, pi in zip(z, p))
-            return (x, r, p, rz_new, i + 1)
+            # PCG against the EXACT matrix-free operator, preconditioned by
+            # the factorized reduced system: the f32 factorization carries
+            # ~1e-2 relative error through the inv/cancellation chain
+            # (enough to spoil a raw direct step — measured first-step
+            # rejection), but as a PRECONDITIONER it only has to be close:
+            # with it, CG contracts in a handful of iterations instead of
+            # the 20 that block-Jacobi needs, and monotone A-norm descent
+            # is guaranteed regardless of the factorization's error.
+            def dot_s(a, b):
+                return sum(jnp.vdot(x_, y_) for x_, y_ in zip(a, b))
 
-        # stop once the preconditioned residual has dropped 6 orders of
-        # magnitude — every CG iteration is a sequential launch-bound
-        # matvec on TPU, so converged iterations are pure latency
-        x, _, _, _, _ = jax.lax.while_loop(
-            lambda s: (s[4] < cg_iters) & (s[3] > 1e-12 * rz0),
-            cg_body, (x0, r0, p0, rz0, jnp.zeros((), jnp.int32)),
-        )
-        dxc, dxp, dxl = x
+            b_rhs = (bc_x, bp, bl)
+            x0 = tuple(jnp.zeros_like(v) for v in b_rhs)
+            z0 = schur_solve(*b_rhs)
+            rz0 = dot_s(b_rhs, z0)
+
+            def spcg_body(state):
+                x, r, p, rz, i = state
+                Ap = matvec(*p)
+                pAp = dot_s(p, Ap)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+                x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
+                r = tuple(ri - alpha * Ai for ri, Ai in zip(r, Ap))
+                z = schur_solve(*r)
+                rz_new = dot_s(r, z)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                p = tuple(zi + beta * pi for zi, pi in zip(z, p))
+                return (x, r, p, rz_new, i + 1)
+
+            n_spcg = min(cg_iters, 10)
+            x, _, _, _, _ = jax.lax.while_loop(
+                lambda s: (s[4] < n_spcg) & (s[3] > 1e-12 * rz0),
+                spcg_body, (x0, b_rhs, z0, rz0, jnp.zeros((), jnp.int32)),
+            )
+            dxc, dxp, dxl = x
+        else:
+            # ---- PCG ----
+            def dot(a, b):
+                return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+
+            x0 = (jnp.zeros_like(bc), jnp.zeros_like(bp), jnp.zeros_like(bl))
+            r0 = (bc, bp, bl)
+            z0 = precond(*r0)
+            p0 = z0
+            rz0 = dot(r0, z0)
+
+            def cg_body(state):
+                x, r, p, rz, i = state
+                Ap = matvec(*p)
+                pAp = dot(p, Ap)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+                x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
+                r = tuple(ri - alpha * Api for ri, Api in zip(r, Ap))
+                z = precond(*r)
+                rz_new = dot(r, z)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                p = tuple(zi + beta * pi for zi, pi in zip(z, p))
+                return (x, r, p, rz_new, i + 1)
+
+            # stop once the preconditioned residual has dropped 6 orders of
+            # magnitude — every CG iteration is a sequential launch-bound
+            # matvec on TPU, so converged iterations are pure latency
+            x, _, _, _, _ = jax.lax.while_loop(
+                lambda s: (s[4] < cg_iters) & (s[3] > 1e-12 * rz0),
+                cg_body, (x0, r0, p0, rz0, jnp.zeros((), jnp.int32)),
+            )
+            dxc, dxp, dxl = x
 
         # ---- apply & accept/reject ----
         dR, dt = lie.se3_exp(dxc)
@@ -467,5 +652,5 @@ def bundle_adjust(
 bundle_adjust_jit = jax.jit(
     bundle_adjust,
     static_argnames=("cam", "num_iters", "cg_iters", "lam0", "line_weight",
-                     "scatter_free"),
+                     "scatter_free", "schur_direct"),
 )

@@ -92,11 +92,11 @@ for rep in range(2):  # rep 0 = compile warmup, rep 1 = measured
         out = meshing._padded_fields_dispatch(vol, slots, m.min_weight)
         add("padded_dispatch", t0)
         t0 = tic(); fetched = jax.device_get(out); add("padded_fetch", t0)
-        pt, pw, mask = fetched
+        pt, mask = fetched
         n = len(slots)
         t0 = tic()
         tri, tri_slot = meshing._triangles_from_fields(
-            vol, slots, np.asarray(pt)[:n], np.asarray(mask)[:n])
+            vol, slots, np.asarray(pt[:n], np.float32), np.asarray(mask)[:n])
         add("tri_host", t0)
         versions = vol.block_version[slots].copy()
         order = np.argsort(tri_slot, kind="stable")

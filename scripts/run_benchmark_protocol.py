@@ -92,7 +92,7 @@ def main():
 
     print("running wall_sweep ...", flush=True)
     out["sequences"]["wall_sweep"] = benchmark.run_sequence_benchmark(
-        wall_once, n_runs=args.runs)
+        wall_once, n_runs=args.runs, warmup=True)
     print(json.dumps(out["sequences"]["wall_sweep"], indent=1)[:400],
           flush=True)
 
@@ -124,7 +124,7 @@ def main():
 
     print("running wall_sweep_sensor ...", flush=True)
     out["sequences"]["wall_sweep_sensor"] = benchmark.run_sequence_benchmark(
-        wall_sensor_once, n_runs=args.runs)
+        wall_sensor_once, n_runs=args.runs, warmup=True)
     print(json.dumps(out["sequences"]["wall_sweep_sensor"], indent=1)[:400],
           flush=True)
 
@@ -161,7 +161,7 @@ def main():
 
     print("running room_orbit ...", flush=True)
     out["sequences"]["room_orbit"] = benchmark.run_sequence_benchmark(
-        room_once, n_runs=args.runs)
+        room_once, n_runs=args.runs, warmup=True)
     out["sequences"]["room_orbit"]["loops_closed_per_run"] = n_loops
     print(json.dumps(out["sequences"]["room_orbit"], indent=1)[:400],
           flush=True)

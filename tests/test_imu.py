@@ -331,3 +331,69 @@ class TestPredictState:
             rt.note_frame_pose(R, -R @ C, i / 30.0)
         np.testing.assert_allclose(rt._cur_velocity, [3.0, 0.0, 0.0],
                                    atol=1e-5)
+
+
+class TestInertialKFCulling:
+    """Keyframe culling on inertial maps: the runtime re-chains the culled
+    keyframe's preintegration into its next temporal neighbour EXACTLY (by
+    re-running the scan over the concatenated raw windows — reference: the
+    inertial branch of LocalMapping::KeyFrameCulling + ImuTypes'
+    Reintegrate/MergePrevious)."""
+
+    def _runtime_with_chain(self):
+        import numpy as np
+
+        from plvs_tpu.slam.inertial import InertialRuntime
+
+        rt = InertialRuntime()
+        rng = np.random.default_rng(0)
+        t = 0.0
+        samples = []
+        for i in range(300):
+            t += 1.0 / 100.0
+            samples.append((t, rng.normal(0, 0.2, 3).astype(np.float32),
+                            rng.normal(0, 1.0, 3).astype(np.float32)))
+        rt.add_samples(samples)
+
+        class _St:
+            kf_mask = np.ones(16, bool)
+
+        st = _St()
+        # keyframes at t = 0.5, 1.0, 1.5, 2.0, 2.5
+        prev = None
+        for k, tk in enumerate([0.5, 1.0, 1.5, 2.0, 2.5]):
+            rt.on_keyframe(k, prev, tk, st)
+            prev = tk
+        return rt, samples
+
+    def test_max_cull_gap(self):
+        rt, _ = self._runtime_with_chain()
+        assert rt.max_cull_gap(0) is None          # chain head
+        assert rt.max_cull_gap(4) is None          # chain tail
+        g = rt.max_cull_gap(2)                     # interior: (1.0, 2.0]
+        assert g is not None and abs(g - 1.0) < 0.02
+
+    def test_rechain_matches_direct_preintegration(self):
+        import numpy as np
+
+        rt, samples = self._runtime_with_chain()
+        # direct preintegration over the union window (1.0, 2.0] from the
+        # raw measurements (the runtime itself trims consumed samples)
+        sel = [(t, w, a) for t, w, a in samples if 1.0 < t <= 2.0]
+        direct = rt._preintegrate_raw(1.0, sel)
+        assert rt.remove_keyframe(2)
+        assert rt.kf_chain == [0, 1, 3, 4]
+        merged = rt.kf_preint[3]
+        for name in ("dT", "dR", "dV", "dP"):
+            a = np.asarray(getattr(merged, name))
+            b = np.asarray(getattr(direct, name))
+            assert np.allclose(a, b, atol=1e-5), (name, a, b)
+
+    def test_cull_tail_then_new_kf_keeps_chain_consistent(self):
+        import numpy as np
+
+        rt, _ = self._runtime_with_chain()
+        assert rt.remove_keyframe(1)
+        # chain skips 1; preint of 2 now spans (0.5, 1.5]
+        p2 = rt.kf_preint[2]
+        assert abs(float(np.asarray(p2.dT)) - 1.0) < 0.02

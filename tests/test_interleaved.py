@@ -20,13 +20,21 @@ CAM = cameras.pinhole(300.0, 300.0, 160.0, 120.0, width=320, height=240,
                       bf=24.0)
 
 
-def _run(interleaved: bool, n_frames: int = 40):
+def _run(interleaved: bool, n_frames: int = 40, sync_fetch: bool = False):
     scene = synthetic.SyntheticRGBD(CAM, wall_z=3.0, seed=1)
     cfg = SystemConfig(num_features=512, n_levels=4, max_kf=64,
                        max_pts=16384, pipelined=True, pipeline_depth=4,
                        local_ba=True, loop_closing=True, dense_mapping=True,
                        interleaved_backend=interleaved)
     system = System(CAM, cfg)
+    if sync_fetch and interleaved:
+        # deterministic stepping for quality comparison: with an inline
+        # fetcher every staged future is complete when polled, so backend
+        # progress is gated purely on FRAME COUNT (2 stages/frame), not on
+        # helper-thread timing — accuracy no longer varies with host load
+        from plvs_tpu.slam.local_mapping import _SyncFetch
+
+        system._submit_backend_fetch = _SyncFetch()
     gt = []
     for ts, gray, depth, R, t in scene.sequence(n_frames=n_frames):
         system.track_rgbd(gray, depth, ts)
@@ -48,7 +56,9 @@ class TestInterleavedBackend:
         assert System(CAM, cfg)._interleaved
 
     def test_quality_matches_synchronous(self):
-        sys_i, rmse_i = _run(True)
+        # deterministic stepping (inline fetch): backend progress is gated
+        # on frame count, so this comparison cannot flake under host load
+        sys_i, rmse_i = _run(True, sync_fetch=True)
         sys_s, rmse_s = _run(False)
         assert sys_i._interleaved and not sys_s._interleaved
         # both must meet the ideal-scene gate; interleaving must not
@@ -59,6 +69,18 @@ class TestInterleavedBackend:
         assert si["keyframes"] >= 2 and si["points"] > 300
         assert abs(si["keyframes"] - ss["keyframes"]) <= 2
         # the staged backend completed for every keyframe
+        assert not sys_i._backend_q
+
+    def test_threaded_fetch_quality_bounded(self):
+        """The REAL helper-thread fetcher: stage timing varies with host
+        load, so assert a BOUND on degradation (and the stage-deadline
+        backstop — System.BACKEND_STAGE_DEADLINE — caps staleness at ~2
+        frames), not exact equality with the synchronous run."""
+        sys_i, rmse_i = _run(True)
+        assert sys_i._interleaved
+        assert rmse_i < 0.06, rmse_i
+        si = sys_i.map_statistics()
+        assert si["keyframes"] >= 2 and si["points"] > 300
         assert not sys_i._backend_q
 
     def test_dense_map_converges(self):
