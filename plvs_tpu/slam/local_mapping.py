@@ -600,15 +600,16 @@ class LocalMapper:
         covis, _ = st.covisibility(kf_id, min_weight=10)
         window = np.concatenate(
             [[kf_id], covis[: self.window_size]]).astype(np.int64)
-        # 5 LM x short Schur-PCG: the windowed solve re-runs every
-        # keyframe, so its marginal accuracy past this budget is noise
-        # while its device time is the largest backend kernel (the
-        # reference's local BA likewise runs a short 5-iteration schedule,
-        # src/Optimizer.cc:3198). schur=True: the explicit reduced-camera
-        # preconditioner cuts the serial matvec chain ~20 -> ~8 per LM
-        # iteration (ba.bundle_adjust schur_direct)
-        return self._ba_dispatch(window, num_iters=5, cg_iters=8,
-                                 schur=True)
+        # 5 LM x 14 CG: the windowed solve re-runs every keyframe, so its
+        # marginal accuracy past this budget is noise while its device time
+        # is the largest backend kernel (the reference's local BA likewise
+        # runs a short 5-iteration schedule, src/Optimizer.cc:3198).
+        # NOTE: the schur_direct mode (explicit reduced-camera system,
+        # ba.bundle_adjust) converges in fewer inner iterations but its
+        # exact-assembly scans + dense coupling build measured 38 ms/LM on
+        # the chip vs ~6 ms for this matrix-free path — block-Jacobi CG
+        # stays the product path; schur=True remains available
+        return self._ba_dispatch(window, num_iters=5, cg_iters=14)
 
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map

@@ -199,17 +199,36 @@ def _line_terms(cam, R, t, lines_Xs, lines_Xe, prob: BAProblem):
 
 def _sorted_seg_reduce(idx: jnp.ndarray, num_segments: int):
     """Scatter-free segment-sum for a STATIC index vector: sort once, then
-    every reduction is a SEGMENTED associative scan + boundary gathers. TPU
-    scatters serialize (the CG matvec was 2.5 GB/s, 0.3% of roofline); the
-    log-depth scan is vectorized VPU work.
+    every reduction is a cumulative sum + two boundary gathers. TPU
+    scatters serialize (the CG matvec was 2.5 GB/s, 0.3% of roofline);
+    sort + cumsum are vectorized VPU passes.
 
-    A plain global cumsum + prefix differences is numerically WRONG here:
-    the two prefixes being subtracted grow with the TOTAL over all
-    segments, so each segment's value carries absolute error ~eps * global
-    sum (measured 1e-3..1e-4 relative on bundle-adjustment Hessian blocks
-    — harmless to preconditioned CG, fatal to the exact Schur reduction).
-    The segmented scan resets the accumulation at every segment head, so
-    the error stays ~eps * segment sum."""
+    PRECISION NOTE: the prefix differences carry absolute error
+    ~eps * global sum (measured 1e-3..1e-4 relative on bundle-adjustment
+    Hessian blocks) — harmless to preconditioned CG, fatal to an exact
+    Schur reduction; the schur_direct assembly uses
+    :func:`_sorted_seg_reduce_exact` instead."""
+    order = jnp.argsort(idx)
+    idx_s = idx[order]
+    seg = jnp.arange(num_segments, dtype=idx.dtype)
+    starts = jnp.searchsorted(idx_s, seg)
+    ends = jnp.searchsorted(idx_s, seg, side="right")
+
+    def reduce(v):
+        cs = jnp.cumsum(v[order], axis=0, dtype=v.dtype)
+        z = jnp.zeros((1,) + cs.shape[1:], cs.dtype)
+        cs = jnp.concatenate([z, cs], axis=0)
+        return cs[ends] - cs[starts]
+
+    return reduce
+
+
+def _sorted_seg_reduce_exact(idx: jnp.ndarray, num_segments: int):
+    """Segment-sum via a SEGMENTED associative scan: the accumulator
+    resets at every segment head, so each segment's error is ~eps times
+    its OWN sum (vs eps * global sum for the cumsum trick) — required by
+    the exact Schur assembly, ~5x the cost of the cumsum (log-depth scan
+    with a flag carry), so only the schur_direct branch pays for it."""
     order = jnp.argsort(idx)
     idx_s = idx[order]
     seg = jnp.arange(num_segments, dtype=idx.dtype)
@@ -320,19 +339,23 @@ def bundle_adjust(
     if schur_direct:
         # combined (landmark, camera) segment index for the dense coupling
         # tensors; int32 is ample (P*K and L*K are < 2^31 at windowed scale)
-        seg_cp = _sorted_seg_reduce(
+        seg_cp = _sorted_seg_reduce_exact(
             prob.obs_pt.astype(jnp.int32) * K
             + prob.obs_cam.astype(jnp.int32), P * K)
         # exact per-segment camera reduces: the one-hot MXU matmul's f32
         # accumulation error (~4e-4 relative, measured) is fine for CG's
         # preconditioner but perturbs the reduced system's small (~lam)
         # eigenvalues enough to wreck the exact step
-        seg_c_x = _sorted_seg_reduce(prob.obs_cam.astype(jnp.int32), K)
+        seg_c_x = _sorted_seg_reduce_exact(prob.obs_cam.astype(jnp.int32), K)
+        seg_p_x = _sorted_seg_reduce_exact(prob.obs_pt.astype(jnp.int32), P)
         if has_lines:
-            seg_cl = _sorted_seg_reduce(
+            seg_cl = _sorted_seg_reduce_exact(
                 prob.lobs_line.astype(jnp.int32) * K
                 + prob.lobs_cam.astype(jnp.int32), L * K)
-            seg_lc_x = _sorted_seg_reduce(prob.lobs_cam.astype(jnp.int32), K)
+            seg_lc_x = _sorted_seg_reduce_exact(
+                prob.lobs_cam.astype(jnp.int32), K)
+            seg_ll_x = _sorted_seg_reduce_exact(
+                prob.lobs_line.astype(jnp.int32), L)
 
     free_cam = (~prob.fixed_cam) & prob.cam_mask
 
@@ -458,22 +481,36 @@ def bundle_adjust(
             # Scaling every parameter block to unit diagonal bounds the
             # scaled Hpp's condition number by ~1/lam and keeps every
             # S entry O(1), well inside f32's 7 digits.
-            # exact camera-side assembly (see seg_c_x above)
+            # exact per-segment assembly (see seg_*_x above): both sides
+            # of the reduction must be eps-accurate or the reduced
+            # system's small (~lam) eigenvalues drown in assembly noise
             bc_x = -seg_c_x(jnp.einsum("mri,mr->mi", Jc, wr * res))
             Hcc_x = seg_c_x(jnp.einsum("mri,mr,mrj->mij", Jc, wr, Jc))
+            bp_x = -seg_p_x(jnp.einsum("mri,mr->mi", Jp, wr * res)) \
+                * prob.point_mask[:, None]
+            Hpp_x = seg_p_x(jnp.einsum("mri,mr,mrj->mij", Jp, wr, Jp))
             if has_lines:
                 bc_x = bc_x - seg_lc_x(
                     jnp.einsum("mri,mr->mi", lJc, lwr * lres))
                 Hcc_x = Hcc_x + seg_lc_x(
                     jnp.einsum("mri,mr,mrj->mij", lJc, lwr, lJc))
+                bl_x = -seg_ll_x(jnp.einsum(
+                    "mri,mr->mi", lJl, lwr * lres)) \
+                    * prob.line_mask[:, None]
+                Hll_x = seg_ll_x(jnp.einsum(
+                    "mri,mr,mrj->mij", lJl, lwr, lJl))
+                Hll_dx = damped(Hll_x, 6)
+            else:
+                bl_x = bl
             bc_x = bc_x * free_cam[:, None]
             Hcc_dx = damped(Hcc_x, 6)
+            Hpp_dx = damped(Hpp_x, 3)
             dc = jax.lax.rsqrt(jnp.clip(
                 jnp.diagonal(Hcc_dx, axis1=-2, axis2=-1), 1e-12, None))
             dp = jax.lax.rsqrt(jnp.clip(
-                jnp.diagonal(Hpp_d, axis1=-2, axis2=-1), 1e-12, None))
+                jnp.diagonal(Hpp_dx, axis1=-2, axis2=-1), 1e-12, None))
             A = Hcc_dx * dc[:, :, None] * dc[:, None, :]
-            B = Hpp_d * dp[:, :, None] * dp[:, None, :]
+            B = Hpp_dx * dp[:, :, None] * dp[:, None, :]
             # f32 inv of a near-singular block carries an ASYMMETRIC error
             # ~cond*eps; U = Y Mp Y^T then loses symmetry and S loses
             # positive-definiteness (measured: 0.1 asymmetry, -0.1 min
@@ -490,8 +527,8 @@ def bundle_adjust(
             U = jnp.einsum("pkad,plbd->kalb", T, Y)       # [K,6,K,6]
             if has_lines:
                 dl = jax.lax.rsqrt(jnp.clip(
-                    jnp.diagonal(Hll_d, axis1=-2, axis2=-1), 1e-12, None))
-                Bl = Hll_d * dl[:, :, None] * dl[:, None, :]
+                    jnp.diagonal(Hll_dx, axis1=-2, axis2=-1), 1e-12, None))
+                Bl = Hll_dx * dl[:, :, None] * dl[:, None, :]
                 Ml_s = jnp.linalg.inv(Bl)
                 Ml_s = 0.5 * (Ml_s + jnp.swapaxes(Ml_s, -1, -2))
                 Yl = seg_cl(jnp.einsum("mra,mr,mrb->mab", lJc, lwr, lJl)
@@ -547,7 +584,7 @@ def bundle_adjust(
             def dot_s(a, b):
                 return sum(jnp.vdot(x_, y_) for x_, y_ in zip(a, b))
 
-            b_rhs = (bc_x, bp, bl)
+            b_rhs = (bc_x, bp_x, bl_x)
             x0 = tuple(jnp.zeros_like(v) for v in b_rhs)
             z0 = schur_solve(*b_rhs)
             rz0 = dot_s(b_rhs, z0)
