@@ -152,6 +152,12 @@ def main():
         system.track_rgbd(gray, depth, ts)
         watchdog()
     system.flush()
+    # bucket-ladder warm: the timed scene (different seed) can cross an
+    # observation/point capacity bucket the prepass never reached — that
+    # XLA compile would land mid-timed-pass (measured 11.6 s once); pay
+    # it here instead
+    if system.local_mapper is not None:
+        system.local_mapper.warm_ba_buckets()
     prepass_s = time.perf_counter() - t0
     print(f"prepass (incl. compiles): {prepass_s:.1f}s; map: "
           f"{system.map_statistics()}", file=sys.stderr)
@@ -185,6 +191,8 @@ def main():
         print(f"resolve split: blocked-on-fetch {fe:.2f}s, host-finish "
               f"{fi:.2f}s over {len(tm)} batches "
               f"({sum(t[2] for t in tm)} frames)", file=sys.stderr)
+    print(f"backend stage advancement: {system._stage_stats}",
+          file=sys.stderr)
     # per-frame resolve latency incl. p99 (round-2 bar: loop keyframes must
     # not spike the tracker; the lock-light loop correction runs outside
     # the store lock)
@@ -242,7 +250,7 @@ def main():
     # per-frame stall (resolve + backend-stage time) around it.
     if os.environ.get("PLVS_BENCH_LOOP", "1") == "1":
         watchdog()
-        _loop_latency_scenario(cam)
+        _loop_latency_scenario(cam, watchdog)
 
     # -- visual-inertial throughput (VERDICT r4 item 7: the first committed
     # VI number) — RGB-D + IMU at full 640x480 on the pipelined tracker
@@ -250,10 +258,10 @@ def main():
     # + marginalized prior into the deferred solves)
     if os.environ.get("PLVS_BENCH_VI", "1") == "1":
         watchdog()
-        _vi_throughput_scenario()
+        _vi_throughput_scenario(watchdog=watchdog)
 
 
-def _loop_latency_scenario(cam):
+def _loop_latency_scenario(cam, watchdog=lambda *a: None):
     import time as _time
 
     from plvs_tpu.io import synthetic
@@ -280,13 +288,17 @@ def _loop_latency_scenario(cam):
     # first use (the main scene never closes a loop); report steady-state
     for ts, gray, depth in make_frames(0):
         system.track_rgbd(gray, depth, ts)
+        watchdog()  # re-arm per frame: warm-up pays the loop-path compiles
     system.flush()
+    if system.local_mapper is not None:
+        system.local_mapper.warm_ba_buckets()
     _, system = build_system()
     stalls = []
     for ts, gray, depth in make_frames(1):
         t0 = _time.perf_counter()
         system.track_rgbd(gray, depth, ts)
         stalls.append(_time.perf_counter() - t0)
+        watchdog()
     system.flush()
     ss = np.sort(np.asarray(stalls[1:])) * 1e3
     print(f"loop scenario: loops_closed={len(system.loops_closed)}, "
@@ -302,7 +314,8 @@ def _loop_latency_scenario(cam):
               file=sys.stderr)
 
 
-def _vi_throughput_scenario(n_frames: int = 90):
+def _vi_throughput_scenario(n_frames: int = 90,
+                            watchdog=lambda *a: None):
     """RGB-D-inertial throughput at reference resolution: simulated body
     motion with a 300 Hz IMU feeding track_rgbd(imu_samples=...), pipelined
     tracker (depth 2 in VI mode), online gravity/bias init + VI local BA in
@@ -374,12 +387,14 @@ def _vi_throughput_scenario(n_frames: int = 90):
     system = build()
     for ts, gray, depth, samples in make_frames(0):
         system.track_rgbd(gray, depth, ts, imu_samples=samples)
+        watchdog()
     system.flush()
     frames = make_frames(1)
     system = build()
     t0 = _time.perf_counter()
     for ts, gray, depth, samples in frames:
         system.track_rgbd(gray, depth, ts, imu_samples=samples)
+        watchdog()
     system.flush()
     el = _time.perf_counter() - t0
     init = system.inertial is not None and system.inertial.initialized

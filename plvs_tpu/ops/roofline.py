@@ -122,13 +122,16 @@ def measured_matvec_sweep(M: int, P: int, K: int) -> float:
     return _MATVEC_SWEEP[key]
 
 
-def measured_vpu_step(shape=(8, 640)) -> float:
-    """MEASURED seconds of one short dependent VPU step on a small tile —
-    ~the issue cost of one disparity-pass step of a banded Pallas kernel
-    (shift + xor + popcount-like chain, ~12 int ops). Cached."""
+def measured_vpu_int_peak(shape=(512, 1024)) -> float:
+    """MEASURED VPU integer throughput (int-ops/s): a dependent chain of
+    elementwise uint32 shift/and/add/xor ops (the census/popcount op mix)
+    on a tile large enough to saturate the vector unit. This is the honest
+    ceiling for integer-elementwise kernels — the datasheet flop peaks are
+    MXU numbers an integer kernel cannot reach. Cached per process."""
     global _VPU_STEP
     if _VPU_STEP is not None:
         return _VPU_STEP
+    ops_per_step = 12.0  # count the ops in ``step`` below
 
     def step(c):
         v = c ^ (c >> 1)
@@ -138,7 +141,8 @@ def measured_vpu_step(shape=(8, 640)) -> float:
         return v + jnp.uint32(1)
 
     c0 = jnp.ones(shape, jnp.uint32)
-    _VPU_STEP = time_repeated(step, c0, iters=256)
+    t_step = time_repeated(step, c0, iters=64)
+    _VPU_STEP = ops_per_step * shape[0] * shape[1] / t_step
     return _VPU_STEP
 
 
@@ -213,20 +217,18 @@ def stereo_roofline(H: int = 480, W: int = 640, D: int = 64,
 
     s_per = time_repeated(step, cl, iters=8)
     bytes_moved = 2 * H * W * 4 + H * W * 4
+    # integer-op count: per pixel per disparity one xor+popcount (~6 VPU
+    # int ops) plus separable box aggregation (~4) and WTA compare (~2)
     flops = float(H * W * D) * 12.0
-    # the kernel is SEQUENTIAL-ISSUE bound, not bandwidth/flop bound: the
-    # grid walks H/8 bands and each band runs 3 dependent passes over all
-    # D disparities (ops/stereo.py) — ~H/8 * 3D short dependent VPU steps
-    # whose per-step issue latency is measured below; the VPU does ~2
-    # vector ops per step-row of useful work, so the model bound is
-    # n_steps * t_step on a [8, W] tile
-    from .stereo import TH as _TH
-
-    n_steps = (H // _TH) * (3 * D)
-    t_step = measured_vpu_step((8, W))
+    # the honest ceiling is the MEASURED VPU integer streaming peak (same
+    # op mix, saturating tile) — the datasheet bf16/f32 peaks are MXU
+    # numbers an integer-elementwise kernel cannot touch, and a
+    # sequential-issue model proved an overestimate (the banded kernel
+    # pipelines its D passes far better than a scalar issue model assumes)
+    vpu_peak = measured_vpu_int_peak()
     return _row(f"census_wta[{H}x{W},D={D}]", s_per, bytes_moved, flops,
-                PEAK_FLOPS_F32, extra_bound_s=n_steps * t_step,
-                extra_bound_name=f"issue({n_steps}steps)")
+                PEAK_FLOPS_F32, extra_bound_s=flops / vpu_peak,
+                extra_bound_name="vpu-int(measured)")
 
 
 def ba_roofline(K: int = 32, P: int = 4096, M: int = 16384) -> dict:

@@ -14,6 +14,8 @@ problem layout.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -142,8 +144,22 @@ def bundle_adjust_sharded(
         pt_sh = NamedSharding(mesh, P())
     repl = NamedSharding(mesh, P())
 
-    fn = jax.jit(
-        lambda p: ba.bundle_adjust(cam, p, num_iters=num_iters, cg_iters=cg_iters),
+    fn = _sharded_fn(cam, mesh, shard_points)
+    return fn(prob, num_iters, cg_iters)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_fn(cam, mesh, shard_points: bool):
+    """One cached jit wrapper per (camera, mesh, sharding mode): a fresh
+    ``jax.jit(lambda ...)`` per call would retrace — and recompile — the
+    whole LM program on every backend dispatch. Iteration budgets are
+    dynamic loop bounds (see ba.bundle_adjust_jit), so they don't key the
+    cache."""
+    pt_sh = NamedSharding(mesh, P("obs")) if shard_points \
+        else NamedSharding(mesh, P())
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda p, ni, ci: ba.bundle_adjust(
+            cam, p, num_iters=ni, cg_iters=ci),
         out_shardings=(repl, repl, pt_sh, repl, repl, None),
     )
-    return fn(prob)

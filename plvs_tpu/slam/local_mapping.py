@@ -563,7 +563,11 @@ class LocalMapper:
         ratio = st.ln_found[lns] / np.maximum(st.ln_visible[lns], 1)
         age = kf_id - st.ln_first_kf[lns]
         bad = (ratio < 0.25) & (st.ln_visible[lns] >= 8)
-        bad |= (age >= 3) & (st.ln_n_obs[lns] <= 1) & (st.ln_visible[lns] >= 6)
+        # age >= 4 (not 3): under the interleaved backend the fuse stage
+        # that attaches a second observation can land up to 3 frames after
+        # the keyframe (frame-count stage deadline) — culling at 3 raced
+        # it and the live-line count wobbled under the 100-line bar
+        bad |= (age >= 4) & (st.ln_n_obs[lns] <= 1) & (st.ln_visible[lns] >= 6)
         st.remove_lines(lns[bad])
 
     # ------------------------------------------------------------------
@@ -610,6 +614,54 @@ class LocalMapper:
         # the chip vs ~6 ms for this matrix-free path — block-Jacobi CG
         # stays the product path; schur=True remains available
         return self._ba_dispatch(window, num_iters=5, cg_iters=14)
+
+    def warm_ba_buckets(self, kf_id: int | None = None):
+        """Precompile the windowed-BA executable at the NEXT capacity
+        buckets above the current map's problem shape. A growing map can
+        cross an observation/point bucket boundary mid-sequence, and the
+        resulting XLA compile (~10 s through the tunnel backend) lands in
+        the tracking loop; warming the ladder here (prepass / startup)
+        moves that cost out of the realtime path. Iteration counts are
+        dynamic (ba.bundle_adjust_jit), so one compile per shape covers
+        every LM/CG budget."""
+        import jax as _jax
+
+        st = self.store
+        if kf_id is None:
+            live = np.nonzero(st.kf_mask)[0]
+            if len(live) == 0:
+                return
+            kf_id = int(live[-1])
+        with st.lock:
+            packed = self._gather_ba(np.sort(st.kfs_of_map(
+                st.active_map)).astype(np.int64))
+        if packed is None:
+            return
+        prob = packed[0]
+
+        def pad(arr, mult, fill=0):
+            n = arr.shape[0]
+            extra = jnp.full((n * (mult - 1),) + arr.shape[1:], fill,
+                             arr.dtype)
+            return jnp.concatenate([arr, extra], 0)
+
+        # the realistic crossings: observations double first (each new KF
+        # adds ~n_kp rows), then points; the line blocks sit at floors a
+        # 128-line capacity can never cross (Lb>=512, Mlb>=2048), so their
+        # shapes are left exactly as the runtime produces them
+        for pm, mm in ((1, 2), (2, 2)):
+            prob2 = prob._replace(
+                points=pad(prob.points, pm),
+                point_mask=pad(prob.point_mask, pm),
+                obs_cam=pad(prob.obs_cam, mm),
+                obs_pt=pad(prob.obs_pt, mm),
+                obs_uvr=pad(prob.obs_uvr, mm, -1.0),
+                obs_inv_sigma2=pad(prob.obs_inv_sigma2, mm, 1.0),
+                obs_mask=pad(prob.obs_mask, mm),
+            )
+            out = ba.bundle_adjust_jit(self.cam, prob2, num_iters=1,
+                                       cg_iters=1, scatter_free=True)
+            _jax.block_until_ready(out[0])
 
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map

@@ -202,7 +202,7 @@ class System:
     # the fetch: stage advancement is thereby gated on FRAME COUNT, not
     # wall time, so backend progress — and hence map evolution and
     # accuracy — is load-independent up to a deterministic bound
-    BACKEND_STAGE_DEADLINE = 4
+    BACKEND_STAGE_DEADLINE = 6
 
     def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None,
                  cam2: cam_mod.Camera | None = None, T_c1_c2=None,
@@ -371,6 +371,10 @@ class System:
         import collections as _collections
 
         self._backend_q = _collections.deque()
+        # why each backend stage advanced: fetch complete ("ready") vs
+        # blocked on an incomplete fetch (frame-count "deadline" / forced
+        # catch-up) — the blocked counts locate tracker-stall budget
+        self._stage_stats = {"ready": 0, "deadline": 0, "forced": 0}
         self._backend_pool = None
         self._last_frame_ts = None
         self._last_kf_ts = None
@@ -647,8 +651,13 @@ class System:
         if self._backend_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
+            # two fetch lanes: the dense-mesh gather fetch (~40 ms) and
+            # the local-BA fetch are independent device outputs — one
+            # worker serializes them and the BA stage then misses its
+            # frame-count deadline, blocking the tracker. Only device_get
+            # runs here (the single-SUBMITTING-thread rule still holds).
             self._backend_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="plvs-backend-fetch")
+                max_workers=2, thread_name_prefix="plvs-backend-fetch")
         import jax as _jax
 
         return self._backend_pool.submit(_jax.device_get, outs)
@@ -693,6 +702,11 @@ class System:
             head["age"] = head.get("age", 0) + 1
             if head["age"] < self.BACKEND_STAGE_DEADLINE:
                 return
+            self._stage_stats["deadline"] += 1
+        elif w is not None and force and not w.done():
+            self._stage_stats["forced"] += 1
+        else:
+            self._stage_stats["ready"] += 1
         head["age"] = 0
         head["wait"] = None
         try:
@@ -794,7 +808,14 @@ class System:
                              2 if ang > 0.025 else tr.pipeline_depth)
             if len(tr._pending) >= eff_depth:
                 with self.stopwatch.scope("resolve"):
-                    tr.resolve_batch(force=True)
+                    # force only when the ADAPTIVE bound shortened the
+                    # window (staleness control needs the result NOW); at
+                    # the natural depth a plain resolve keeps the newest
+                    # group in flight on the helper thread (double
+                    # buffering) — forcing there serializes every batch
+                    # on its own device execution + transfer and was
+                    # measured at ~128 ms/batch of tracker stall
+                    tr.resolve_batch(force=eff_depth < tr.pipeline_depth)
             self._step_backend()
             self._step_backend()
             return res.state, res.R, res.t

@@ -602,7 +602,7 @@ def bundle_adjust(
                 p = tuple(zi + beta * pi for zi, pi in zip(z, p))
                 return (x, r, p, rz_new, i + 1)
 
-            n_spcg = min(cg_iters, 10)
+            n_spcg = jnp.minimum(jnp.asarray(cg_iters, jnp.int32), 10)
             x, _, _, _, _ = jax.lax.while_loop(
                 lambda s: (s[4] < n_spcg) & (s[3] > 1e-12 * rz0),
                 spcg_body, (x0, b_rhs, z0, rz0, jnp.zeros((), jnp.int32)),
@@ -686,8 +686,14 @@ def bundle_adjust(
 # solve is a single device dispatch — essential when the accelerator is
 # reached through a network tunnel (each eager primitive would pay a round
 # trip) and free otherwise
+# ``num_iters`` / ``cg_iters`` are DYNAMIC (they only bound while_loops),
+# so every iteration-count variant — the abort-chunked 3/2/1-iteration
+# local solves, the 10-iteration global BA — shares ONE compiled program
+# per shape bucket instead of recompiling the whole LM graph per count
+# (a mid-sequence compile on the tunnel backend costs seconds and lands
+# in the tracker's critical path)
 bundle_adjust_jit = jax.jit(
     bundle_adjust,
-    static_argnames=("cam", "num_iters", "cg_iters", "lam0", "line_weight",
+    static_argnames=("cam", "lam0", "line_weight",
                      "scatter_free", "schur_direct"),
 )

@@ -220,5 +220,7 @@ def optimize(
 
 
 # single-dispatch compiled variant (see solvers.ba.bundle_adjust_jit)
+# num_iters/cg_iters are dynamic loop bounds: one compiled program per
+# shape bucket regardless of the iteration budget (see ba.bundle_adjust_jit)
 optimize_jit = jax.jit(
-    optimize, static_argnames=("num_iters", "cg_iters", "fix_scale", "lam0"))
+    optimize, static_argnames=("fix_scale", "lam0"))

@@ -441,7 +441,8 @@ def vi_bundle_adjust(
 
 
 # single-dispatch compiled variant (see solvers.ba.bundle_adjust_jit)
+# num_iters/cg_iters are dynamic loop bounds (see ba.bundle_adjust_jit)
 vi_bundle_adjust_jit = jax.jit(
     vi_bundle_adjust,
-    static_argnames=("cam", "num_iters", "cg_iters", "lam0",
+    static_argnames=("cam", "lam0",
                      "inertial_weight", "bias_walk_info"))
