@@ -290,6 +290,8 @@ def _loop_latency_scenario(cam, watchdog=lambda *a: None):
         system.track_rgbd(gray, depth, ts)
         watchdog()  # re-arm per frame: warm-up pays the loop-path compiles
     system.flush()
+    print(f"loop scenario warm pass: loops_closed="
+          f"{len(system.loops_closed)}", file=sys.stderr)
     if system.local_mapper is not None:
         system.local_mapper.warm_ba_buckets()
     _, system = build_system()
@@ -312,6 +314,13 @@ def _loop_latency_scenario(cam, watchdog=lambda *a: None):
               f"p50={rs[int(0.5 * (len(rs) - 1))]:.1f} "
               f"p99={rs[int(0.99 * (len(rs) - 1))]:.1f} max={rs[-1]:.1f}",
               file=sys.stderr)
+    print(f"loop scenario stage advancement: {system._stage_stats}; "
+          "heavy-stage series below", file=sys.stderr)
+    for k in ("global_ba", "dense.rebuild", "lc.verify", "lc.pose_graph"):
+        v = system.stopwatch.samples.get(k, [])
+        if v:
+            print(f"{k} series ms: "
+                  + " ".join(f"{x * 1e3:.0f}" for x in v), file=sys.stderr)
 
 
 def _vi_throughput_scenario(n_frames: int = 90,

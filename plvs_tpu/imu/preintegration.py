@@ -137,7 +137,54 @@ def preintegrate(
                          bias_gyro, bias_acc)
 
 
+import functools as _functools  # noqa: E402
+
+
+@_functools.partial(jax.jit, static_argnames=("calib",))
+def _preintegrate_jit(gyro, acc, dts, bias_gyro, bias_acc, calib, mask):
+    return preintegrate(gyro, acc, dts, bias_gyro, bias_acc, calib, mask)
+
+
+def preintegrate_padded(gyro, acc, dts, bias_gyro, bias_acc,
+                        calib: ImuCalib = ImuCalib(), lo: int = 32):
+    """Jitted, BUCKET-PADDED preintegration for the realtime path: the raw
+    eager scan compiles per distinct sample count (a frame gap at 300 Hz
+    jitters 8-12 samples, and through the tunnel backend every new count is
+    a fresh multi-second compile inside the tracking loop). Pads the window
+    to a power-of-two capacity with masked zero samples — masked steps are
+    exact no-ops in the scan — and dispatches ONE compiled program."""
+    import numpy as _np
+
+    T = int(gyro.shape[0])
+    Tb = lo
+    while Tb < T:
+        Tb *= 2
+    if Tb > T:
+        pad = ((0, Tb - T), (0, 0))
+        gyro = _np.pad(_np.asarray(gyro, _np.float32), pad)
+        acc = _np.pad(_np.asarray(acc, _np.float32), pad)
+        dts = _np.pad(_np.asarray(dts, _np.float32), ((0, Tb - T),))
+    mask = _np.zeros((Tb,), bool)
+    mask[:T] = True
+    return _preintegrate_jit(jnp.asarray(gyro), jnp.asarray(acc),
+                             jnp.asarray(dts), jnp.asarray(bias_gyro),
+                             jnp.asarray(bias_acc), calib,
+                             jnp.asarray(mask))
+
+
 # -- bias-corrected getters (reference: GetDeltaRotation/Velocity/Position) --
+
+@jax.jit
+def deltas_jit(p: "Preintegrated", bias_gyro, bias_acc):
+    """All bias-corrected deltas + the prior-relevant stats in ONE jitted
+    program: the realtime VI path needs (dR, dV, dP, dT, cov) every frame,
+    and fetching them as separate eager expressions costs one tunnel round
+    trip EACH (~25 ms flat per await, measured)."""
+    return (delta_rotation(p, bias_gyro),
+            delta_velocity(p, bias_gyro, bias_acc),
+            delta_position(p, bias_gyro, bias_acc),
+            p.dT, p.cov)
+
 
 def delta_rotation(p: Preintegrated, bias_gyro: jnp.ndarray) -> jnp.ndarray:
     db = bias_gyro - p.bias_gyro

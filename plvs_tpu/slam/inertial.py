@@ -80,6 +80,10 @@ class InertialRuntime:
         # scale correction applied to the map by the last (re-)init, for
         # the System to mirror onto the tracker state / trajectory buffers
         self._pending_scale: float | None = None
+        # one-entry host cache of the current frame-gap preintegration's
+        # bias-corrected deltas: every consumer (rotation prediction, full
+        # state prediction, the per-frame prior) shares ONE device await
+        self._deltas_cache: tuple | None = None
 
     def consume_scale_correction(self) -> float | None:
         """Scale factor the map was just multiplied by (None if none)."""
@@ -108,19 +112,35 @@ class InertialRuntime:
     def _preintegrate_raw(self, t0: float, sel) -> pre.Preintegrated | None:
         if len(sel) < 2:
             return None
-        gy = jnp.asarray(np.stack([s[1] for s in sel]))
-        ac = jnp.asarray(np.stack([s[2] for s in sel]))
+        gy = np.stack([s[1] for s in sel]).astype(np.float32)
+        ac = np.stack([s[2] for s in sel]).astype(np.float32)
         ts = np.asarray([s[0] for s in sel])
-        dts = jnp.asarray(np.diff(ts, prepend=t0).astype(np.float32))
-        return pre.preintegrate(gy, ac, dts, jnp.asarray(self.bias_gyro),
-                                jnp.asarray(self.bias_acc), self.calib)
+        dts = np.diff(ts, prepend=t0).astype(np.float32)
+        # jitted + bucket-padded: the eager scan compiled per distinct
+        # sample count and dispatched per primitive through the tunnel —
+        # the dominant stall of the realtime VI path (measured)
+        return pre.preintegrate_padded(gy, ac, dts, self.bias_gyro,
+                                       self.bias_acc, self.calib)
 
     # ------------------------------------------------------------------
+    def _fetch_deltas(self, p: pre.Preintegrated):
+        """(dR, dV, dP, dT, cov) of ``p`` as host arrays — computed in one
+        jitted program and fetched in one await, cached per preintegration
+        object (rotation prediction, state prediction and the per-frame
+        prior all consume the same gap)."""
+        if self._deltas_cache is not None and self._deltas_cache[0] is p:
+            return self._deltas_cache[1]
+        out = jax.device_get(pre.deltas_jit(
+            p, jnp.asarray(self.bias_gyro), jnp.asarray(self.bias_acc)))
+        out = tuple(np.asarray(o) for o in out)
+        self._deltas_cache = (p, out)
+        return out
+
     def predict_rotation(self, R_cw: np.ndarray, p: pre.Preintegrated) -> np.ndarray:
         """Gyro-only camera rotation prediction for guided matching
         (reference: PredictStateIMU's rotation part, robust even before
         full inertial init). R_cw' = R_cb dR^T R_bc R_cw."""
-        dR = np.asarray(pre.delta_rotation(p, jnp.asarray(self.bias_gyro)))
+        dR = self._fetch_deltas(p)[0]
         R_bw = self.R_cb.T @ R_cw  # body-from-world... (R_cb maps body->cam)
         R_bw_new = dR.T @ R_bw
         return (self.R_cb @ R_bw_new).astype(np.float32)
@@ -149,12 +169,8 @@ class InertialRuntime:
         velocity estimate; returns (R_cw', t_cw') or None."""
         if not self.initialized or self._cur_velocity is None:
             return None
-        bg = jnp.asarray(self.bias_gyro)
-        ba = jnp.asarray(self.bias_acc)
-        dR = np.asarray(pre.delta_rotation(p, bg))
-        dV = np.asarray(pre.delta_velocity(p, bg, ba))
-        dP = np.asarray(pre.delta_position(p, bg, ba))
-        dT = float(p.dT)
+        dR, dV, dP, dT, _ = self._fetch_deltas(p)
+        dT = float(dT)
         # camera pose -> body state (T_bw = T_bc T_cw)
         R_bc = self.R_cb.T
         t_bc = -R_bc @ self.t_cb
@@ -185,8 +201,8 @@ class InertialRuntime:
         frame state is treated as fixed with that inflation — the dominant
         marginalization effect at frame rate). Isotropic per block, so the
         camera/body frame change drops out."""
-        C = np.asarray(p.cov)
-        dT = float(p.dT)
+        _, _, _, dT, C = self._fetch_deltas(p)
+        dT = float(dT)
         var_rot = float(np.trace(C[0:3, 0:3])) / 3.0 + self.prior_rot_floor ** 2
         var_pos = (float(np.trace(C[6:9, 6:9])) / 3.0
                    + (self.prior_vel_sigma * dT) ** 2
@@ -220,7 +236,10 @@ class InertialRuntime:
         # staged initialization (reference: InitializeIMU at t≈0/5/15 s):
         # wait for enough integrated time, then keep refining the estimate
         # while the window is still short
-        total_t = float(sum(float(p.dT) for p in self.kf_preint.values()))
+        # host-side total span (a float(p.dT) per entry would pay one
+        # device fetch EACH): the raw windows carry the same timestamps
+        total_t = float(sum(
+            (raw[-1][0] - t0) for t0, raw in self.kf_raw.values() if raw))
         if len(self.kf_chain) >= self.init_min_kfs and (
             (not self.initialized and total_t >= self.init_min_time)
             or (self.initialized and total_t < self.init_refine_until)
@@ -377,6 +396,39 @@ class InertialRuntime:
         fixed[0] = True
         from ..imu.initialization import stack_preints
 
+        # fixed-shape buckets (cf. LocalMapper._gather_ba): an exact-size
+        # VI problem compiles once per (K, P, M) — through the tunnel each
+        # is a multi-second stall inside the realtime VI loop. The
+        # temporal window is the K bucket; points/observations pad to
+        # power-of-two capacities with masked rows.
+        from .local_mapping import _bucket
+
+        Kb = max(window, K)
+        Pb = _bucket(len(pts), 1024)
+        Mb = _bucket(M, 4096)
+        if Kb > K:
+            pk = Kb - K
+            R_wb = np.concatenate(
+                [R_wb, np.tile(np.eye(3, dtype=np.float32)[None],
+                               (pk, 1, 1))])
+            p_wb = np.concatenate([p_wb, np.zeros((pk, 3), np.float32)])
+            v_w = np.concatenate([v_w, np.zeros((pk, 3), np.float32)])
+            fixed = np.concatenate([fixed, np.ones((pk,), bool)])
+            zero_p = jax.tree.map(jnp.zeros_like, pres[0])
+            pres = pres + [zero_p] * pk
+            pmask = pmask + [False] * pk
+        cam_mask = np.arange(Kb) < K
+        P = len(pts)
+        pt_xyz = np.zeros((Pb, 3), np.float32)
+        pt_xyz[:P] = store.pt_xyz[pts]
+        pt_mask = np.arange(Pb) < P
+        o_kf = np.pad(o_kf, (0, Mb - M))
+        o_pt = np.pad(o_pt, (0, Mb - M))
+        o_uvr = np.pad(np.asarray(o_uvr, np.float32),
+                       ((0, Mb - M), (0, 0)), constant_values=-1.0)
+        o_is2 = np.ones((Mb,), np.float32)
+        o_mask = np.arange(Mb) < M
+
         # line observations of the window: pose-constraining VI line edges
         # (reference: EdgeLineMono in LocalInertialBA, src/G2oLineTypes.cc)
         line_kw = {}
@@ -393,25 +445,32 @@ class InertialRuntime:
                 nld = np.asarray(lines_mod.line_nld(
                     jnp.asarray(sp), jnp.asarray(ep)))
                 mlen = np.linalg.norm(ep - sp, axis=-1)
+                nl = int(lsel.sum())
+                nlb = _bucket(nl, 512)
+                pl_ = ((0, nlb - nl), (0, 0))
                 line_kw = dict(
-                    lobs_kf=jnp.asarray(lo_kf),
-                    lobs_Xs=jnp.asarray(store.ln_Xs[lln[lsel]], jnp.float32),
-                    lobs_Xe=jnp.asarray(store.ln_Xe[lln[lsel]], jnp.float32),
-                    lobs_nld=jnp.asarray(nld, jnp.float32),
-                    lobs_inv_sigma2=jnp.asarray(
-                        np.clip((mlen / 40.0) ** 2, 0.1, 4.0), jnp.float32),
-                    lobs_mask=jnp.ones((int(lsel.sum()),), bool),
+                    lobs_kf=jnp.asarray(np.pad(lo_kf, (0, nlb - nl))),
+                    lobs_Xs=jnp.asarray(np.pad(np.asarray(
+                        store.ln_Xs[lln[lsel]], np.float32), pl_)),
+                    lobs_Xe=jnp.asarray(np.pad(np.asarray(
+                        store.ln_Xe[lln[lsel]], np.float32), pl_)),
+                    lobs_nld=jnp.asarray(np.pad(
+                        np.asarray(nld, np.float32), pl_)),
+                    lobs_inv_sigma2=jnp.asarray(np.pad(np.asarray(
+                        np.clip((mlen / 40.0) ** 2, 0.1, 4.0), np.float32),
+                        (0, nlb - nl), constant_values=1.0)),
+                    lobs_mask=jnp.asarray(np.arange(nlb) < nl),
                 )
 
         prob = vi_ba.VIProblem(
             jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(v_w),
-            jnp.asarray(np.tile(self.bias_gyro, (K, 1))),
-            jnp.asarray(np.tile(self.bias_acc, (K, 1))),
-            jnp.asarray(fixed), jnp.ones((K,), bool),
+            jnp.asarray(np.tile(self.bias_gyro, (Kb, 1))),
+            jnp.asarray(np.tile(self.bias_acc, (Kb, 1))),
+            jnp.asarray(fixed), jnp.asarray(cam_mask),
             jnp.asarray(self.R_cb), jnp.asarray(self.t_cb),
-            jnp.asarray(store.pt_xyz[pts]), jnp.ones((len(pts),), bool),
+            jnp.asarray(pt_xyz), jnp.asarray(pt_mask),
             jnp.asarray(o_kf), jnp.asarray(o_pt), jnp.asarray(o_uvr),
-            jnp.ones((M,), jnp.float32), jnp.ones((M,), bool),
+            jnp.asarray(o_is2), jnp.asarray(o_mask),
             stack_preints(pres), jnp.asarray(pmask),
             jnp.asarray(self.gravity),
             **line_kw,
@@ -430,15 +489,19 @@ class InertialRuntime:
             store.kf_t[k] = (self.R_cb @ t_bw + self.t_cb).astype(np.float32)
             self.kf_velocity[k] = vn[i].astype(np.float32)
         store.version += 1
-        store.pt_xyz[pts] = np.asarray(ptsn)
+        store.pt_xyz[pts] = np.asarray(ptsn)[: len(pts)]
         # While the staged initialization is still refining (short window),
         # the inertial-only solve — rerun on_keyframe with long-baseline
         # rotation edges — is the better bias estimator; VI-BA's window
         # biases random-walk within the anchor. Afterwards, track the last
         # keyframe's optimized bias (reference: Tracking predicts with the
         # last KF's bias, src/Tracking.cc PredictStateIMU).
-        total_t = float(sum(float(p.dT) for p in self.kf_preint.values()))
+        # host-side total span (a float(p.dT) per entry would pay one
+        # device fetch EACH): the raw windows carry the same timestamps
+        total_t = float(sum(
+            (raw[-1][0] - t0) for t0, raw in self.kf_raw.values() if raw))
         if total_t >= self.init_refine_until:
-            self.bias_gyro = np.asarray(bgn)[-1].astype(np.float32)
-            self.bias_acc = np.asarray(ban)[-1].astype(np.float32)
+            # last REAL keyframe (padded camera slots sit beyond K-1)
+            self.bias_gyro = np.asarray(bgn)[K - 1].astype(np.float32)
+            self.bias_acc = np.asarray(ban)[K - 1].astype(np.float32)
         return True

@@ -663,6 +663,21 @@ class LocalMapper:
                                        cg_iters=1, scatter_free=True)
             _jax.block_until_ready(out[0])
 
+    def global_ba_dispatch(self, map_id: int | None = None,
+                           num_iters: int = 10):
+        """Dispatch-only global BA (reference: RunGlobalBundleAdjustment
+        runs in a DETACHED thread after CorrectLoop, src/LoopClosing.cc:
+        1652-1663 — tracking is never blocked on it). The staged backend
+        yields on the returned ctx's fetch and applies it a few frames
+        later via :meth:`_ba_apply`; the stale-slot guard in _apply_ba
+        protects against keyframes culled/reallocated in between."""
+        st = self.store
+        if map_id is None:
+            map_id = st.active_map
+        window = np.sort(st.kfs_of_map(map_id)).astype(np.int64)
+        return self._ba_dispatch(window, num_iters=num_iters, cg_iters=30,
+                                 use_mesh=self.mesh is not None)
+
     def global_ba(self, map_id: int | None = None, num_iters: int = 10):
         """Full bundle adjustment over every live keyframe of a map
         (reference: Optimizer::GlobalBundleAdjustemnt src/Optimizer.cc:459,
@@ -741,7 +756,11 @@ class LocalMapper:
         return {"outs": (prob.R, prob.t, prob.points, prob.lines_Xs,
                          prob.lines_Xe, info["cost"]),
                 "cams": cams, "pts": pts, "lns": lns,
-                "fixed": fixed_mask, "K": K}
+                "fixed": fixed_mask, "K": K,
+                # slot-identity snapshot: a deferred apply (interleaved /
+                # detached global BA) must not write a slot that was culled
+                # and REUSED by a different keyframe in the meantime
+                "cam_fid": self.store.kf_frame_id[cams].copy()}
 
     def _ba_apply(self, ctx, solved):
         """Apply half: write the solved blocks back (caller holds the store
@@ -750,8 +769,21 @@ class LocalMapper:
         Rn, tn, pn, lXs, lXe, cost = solved
         if not np.isfinite(float(cost)):
             return
+        fixed = ctx["fixed"]
+        fid = ctx.get("cam_fid")
+        if fid is not None:
+            st = self.store
+            cams = ctx["cams"]
+            # freeze (skip) any slot whose keyframe identity changed since
+            # dispatch: culled + reallocated slots belong to a DIFFERENT
+            # keyframe now and must not receive this solve's pose
+            stale = (~st.kf_mask[cams]) | (st.kf_frame_id[cams] != fid)
+            if stale.any():
+                fixed = fixed | stale
+                if fixed.all():
+                    return
         self._apply_ba((Rn, tn, pn, lXs, lXe), ctx["cams"], ctx["pts"],
-                       ctx["lns"], ctx["fixed"], ctx["K"])
+                       ctx["lns"], fixed, ctx["K"])
 
     def _apply_ba(self, fetched, cams, pts, lns, fixed_mask, K):
         st = self.store

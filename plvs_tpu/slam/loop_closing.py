@@ -27,6 +27,24 @@ from .keyframe_database import KeyFrameDatabase
 from .map_store import MapStore
 
 
+def _pad_sim3(X1, X2, n: int, lo: int = 64):
+    """Bucket-pad sim3_ransac inputs: an exact-length RANSAC program would
+    compile once per distinct correspondence count (multi-second stalls
+    inside loop verification through the tunnel backend). Returns
+    (X1b, X2b, maskb) with padded rows masked out."""
+    from .local_mapping import _bucket
+
+    nb = _bucket(n, lo)
+    m = np.zeros((nb,), bool)
+    m[:n] = True
+    if nb > n:
+        X1 = np.concatenate([np.asarray(X1, np.float32),
+                             np.zeros((nb - n, 3), np.float32)])
+        X2 = np.concatenate([np.asarray(X2, np.float32),
+                             np.zeros((nb - n, 3), np.float32)])
+    return jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(m)
+
+
 @dataclasses.dataclass
 class LoopCloser:
     store: MapStore
@@ -55,6 +73,15 @@ class LoopCloser:
     # whole local map agrees; the reference similarly shortcuts on
     # overwhelming support in DetectCommonRegionsFromBoW)
     strong_inliers: int = 60
+    # detection backoff after a successful closure: the corrected map
+    # keeps matching the just-welded region for the next several
+    # keyframes, and re-closing it repeatedly re-runs the pose graph +
+    # global BA + dense rebuild for no information gain (measured: 4
+    # closures of the same room loop, each stalling the tracker).
+    # Reference: LoopClosing only considers keyframes sufficiently past
+    # mLastLoopKFid (src/LoopClosing.cc, mnLoopNumCoincidences reset +
+    # the CurrentKF id guard).
+    closure_backoff_kfs: int = 10
     # drift-consistency tolerances for counting a later keyframe as a
     # coincidence of a pending detection (reference:
     # DetectAndReffineSim3FromLastKF re-verifies from the predicted Sim3)
@@ -66,7 +93,14 @@ class LoopCloser:
     # aliasing (observed: self-similar panel corners on opposite walls fit
     # 25 RANSAC inliers), not a loop. Cross-map merges are exempt (a lost
     # + re-initialized map really can be arbitrarily misaligned).
-    max_drift_rot: float = 0.6    # rad (~34 deg)
+    # 1.3 rad: measured separation on the room-orbit diagnostics — genuine
+    # return-leg loops under the deferred pipeline imply ~1.0 rad of
+    # accumulated heading drift (and closed fine), while structural-alias
+    # verifications measure 1.6-3.0 rad with 4-7 m translation; 0.6 rad
+    # rejected the TRUE loops of any run whose odometry drifted more than
+    # the sync path's. (The reference has no drift gate at all — its guard
+    # is the coincidence streak, which we also require.)
+    max_drift_rot: float = 1.3    # rad (~75 deg)
     max_drift_trans: float = 2.0  # meters
     # world gravity vector once the IMU is initialized: switches the
     # essential-graph correction to the 4-DoF (yaw+translation) form so the
@@ -94,6 +128,7 @@ class LoopCloser:
         if self.kfdb is None:
             self.kfdb = KeyFrameDatabase(self.store)
         self.last_loop_kf = -1
+        self._kfs_since_loop = 10 ** 9  # no closure yet: detection free
         self._ransac_key = jax.random.PRNGKey(0)
         # pending detection awaiting consecutive confirmations:
         # dict(cand, kf, count, G_R, G_t) where (G_R, G_t) is the implied
@@ -130,6 +165,14 @@ class LoopCloser:
         with self._scope("lc.bow_add"):
             if not self.kfdb.add(kf_id, words_fut=bow_fut):
                 return None
+        # post-closure backoff: index the keyframe (above) but skip
+        # detection — the region just welded keeps matching for several
+        # keyframes and re-closing it repeats the whole correction
+        self._kfs_since_loop += 1
+        if self._kfs_since_loop <= self.closure_backoff_kfs:
+            self._trace(kf_id, stage="backoff",
+                        since=int(self._kfs_since_loop))
+            return None
 
         with self._scope("lc.detect"):
             cands = self._detect(kf_id)
@@ -203,6 +246,7 @@ class LoopCloser:
             info = self._correct(kf_id, cand, R_rel, t_rel, pairs)
         info.update({"candidate": int(cand), "inliers": int(n_inl)})
         self.last_loop_kf = kf_id
+        self._kfs_since_loop = 0
         return info
 
     # ------------------------------------------------------------------
@@ -323,13 +367,13 @@ class LoopCloser:
         # drift-WARPED (drift varies across the local window), so even
         # correct correspondences misalign by the intra-window drift spread
         res = sim3_solver.sim3_ransac(
-            jnp.asarray(X1), jnp.asarray(X2), jnp.ones((n,), bool), sub,
+            *_pad_sim3(X1, X2, n), sub,
             with_scale=not self.fix_scale, inlier_thresh=0.20,
         )
         n_coarse = int(res.n_inliers)
         if n_coarse < coarse_min:
             return False, None, None, n_coarse, None
-        inl = np.asarray(res.inliers)
+        inl = np.asarray(res.inliers)[:n]
         pairs = list(zip(p1_ids[inl].tolist(), p2_ids[inl].tolist()))
 
         # guided match expansion + refit (reference: SearchByProjection
@@ -349,12 +393,11 @@ class LoopCloser:
             # the essential graph + global BA refine the relative pose; the
             # verification only has to be unambiguous, not tight
             res2 = sim3_solver.sim3_ransac(
-                jnp.asarray(X1), jnp.asarray(X2),
-                jnp.ones((len(src),), bool), sub,
+                *_pad_sim3(X1, X2, len(src)), sub,
                 with_scale=not self.fix_scale, inlier_thresh=0.25,
             )
             if int(res2.n_inliers) >= n_coarse:
-                inl2 = np.asarray(res2.inliers)
+                inl2 = np.asarray(res2.inliers)[: len(src)]
                 best = (np.asarray(res2.R), np.asarray(res2.t),
                         int(res2.n_inliers),
                         list(zip(src[inl2].tolist(), dst[inl2].tolist())))
@@ -382,8 +425,21 @@ class LoopCloser:
         dst_ids = dst_ids[st.pt_mask[dst_ids]][:cap_dst]
         if len(dst_ids) < 10:
             return pairs
+        n_dst = len(dst_ids)
+        # pad the landmark set to a bucketed capacity: an exact-length
+        # program here compiles once per distinct candidate-map size (a
+        # multi-second stall inside loop verification on the tunnel)
+        from .local_mapping import _bucket
+
+        db = min(_bucket(n_dst, 512), cap_dst)
+        if db > n_dst:
+            dst_ids = np.concatenate(
+                [dst_ids, np.full((db - n_dst,), int(dst_ids[0]),
+                                  dst_ids.dtype)])
         # loop-side world -> active (drifted) world: X_act = G^-1 X
         X_act = (st.pt_xyz[dst_ids] - G_t) @ G_R
+        # padded entries project far behind the camera so `vis` masks them
+        X_act[n_dst:] = np.array([0.0, 0.0, -1e6], np.float32)
         from ..geometry import cameras as _cm
         from .frame import project_points
 
@@ -553,21 +609,57 @@ class LoopCloser:
         # frozen loaded-map keyframes are never moved (reference: mbFixed)
         fixed |= kf_fixed
 
+        # fixed-shape buckets: pad vertices (identity, FIXED) and edges
+        # (masked) to power-of-two capacities so closures at different map
+        # sizes share ONE compiled pose-graph program — an unbucketed
+        # solve recompiles per (K, E), a multi-second XLA compile inside
+        # the loop-closing stage (measured up to ~60 s of tracker stall
+        # through the tunnel backend)
+        from .local_mapping import _bucket
+
+        Kb = _bucket(K, 32)
+        Eb = _bucket(E, 256)
+        if Kb > K:
+            pk = Kb - K
+            R = jnp.concatenate(
+                [R, jnp.tile(jnp.eye(3, dtype=R.dtype)[None], (pk, 1, 1))])
+            t = jnp.concatenate([t, jnp.zeros((pk, 3), t.dtype)])
+            s = jnp.concatenate([s, jnp.ones((pk,), s.dtype)])
+            fixed = np.concatenate([fixed, np.ones((pk,), bool)])
+        edge_mask = jnp.arange(Eb) < E
+        if Eb > E:
+            pe = Eb - E
+            edge_i = jnp.concatenate([edge_i, jnp.zeros((pe,), jnp.int32)])
+            edge_j = jnp.concatenate([edge_j, jnp.zeros((pe,), jnp.int32)])
+            edge_R = jnp.concatenate(
+                [edge_R,
+                 jnp.tile(jnp.eye(3, dtype=edge_R.dtype)[None], (pe, 1, 1))])
+            edge_t = jnp.concatenate([edge_t, jnp.zeros((pe, 3),
+                                                        edge_t.dtype)])
+            edge_s = jnp.concatenate([edge_s, jnp.ones((pe,), edge_s.dtype)])
+            ew = jnp.concatenate([ew, jnp.zeros((pe,), ew.dtype)])
+
         prob = pose_graph.PoseGraphProblem(
             R, t, s, jnp.asarray(fixed), edge_i, edge_j, edge_R, edge_t,
-            edge_s, ew, jnp.ones((E,), bool),
+            edge_s, ew, edge_mask,
         )
         dof4_axis = None
         if self.gravity_w is not None:
             g = np.asarray(self.gravity_w, np.float32)
             g = g / max(np.linalg.norm(g), 1e-9)
             # camera-frame gravity axis per vertex: a_k = R_k g_w
-            dof4_axis = jnp.asarray(np.einsum("kij,j->ki", R_before, g))
+            # (padded vertices get an arbitrary unit axis — they're fixed)
+            ax = np.einsum("kij,j->ki", R_before, g)
+            if Kb > K:
+                ax = np.concatenate(
+                    [ax, np.tile(np.array([[0.0, 0.0, 1.0]], np.float32),
+                                 (Kb - K, 1))])
+            dof4_axis = jnp.asarray(ax)
         if self.mesh is not None and dof4_axis is None:
             from ..parallel import sharded_pose_graph
 
             nd = int(np.prod(self.mesh.devices.shape))
-            pad = (-E) % nd
+            pad = (-int(prob.edge_i.shape[0])) % nd
             if pad:
                 prob = prob._replace(
                     edge_i=jnp.pad(prob.edge_i, (0, pad)),
@@ -586,7 +678,7 @@ class LoopCloser:
                 prob, num_iters=12, fix_scale=self.fix_scale,
                 dof4_axis=dof4_axis,
             )
-        Rn, tn = np.asarray(Rn), np.asarray(tn)
+        Rn, tn = np.asarray(Rn)[:K], np.asarray(tn)[:K]
 
         # -- apply (short lock) ---------------------------------------------
         i_end = loc[kf_id]  # chain-end delta for everything born mid-solve

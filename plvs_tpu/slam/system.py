@@ -202,7 +202,7 @@ class System:
     # the fetch: stage advancement is thereby gated on FRAME COUNT, not
     # wall time, so backend progress — and hence map evolution and
     # accuracy — is load-independent up to a deterministic bound
-    BACKEND_STAGE_DEADLINE = 6
+    BACKEND_STAGE_DEADLINE = 10
 
     def __init__(self, cam: cam_mod.Camera, config: SystemConfig | None = None,
                  cam2: cam_mod.Camera | None = None, T_c1_c2=None,
@@ -619,19 +619,32 @@ class System:
                 self.inertial.vi_local_ba(self.cam, self.store, kf_id,
                                           window=16)
             if self.config.global_ba_on_loop and self.config.local_ba:
-                # full BA refines the pose-graph solution (reference:
-                # RunGlobalBundleAdjustment after CorrectLoop)
+                # full BA refines the pose-graph solution. Reference:
+                # RunGlobalBundleAdjustment runs in a DETACHED thread
+                # after CorrectLoop (src/LoopClosing.cc:1652-1663) —
+                # tracking never blocks on it. Here: dispatch the solve,
+                # yield its fetch to the interleaved driver, apply a few
+                # frames later (the stale-slot guard in _ba_apply protects
+                # against keyframes culled/reallocated meanwhile).
                 with self.stopwatch.scope("global_ba"):
-                    self.local_mapper.global_ba()
+                    gctx = self.local_mapper.global_ba_dispatch()
+                if gctx is not None:
+                    gfut = fetch(gctx["outs"])
+                    yield gfut
+                    with self.stopwatch.scope("global_ba"):
+                        solved = gfut.result()
+                        with self.store.lock:
+                            self.local_mapper._ba_apply(gctx, solved)
             if self.dense_mapper is not None:
-                # loop closure moved keyframes: rebuild the dense map with
-                # corrected poses (reference: RebuildMap signal,
-                # src/System.cc:434-437)
+                # loop closure + global BA moved keyframes: rebuild the
+                # dense map with corrected poses (reference: RebuildMap is
+                # signaled AFTER the GBA map update, src/System.cc:434-437)
                 st = self.store
-                self.dense_mapper.rebuild(
-                    lambda k: (st.kf_R[k], st.kf_t[k])
-                    if st.kf_mask[k] else (None, None)
-                )
+                with self.stopwatch.scope("dense.rebuild"):
+                    self.dense_mapper.rebuild(
+                        lambda k: (st.kf_R[k], st.kf_t[k])
+                        if st.kf_mask[k] else (None, None)
+                    )
         return info
 
     # -- interleaved backend driver (SystemConfig.interleaved_backend) -----
@@ -804,18 +817,21 @@ class System:
             else:
                 ang = float(np.arccos(np.clip(
                     (np.trace(tr.vel_R) - 1.0) * 0.5, -1.0, 1.0)))
-                eff_depth = (1 if ang > 0.05 else
-                             2 if ang > 0.025 else tr.pipeline_depth)
+                eff_depth = (1 if ang > 0.10 else
+                             2 if ang > 0.03 else tr.pipeline_depth)
             if len(tr._pending) >= eff_depth:
                 with self.stopwatch.scope("resolve"):
-                    # force only when the ADAPTIVE bound shortened the
-                    # window (staleness control needs the result NOW); at
-                    # the natural depth a plain resolve keeps the newest
-                    # group in flight on the helper thread (double
-                    # buffering) — forcing there serializes every batch
-                    # on its own device execution + transfer and was
-                    # measured at ~128 ms/batch of tracker stall
-                    tr.resolve_batch(force=eff_depth < tr.pipeline_depth)
+                    # eff_depth == 1 (cold motion model / extreme rotation)
+                    # needs the result NOW to re-anchor — force a blocking
+                    # drain. Any deeper adaptive depth dispatches at the
+                    # shortened threshold but keeps the newest group in
+                    # flight (double buffering): staleness stays bounded at
+                    # eff_depth frames — within the fused matcher's 60 px
+                    # widening tier — without serializing every batch on
+                    # its own device execution + transfer (measured
+                    # ~128 ms/batch of tracker stall when forced).
+                    tr.resolve_batch(force=eff_depth == 1,
+                                     dispatch_at=eff_depth)
             self._step_backend()
             self._step_backend()
             return res.state, res.R, res.t

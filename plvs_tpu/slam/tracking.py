@@ -1262,7 +1262,8 @@ class Tracker:
         return self._track_tail(fr, timestamp, fl, R2, t2, n2, kp_pt2,
                                 kl_ln_id, ctx["local_pts"])
 
-    def resolve_batch(self, force: bool = False) -> int:
+    def resolve_batch(self, force: bool = False,
+                      dispatch_at: int | None = None) -> int:
         """Deferred pipeline: when the in-flight window is full (or on
         ``force``), dispatch ALL outstanding solves (one stacked upload +
         one fetch per shape group) and finish them in order, feeding each
@@ -1271,11 +1272,16 @@ class Tracker:
         NEXT drain — group N's device execution + transfer overlaps group
         N+1's host assembly and group N's host finish overlaps group N+1's
         device time (double buffering; at most one group stays in flight).
+        ``dispatch_at`` overrides the dispatch threshold (the ADAPTIVE
+        rotation-bounded depth) without forcing a blocking drain — the
+        newest group stays in flight, bounding prediction staleness at
+        ``dispatch_at`` frames while keeping the overlap.
         Returns the number of frames resolved."""
         import time as _time
 
-        if self._pending and (force
-                              or len(self._pending) >= self.pipeline_depth):
+        depth = self.pipeline_depth if dispatch_at is None \
+            else max(1, dispatch_at)
+        if self._pending and (force or len(self._pending) >= depth):
             pending, self._pending = self._pending, []
             # group consecutive frames sharing a shape signature (capacity
             # buckets change rarely); each group costs one stacked upload +

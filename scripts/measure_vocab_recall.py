@@ -28,6 +28,15 @@ sys.path.insert(0, ".")
 
 
 def main(n_per_lap: int = 256, n_laps_indexed: int = 4):
+    import os
+
+    import jax
+
+    if os.environ.get("PLVS_RECALL_TPU", "0") != "1":
+        # host CPU: the sandbox's remote-TPU backend ignores JAX_PLATFORMS
+        # and per-frame eager extraction through the tunnel compiles every
+        # primitive (this must be the FIRST jax call in the process)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from plvs_tpu.features import orb
