@@ -33,7 +33,9 @@ import time
 
 import numpy as np
 
-N_FRAMES = 120
+# PLVS_BENCH_FRAMES=240 doubles the sequence for the dense-mesh flatness
+# evidence (per-KF mesh cost must stay flat as the map grows)
+N_FRAMES = int(os.environ.get("PLVS_BENCH_FRAMES", "120"))
 WIDTH, HEIGHT = 640, 480
 NUM_FEATURES = 1024
 
@@ -61,7 +63,10 @@ def build_system():
     cfg = SystemConfig(
         num_features=NUM_FEATURES, n_levels=8, scale=1.2,
         max_kf=256, max_pts=65536,
-        use_lines=True, max_lines=128,
+        # 160 keylines/frame: the line supply floor across content seeds —
+        # the 128-cap runs measured 93-98 live line landmarks on the
+        # lower-texture seeds, under the 100 bar the bench asserts
+        use_lines=True, max_lines=160,
         local_ba=True, loop_closing=True,
         # dense volumetric mapping runs IN the measured loop (TSDF
         # integrate + incremental mesh per keyframe), like the reference's
@@ -294,7 +299,30 @@ def _loop_latency_scenario(cam, watchdog=lambda *a: None):
           f"{len(system.loops_closed)}", file=sys.stderr)
     if system.local_mapper is not None:
         system.local_mapper.warm_ba_buckets()
+    if not system.loops_closed and system.loop_closer is not None:
+        # drift varies run to run, so the warm pass does not always close a
+        # loop — force one synthetic closure on the (discarded) warm map so
+        # the pose-graph / global-BA / rebuild programs compile HERE, never
+        # inside the timed pass (measured: a 25 s XLA compile at the first
+        # timed-pass closure otherwise)
+        st = system.store
+        live = np.nonzero(st.kf_mask)[0]
+        if len(live) >= 6:
+            kf, cand = int(live[-1]), int(live[2])
+            system.loop_closer._correct(
+                kf, cand, st.kf_R[kf] @ st.kf_R[cand].T,
+                np.zeros(3, np.float32), fuse_pairs=None)
+            if system.config.global_ba_on_loop:
+                system.local_mapper.global_ba()
+            if system.dense_mapper is not None:
+                system.dense_mapper.rebuild(
+                    lambda k: (st.kf_R[k], st.kf_t[k])
+                    if st.kf_mask[k] else (None, None))
+            print("loop scenario warm pass: synthetic closure compiled "
+                  "the correction path", file=sys.stderr)
     _, system = build_system()
+    if system.loop_closer is not None:
+        system.loop_closer.trace = []  # per-KF detection/gate diagnostics
     stalls = []
     for ts, gray, depth in make_frames(1):
         t0 = _time.perf_counter()
@@ -316,6 +344,10 @@ def _loop_latency_scenario(cam, watchdog=lambda *a: None):
               file=sys.stderr)
     print(f"loop scenario stage advancement: {system._stage_stats}; "
           "heavy-stage series below", file=sys.stderr)
+    if system.loop_closer is not None and system.loop_closer.trace:
+        print("loop-closer trace (timed pass, last 12 KFs):", file=sys.stderr)
+        for rec in system.loop_closer.trace[-12:]:
+            print("  ", rec, file=sys.stderr)
     for k in ("global_ba", "dense.rebuild", "lc.verify", "lc.pose_graph"):
         v = system.stopwatch.samples.get(k, [])
         if v:
@@ -412,6 +444,7 @@ def _vi_throughput_scenario(n_frames: int = 90,
           f"640x480x{NUM_FEATURES}feat, pipelined depth 2, "
           f"imu_initialized={init}, map={system.map_statistics()}",
           file=sys.stderr)
+    print(system.stopwatch.report(), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,9 @@ def inertial_only_optimize(
     iters: int = 20,
     prior_gyro: float = 1e2,
     prior_acc: float = 1e0,
+    k_real=None,             # [] int: real chain length (None = K); padded
+                             # tail states (identity dR, zero deltas) are
+                             # mask-weighted out of every residual
 ):
     """Estimate (gravity, scale, biases, velocities) with poses fixed.
 
@@ -72,6 +75,9 @@ def inertial_only_optimize(
     """
     K = R_wb.shape[0]
     dtype = R_wb.dtype
+    if k_real is None:
+        k_real = jnp.asarray(K, jnp.int32)
+    edge_valid = (jnp.arange(K - 1) < (k_real - 1)).astype(dtype)  # [K-1]
 
     def unpack(theta):
         rxy = theta[0:2]
@@ -85,7 +91,8 @@ def inertial_only_optimize(
     # deltas: v_j - v_i - g dT = R_i dV  =>  for slow motion
     # g ~= -sum(R_i dV_i) / sum(dT) (reference: dirG in InitializeIMU)
     dirG = -jnp.sum(
-        jnp.einsum("kij,kj->ki", R_wb[:-1], preints.dV), axis=0)
+        jnp.einsum("kij,kj->ki", R_wb[:-1], preints.dV)
+        * edge_valid[:, None], axis=0)
     dirG = dirG / (jnp.linalg.norm(dirG) + 1e-9)
     R0_g = _rotation_between(jnp.asarray([0.0, 0.0, -1.0], dtype), dirG)
 
@@ -133,7 +140,7 @@ def inertial_only_optimize(
             w = 1.0 / jnp.sqrt(
                 jnp.diagonal(p_i.cov)[jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 8])] + 1e-8
             )
-            return r * w
+            return r * w * edge_valid[i]
 
         rs = jax.vmap(edge)(jnp.arange(K - 1)).reshape(-1)
 
@@ -144,7 +151,9 @@ def inertial_only_optimize(
                 dR_corr = Rij[i] @ lie.so3_exp(Jij[i] @ (bg - bij[i]))
                 r = lie.so3_log(dR_corr.T @ R_wb[i].T @ R_wb[i + stride_])
                 w = 1.0 / jnp.sqrt(cij[i] + sigma_vis2)
-                return r * w
+                # composed edge valid only when its whole span is real
+                ok = ((i + stride_) < k_real).astype(r.dtype)
+                return r * w * ok
 
             return jax.vmap(one)(jnp.arange(Rij.shape[0])).reshape(-1)
 
@@ -177,3 +186,50 @@ def inertial_only_optimize(
 
 def stack_preints(preints: list[pre.Preintegrated]) -> pre.Preintegrated:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *preints)
+
+
+import functools as _functools  # noqa: E402
+
+# one compiled program per (K bucket, flags): the eager solve re-traced —
+# and through the tunnel recompiled, ~tens of seconds — on every distinct
+# chain length while the staged init refines (reference runs it at
+# t≈0/5/15 s; we refine per-KF until init_refine_until)
+inertial_only_optimize_jit = jax.jit(
+    inertial_only_optimize,
+    static_argnames=("fix_scale", "iters", "prior_gyro", "prior_acc"))
+
+
+def _identity_preint(template: pre.Preintegrated) -> pre.Preintegrated:
+    """A no-op preintegration (identity dR, zero deltas, tiny diagonal
+    covariance) shaped like ``template`` — finite in every downstream
+    computation, mask-weighted out of the residuals."""
+    z = jax.tree.map(lambda x: jnp.zeros_like(x), template)
+    return z._replace(
+        dR=jnp.eye(3, dtype=template.dR.dtype),
+        cov=jnp.eye(15, dtype=template.cov.dtype) * 1e-6)
+
+
+def inertial_only_optimize_padded(R_wb, p_wb, preint_list,
+                                  fix_scale: bool = False, lo: int = 8,
+                                  **kw):
+    """Bucket-pad the chain to a power-of-two length and run the jitted
+    solve (pads: identity poses + no-op preintegrations, masked via
+    ``k_real``)."""
+    K = int(R_wb.shape[0])
+    Kb = lo
+    while Kb < K:
+        Kb *= 2
+    import numpy as _np
+
+    if Kb > K:
+        pk = Kb - K
+        R_wb = _np.concatenate(
+            [R_wb, _np.tile(_np.eye(3, dtype=_np.float32)[None],
+                            (pk, 1, 1))])
+        p_wb = _np.concatenate([p_wb, _np.zeros((pk, 3), _np.float32)])
+        pad_p = _identity_preint(preint_list[0])
+        preint_list = list(preint_list) + [pad_p] * pk
+    preints = stack_preints(preint_list)
+    return inertial_only_optimize_jit(
+        jnp.asarray(R_wb), jnp.asarray(p_wb), preints,
+        fix_scale=fix_scale, k_real=jnp.asarray(K, jnp.int32), **kw)

@@ -313,10 +313,12 @@ class InertialRuntime:
             R_bw = R_bc @ R_cw
             t_bw = R_bc @ t_cw + t_bc
             p_wb.append((-R_bw.T @ t_bw).astype(np.float32))
-        preints = imu_init.stack_preints([self.kf_preint[b] for _, b in pairs])
-        out = imu_init.inertial_only_optimize(
-            jnp.asarray(np.stack(R_wb)), jnp.asarray(np.stack(p_wb)),
-            preints, fix_scale=self.fix_scale)
+        # jitted + chain-length bucketed: the eager solve recompiled on
+        # every distinct chain length while the staged init refines
+        out = imu_init.inertial_only_optimize_padded(
+            np.stack(R_wb), np.stack(p_wb),
+            [self.kf_preint[b] for _, b in pairs],
+            fix_scale=self.fix_scale)
         if not bool(jnp.all(jnp.isfinite(out.gravity))):
             return False
         if not self.fix_scale:

@@ -278,7 +278,7 @@ class LocalMapper:
         return extra_out
 
     # ------------------------------------------------------------------
-    def _dispatch_new_lines(self, kf_id: int, max_neighbors: int = 3,
+    def _dispatch_new_lines(self, kf_id: int, max_neighbors: int = 4,
                             reproj_thresh: float = 3.0):
         """Dispatch half of create_new_lines: host-side neighbour
         preselection + ONE vmapped match+triangulate program; returns a ctx
@@ -307,14 +307,24 @@ class LocalMapper:
         if not nbs:
             return None
         nbs = np.asarray(nbs, np.int64)
-        m2b = st.kf_kl_mask[nbs] & (st.kf_kl_line[nbs] < 0)
+        # FIXED neighbour count: the baseline/free-keyline gates leave a
+        # variable 1..max_neighbors survivors, and each distinct count is a
+        # separate compile of the vmapped program (~10 s through the tunnel
+        # — measured landing mid-timed-pass when a late keyframe hit a
+        # fresh count). Pad with masked duplicate rows instead.
+        n_real = len(nbs)
+        nbs_p = (np.concatenate([nbs, np.full(max_neighbors - n_real,
+                                              nbs[0], np.int64)])
+                 if n_real < max_neighbors else nbs)
+        m2b = st.kf_kl_mask[nbs_p] & (st.kf_kl_line[nbs_p] < 0)
+        m2b[n_real:] = False
         out = _triangulate_lines_multi(
             self.cam, _j.asarray(R1), _j.asarray(t1),
             _j.asarray(st.kf_kl_desc[kf_id]), _j.asarray(m1),
             _j.asarray(st.kf_kl_sp[kf_id]), _j.asarray(st.kf_kl_ep[kf_id]),
-            _j.asarray(st.kf_R[nbs]), _j.asarray(st.kf_t[nbs]),
-            _j.asarray(st.kf_kl_desc[nbs]), _j.asarray(m2b),
-            _j.asarray(st.kf_kl_sp[nbs]), _j.asarray(st.kf_kl_ep[nbs]),
+            _j.asarray(st.kf_R[nbs_p]), _j.asarray(st.kf_t[nbs_p]),
+            _j.asarray(st.kf_kl_desc[nbs_p]), _j.asarray(m2b),
+            _j.asarray(st.kf_kl_sp[nbs_p]), _j.asarray(st.kf_kl_ep[nbs_p]),
             reproj_thresh=reproj_thresh)
         return {"out": out, "nbs": nbs, "m1": m1}
 
@@ -345,7 +355,7 @@ class LocalMapper:
             st.add_line_observations(int(nb), ln_ids, idx[good])
             taken[good] = True
 
-    def create_new_lines(self, kf_id: int, max_neighbors: int = 3,
+    def create_new_lines(self, kf_id: int, max_neighbors: int = 4,
                          reproj_thresh: float = 3.0):
         """Triangulate new line landmarks between the new KF and covisible
         neighbours by plane-plane intersection (reference:

@@ -27,7 +27,7 @@ from .keyframe_database import KeyFrameDatabase
 from .map_store import MapStore
 
 
-def _pad_sim3(X1, X2, n: int, lo: int = 64):
+def _pad_sim3(X1, X2, n: int, lo: int = 256):
     """Bucket-pad sim3_ransac inputs: an exact-length RANSAC program would
     compile once per distinct correspondence count (multi-second stalls
     inside loop verification through the tunnel backend). Returns
@@ -370,6 +370,10 @@ class LoopCloser:
             *_pad_sim3(X1, X2, n), sub,
             with_scale=not self.fix_scale, inlier_thresh=0.20,
         )
+        # ONE await for the whole result: separate int()/np.asarray() pulls
+        # pay the link's flat ~25 ms round trip EACH (measured ~160 ms per
+        # verification from exactly this pattern)
+        res = sim3_solver.RansacResult(*jax.device_get(tuple(res)))
         n_coarse = int(res.n_inliers)
         if n_coarse < coarse_min:
             return False, None, None, n_coarse, None
@@ -396,6 +400,7 @@ class LoopCloser:
                 *_pad_sim3(X1, X2, len(src)), sub,
                 with_scale=not self.fix_scale, inlier_thresh=0.25,
             )
+            res2 = sim3_solver.RansacResult(*jax.device_get(tuple(res2)))
             if int(res2.n_inliers) >= n_coarse:
                 inl2 = np.asarray(res2.inliers)[: len(src)]
                 best = (np.asarray(res2.R), np.asarray(res2.t),
@@ -431,7 +436,10 @@ class LoopCloser:
         # multi-second stall inside loop verification on the tunnel)
         from .local_mapping import _bucket
 
-        db = min(_bucket(n_dst, 512), cap_dst)
+        # high floor = few buckets (2048, 4096): the programs are
+        # latency-bound, so padding is near-free while every extra bucket
+        # is a fresh multi-second compile
+        db = min(_bucket(n_dst, 2048), cap_dst)
         if db > n_dst:
             dst_ids = np.concatenate(
                 [dst_ids, np.full((db - n_dst,), int(dst_ids[0]),

@@ -813,25 +813,28 @@ class System:
             # the motion model is cold (startup / reloc / weak frame).
             tr = self.tracker
             if tr._vel_warm < 3:
-                eff_depth = 1
+                eff_depth, force = 1, True
             else:
                 ang = float(np.arccos(np.clip(
                     (np.trace(tr.vel_R) - 1.0) * 0.5, -1.0, 1.0)))
-                eff_depth = (1 if ang > 0.10 else
-                             2 if ang > 0.03 else tr.pipeline_depth)
+                if ang > 0.10:
+                    # extreme rotation / cold model: block for the result
+                    # NOW so the velocity re-anchors before the next frame
+                    eff_depth, force = 1, True
+                elif ang > 0.03:
+                    # fast rotation (e.g. the room orbit at ~3.75deg/frame):
+                    # dispatch EVERY frame but keep the newest group in
+                    # flight (double buffering) — staleness is exactly one
+                    # frame plus extrapolation, which the 30/60 px widening
+                    # tiers absorb; depth-2 staleness was measured to LOSE
+                    # tracking on the orbit's far wall, while a forced
+                    # per-frame drain serialized ~40-60 ms/frame
+                    eff_depth, force = 1, False
+                else:
+                    eff_depth, force = tr.pipeline_depth, False
             if len(tr._pending) >= eff_depth:
                 with self.stopwatch.scope("resolve"):
-                    # eff_depth == 1 (cold motion model / extreme rotation)
-                    # needs the result NOW to re-anchor — force a blocking
-                    # drain. Any deeper adaptive depth dispatches at the
-                    # shortened threshold but keeps the newest group in
-                    # flight (double buffering): staleness stays bounded at
-                    # eff_depth frames — within the fused matcher's 60 px
-                    # widening tier — without serializing every batch on
-                    # its own device execution + transfer (measured
-                    # ~128 ms/batch of tracker stall when forced).
-                    tr.resolve_batch(force=eff_depth == 1,
-                                     dispatch_at=eff_depth)
+                    tr.resolve_batch(force=force, dispatch_at=eff_depth)
             self._step_backend()
             self._step_backend()
             return res.state, res.R, res.t
